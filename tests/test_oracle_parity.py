@@ -1,0 +1,86 @@
+"""Replicates the driver's correctness gate locally at sf0.001.
+
+For every ``queries()`` entry with an oracle: run the Spark query and the
+DuckDB SQL on the same parquet tables, sort columns by name, sort rows, and
+require **bit-exact** equality (the driver hashes values, so close-enough is
+not enough). Queries without oracles get a rows-run smoke check.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for comparison: timestamps -> ns, floats stay put
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
+
+
+def assert_bit_exact(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> None:
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s = normalize(spark_pdf)
+    d = normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            a_na = a is None or (not isinstance(a, (list, tuple)) and pd.isna(a))
+            b_na = b is None or (not isinstance(b, (list, tuple)) and pd.isna(b))
+            if a_na or b_na:
+                ok = a_na and b_na
+            else:
+                ok = a == b  # bit-exact on purpose (incl. floats)
+            assert ok, f"{name}: col {c} row {i}: spark={a!r} oracle={b!r}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(name: str, spark, sf_small: str):
+    fn = QUERIES[name]
+    sdf = fn(spark, sf_small)
+    spark_pdf = sdf.toPandas()
+    if name not in ORACLES:
+        # rows-only smoke: the query executes and yields a stable schema
+        assert spark_pdf is not None
+        return
+    con = duck_con(sf_small)
+    duck_pdf = con.execute(ORACLES[name]).df()
+    assert_bit_exact(name, spark_pdf, duck_pdf)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_all_oracles_have_queries():
+    assert set(ORACLES) <= set(QUERIES)

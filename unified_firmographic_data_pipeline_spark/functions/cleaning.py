@@ -1,0 +1,98 @@
+"""Staging-layer cleaning expressions (the dbt macro analogues).
+
+Each function mirrors a cleaning idiom of the reference's staging SQL
+(SURVEY.md §2.E; reference files ``firmographics_dbt/models/staging/*.sql``
+and ``firmographics_dbt/macros/parse_numeric.sql``) as a composable Catalyst
+expression. Semantics note (SURVEY.md §7.3c): Snowflake ``::type`` errors on
+malformed input where Spark ``cast`` yields NULL; the reference pre-cleans
+every cast input (NULLIF/REPLACE), so on clean input the two agree. This
+engine adopts NULL-on-error as the documented default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def nullif_empty(c: Column | str) -> Column:
+    """``NULLIF(x, '')`` — empty string to NULL before casts.
+
+    Reference: ``stg_wiki_sp500.sql:28``, ``stg_fortune500.sql:41-43``.
+    """
+    c = _col(c)
+    return F.when(c == "", F.lit(None)).otherwise(c)
+
+
+def parse_money(c: Column | str) -> Column:
+    """Money string (``"$648,125"``, ``"$-1,234.5"``) -> DoubleType.
+
+    Analogue of the ``parse_money_to_float`` macro
+    (``firmographics_dbt/macros/parse_numeric.sql:1-6``):
+    ``nullif(regexp_replace(field, '[$,]', ''), '')::float``.
+    """
+    return nullif_empty(F.regexp_replace(_col(c), r"[$,]", "")).cast("double")
+
+
+def parse_pct(c: Column | str, default: float = 0.0) -> Column:
+    """Percent string (``"6%"``, ``""``) -> DoubleType, empty -> ``default``.
+
+    Reference: ``stg_fortune500.sql:42-43`` (``replace(...,'%','')`` +
+    ``nullif`` + ``coalesce(..., 0)``).
+    """
+    cleaned = nullif_empty(F.regexp_replace(_col(c), "%", "")).cast("double")
+    return F.coalesce(cleaned, F.lit(float(default)))
+
+
+def parse_int_commas(c: Column | str) -> Column:
+    """Comma-grouped int string (``"2,100,000"``) -> LongType, empty -> NULL.
+
+    Reference: ``stg_fortune500.sql:41`` (employees).
+    """
+    return nullif_empty(F.regexp_replace(_col(c), ",", "")).cast("long")
+
+
+def yes_no_to_bool(c: Column | str) -> Column:
+    """``'yes'`` -> true, anything else (incl. NULL) -> false.
+
+    Reference: ``iff(data:"..."::string = 'yes', true, false)`` ×11 flags,
+    ``stg_fortune500.sql:50-60``. Snowflake IFF with a NULL condition takes
+    the false branch, so missing keys are false, not NULL — matched here.
+    """
+    c = _col(c)
+    return F.when(c == "yes", F.lit(True)).otherwise(F.lit(False))
+
+
+def none_to_null(c: Column | str, sentinel: str = "none") -> Column:
+    """Map a sentinel string to NULL (``IFF(hq = 'none', NULL, hq)``).
+
+    Reference: ``stg_wiki_sp500.sql:32-33``.
+    """
+    c = _col(c)
+    return F.when(c == sentinel, F.lit(None).cast("string")).otherwise(c)
+
+
+def first4_year(c: Column | str) -> Column:
+    """First 4 chars -> IntegerType year; ``"1976 (reorganized 1984)"`` -> 1976.
+
+    Reference: ``substring(data:"Founded"::string, 1, 4)::int``,
+    ``stg_wiki_sp500.sql:29``.
+    """
+    return F.substring(_col(c), 1, 4).cast("int")
+
+
+def split_first(c: Column | str, sep: str = " (") -> Column:
+    """``SPLIT(security, ' (')[0]`` — strip a parenthetical suffix.
+
+    Reference: ``stg_wiki_sp500.sql:25``. NOTE: Snowflake SPLIT takes a
+    literal separator while Spark ``split`` takes a Java regex — the
+    separator is regex-escaped here so semantics match byte-for-byte
+    (SURVEY.md §7.3c).
+    """
+    import re
+
+    return F.split(_col(c), re.escape(sep)).getItem(0)

@@ -1,0 +1,128 @@
+"""Text-analysis expressions for the LLM-data-pipeline extensions.
+
+All pure Catalyst expressions (no UDFs): tokenization, token statistics,
+quality ratios, language-ID scoring, and document fingerprinting over the
+``documents`` table (SURVEY.md §2.M). Designed for 100 TB: every function is
+a per-row expression — embarrassingly parallel, whole-stage-codegen'd, no
+shuffle implied.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def collapse_ws(c: Column | str) -> Column:
+    """Normalize whitespace runs to single spaces and trim."""
+    return F.trim(F.regexp_replace(_col(c), r"\s+", " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization -> ArrayType(StringType)."""
+    return F.split(collapse_ws(c), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    """Number of whitespace tokens (0 for empty strings)."""
+    t = collapse_ws(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Sub-word-ish token count: words, digit runs, and punctuation each
+    count as one token — a cheap deterministic proxy for a BPE tokenizer
+    (word-count-based estimates undercount code/punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(_col(c), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0))
+
+
+def stopword_count(c: Column | str, stopwords: Sequence[str]) -> Column:
+    """How many tokens are in ``stopwords`` (exact, case-sensitive)."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(c), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(c: Column | str, stopwords: Sequence[str]) -> Column:
+    """stopword tokens / all tokens (NULL when no tokens)."""
+    n = token_count(c)
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        stopword_count(c, stopwords).cast("double") / n.cast("double")
+    )
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Punctuation characters / total characters (NULL for empty)."""
+    c = _col(c)
+    n = F.length(c)
+    npunct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        npunct.cast("double") / n.cast("double")
+    )
+
+
+def doc_fingerprint(c: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of lowercased,
+    whitespace-normalized text. The exact-dedup key."""
+    return F.md5(F.lower(collapse_ws(c)))
+
+
+#: Tiny per-language function-word lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately minimal and public-knowledge (no model download).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "de": ("der", "die", "und", "das", "von", "mit", "den", "ist", "ein", "im"),
+    "fr": ("le", "la", "les", "de", "des", "et", "en", "une", "est", "que"),
+}
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    return {lang: stopword_count(c, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def detect_lang(c: Column | str, threshold: int = 1) -> Column:
+    """Pick the language with the most stopword hits; ``'und'`` when no
+    language reaches ``threshold``. Ties break by language-code order
+    (deterministic). A real deployment would swap in fastText/CLD3 behind the
+    same column contract."""
+    scores = lang_scores(c)
+    # struct(score, neg-ordered lang) max -> argmax with deterministic ties.
+    pairs = [
+        F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in sorted(scores.items(), reverse=True)
+    ]
+    best = F.greatest(*pairs)
+    return F.when(best["score"] >= threshold, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(c: Column | str, stopwords: Sequence[str] = LANG_STOPWORDS["en"]) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation density. Mirrors common pretraining-data filters
+    (C4/Gopher-style rules) as pure expressions."""
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    sw = F.coalesce(stopword_ratio(c, stopwords), F.lit(0.0))
+    sw_ok = F.when(sw > 0.01, 1.0).otherwise(0.0)
+    punct = F.coalesce(punct_ratio(c), F.lit(1.0))
+    punct_ok = F.when(punct < 0.3, 1.0).otherwise(0.0)
+    return (len_ok + sw_ok + punct_ok) / F.lit(3.0)
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles -> ArrayType(StringType) of space-joined n-grams.
+    Documents shorter than ``n`` tokens yield their whole text as the single
+    shingle (so they still participate in similarity)."""
+    toks = tokens(c)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))

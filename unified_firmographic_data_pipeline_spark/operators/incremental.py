@@ -1,0 +1,83 @@
+"""Incremental materialization: high-watermark delta filter + keyed upsert.
+
+Reference (SURVEY.md §2.B B2, §2.J J3): every incremental model filters
+``WHERE ingested_at > (SELECT max(ingested_at) FROM {{ this }})``
+(``stg_wiki_sp500.sql:5-7``, ``cr_company_complete.sql:42-44``) and dbt
+compiles the materialization to a Snowflake ``MERGE`` on the configured
+``unique_key`` (``dbt_project.yml:35-56``).
+
+Spark-first design: the watermark is the single permitted driver-side scalar
+(SURVEY.md §7.3d) — an ``agg(max)`` over the prior output, which Parquet
+answers from footer statistics without a full scan. The upsert is the
+join-based rewrite ``existing.join(delta, key, 'left_anti') ∪ delta`` — one
+shuffle on the key; with Delta/Iceberg the same contract maps to MERGE INTO.
+The delta filter itself is a pushed-down Parquet predicate on the source.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def high_watermark(prior: DataFrame | None, ts_col: str) -> Any:
+    """``SELECT max(ts) FROM {{ this }}`` — None on first run."""
+    if prior is None:
+        return None
+    return prior.agg(F.max(ts_col)).first()[0]
+
+
+def incremental_filter(df: DataFrame, ts_col: str, watermark: Any) -> DataFrame:
+    """Keep rows strictly past the watermark (all rows on first run)."""
+    if watermark is None:
+        return df
+    return df.filter(F.col(ts_col) > F.lit(watermark))
+
+
+def upsert(existing: DataFrame | None, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Keyed upsert: delta rows replace existing rows with the same key.
+
+    ``delta`` must be unique per key (the models dedup first — G2). The
+    anti-join keeps only untouched existing rows; the union is the new table.
+    """
+    if existing is None:
+        return delta
+    untouched = existing.join(delta.select(*keys).distinct(), on=keys, how="left_anti")
+    return untouched.unionByName(delta)
+
+
+class WatermarkStore:
+    """Tiny per-table watermark ledger (JSON file), the engine state that
+    Catalyst cannot know (SURVEY.md §4). One record per table name; values
+    are ISO strings. On a cluster this lives on shared storage (S3/DBFS) —
+    it is a single small driver-written file, never row data."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict[str, str]:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {}
+
+    def get(self, table: str) -> str | None:
+        return self._load().get(table)
+
+    def set(self, table: str, value: Any) -> None:
+        state = self._load()
+        state[table] = value if isinstance(value, str) else str(value)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)
+
+
+def violation_filter(df: DataFrame, condition: Column) -> DataFrame:
+    """B6: rows violating a business rule (test passes iff empty) —
+    ``tests/test_fortune_profit_not_exceed_revenue.sql:3-6`` analogue."""
+    return df.filter(condition)

@@ -1,0 +1,225 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+LLM-data-pipeline extensions (SURVEY.md §2.M) over the ``documents`` table.
+All stages are DataFrame ops designed for 100 TB:
+
+- MinHash signatures are per-row expressions (narrow, codegen'd): k hash
+  functions simulated as ``min(xxhash64(shingle, seed_i))`` over the shingle
+  array — no explode, no shuffle.
+- LSH banding groups signatures into b bands of r rows; candidate pairs come
+  from a self-equi-join on ``(band_id, band_hash)`` — the *only* shuffle, on
+  a uniformly-distributed hash key (no skew). Pair count is bounded by
+  bucket sizes, never the n² cross join.
+- Verification (exact Jaccard on candidates) touches only candidate pairs.
+
+SimHash packs 64 weighted bit-votes into a long; near-dups are pairs within
+a Hamming radius, found by the standard pigeonhole block trick (split the
+64-bit key into radius+1 blocks; equal-block join produces candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.functions.text import shingles, tokens
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """ArrayType(LongType) MinHash signature of a text column.
+
+    Each of the ``num_hashes`` permutations is ``xxhash64(shingle, seed=i)``;
+    the signature element is the min over the document's shingle set. Pure
+    expression — evaluated JVM-side per row.
+    """
+    sh = shingles(text_col, shingle_n)
+
+    def perm_min(i: int):
+        # closure over the seed literal — a 2-arg lambda would make
+        # F.transform pass the array index as the second parameter
+        seed = F.lit(i)
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed)))
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(id_a, id_b)`` with id_a < id_b that agree
+    on at least one LSH band (rows-per-band = num_hashes // bands)."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("__sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("__sig")[b * rows + r].cast("string") for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    With ``candidates`` (from LSH) only those pairs are scored — the scale
+    path. Without, every pair sharing ≥1 shingle is scored via an inverted
+    index (explode -> self-join on shingle -> pair-count), which is the
+    correct small/medium-scale oracle-checkable variant: the n² cross join
+    never materializes, only shingle-sharing pairs.
+    Returns ``(id_a, id_b, n_common, n_a, n_b, jaccard)``.
+    """
+    sets_ = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("__sh")
+    )
+    sizes = sets_.select(id_col, F.size("__sh").alias("__n"))
+    inv = sets_.select(id_col, F.explode("__sh").alias("__s"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        common.join(sizes.withColumnsRenamed({id_col: "id_a", "__n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "__n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash of the token set, packed into a LongType (``bits`` ≤ 62).
+
+    Each token votes ±1 on each low bit of its ``xxhash64``; the fingerprint
+    bit is 1 iff the summed vote is positive. Pure expression, no UDF: token
+    bits come from the binary-string rendering of the hash (``shiftright``
+    needs a static shift amount in Spark, so ``element_at`` over the bin
+    chars does column-indexed bit extraction), votes accumulate in one array
+    fold, and the final pack uses static per-bit masks.
+    """
+    toks = F.array_distinct(tokens(text_col))
+
+    def token_votes(t: Column) -> Column:
+        chars = F.split(F.lpad(F.bin(F.xxhash64(t)), 64, "0"), "")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda i: F.when(F.element_at(chars, F.lit(64) - i) == "1", 1).otherwise(-1),
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` SimHash distance via the pigeonhole
+    trick: split the fingerprint into ``max_hamming + 1`` blocks; any pair
+    within the radius must agree exactly on ≥1 block, so an equi-join per
+    block yields all candidates (one uniform-key shuffle), then exact
+    Hamming distance (``bit_count(a XOR b)``) filters."""
+    nblocks = max_hamming + 1
+    width = SIMHASH_BITS // nblocks
+    fp = df.select(F.col(id_col), simhash(text_col).alias("__fp"))
+    blocks = fp.select(
+        id_col,
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("__fp"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "__fp", "b.blk", "b.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+SURVEY.md §2.M: brute-force cosine top-k as the exact baseline, plus an
+LSH-bucketed approximate variant as the 100 TB scale path.
+
+Scale design: the exact variant broadcasts the (small) query set against the
+(huge) corpus — a broadcast nested-loop the optimizer pipelines with the
+scan; per-partition top-k then a final window keeps shuffle traffic at
+``O(queries × k × partitions)``, never the corpus. The approximate variant
+buckets both sides with random-hyperplane signatures so only same-bucket
+pairs are scored (equi-join shuffle on the bucket key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+
+    Returns ``(query_id, neighbor_id, cosine_sim, rank)``; self-matches are
+    excluded. ``queries`` is broadcast — it must be the small side.
+    ``round_digits`` rounds the similarity for cross-engine reproducibility
+    (ordering still uses the rounded value + id tiebreak => deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    sim = cosine_similarity("__qv", "__cv")
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]):
+    """Random-hyperplane LSH bucket id: bit i = sign(v · plane_i). Pure
+    expression; ``planes`` are fixed driver-side constants (seeded)."""
+    bit_exprs = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_exprs.append(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-hyperplane-bucket pairs.
+
+    Recall < 1.0 by construction (an IVF-style tradeoff); the bucket join is
+    an equi-join shuffle on a uniform key, so the corpus is scanned once and
+    never cross-joined. Deterministic given ``seed``.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    bucket = lambda df, idc: df.select(  # noqa: E731
+        F.col(id_col).alias(idc),
+        F.col(vec_col).alias(f"__{idc}_v"),
+        hyperplane_bucket(vec_col, planes).alias("__bucket"),
+    )
+    q = bucket(queries, "query_id")
+    c = bucket(corpus, "neighbor_id")
+    scored = (
+        c.join(q, "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("__query_id_v", "__neighbor_id_v"), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

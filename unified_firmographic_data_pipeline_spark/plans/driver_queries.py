@@ -1,0 +1,1022 @@
+"""Driver-contract query inventory (SURVEY.md §2 -> ``__spark_entry__.py``).
+
+Each entry pairs a DataFrame query (spark, sf_dir) -> DataFrame with an
+ANSI-SQL oracle DuckDB runs on the same parquet tables. The driver compares
+row count + schema + order-insensitive value hash, so every query here is
+written for **bit-exact cross-engine reproducibility**:
+
+- Sums/avgs of doubles go through DECIMAL(18,6): both engines round the
+  *identical* input double to 6 decimals (exact, since decimal ties aren't
+  representable in binary), then sum exactly — result doubles match
+  bit-for-bit regardless of accumulation order. Plain double sums would
+  differ in final ULPs between engines.
+- Every ranking has a total order (explicit unique-key tiebreaks).
+- Cosine similarities are computed in double and rounded to 6 digits (the
+  ULP-level accumulation difference between engines is ~1e-15, far below
+  the rounding quantum).
+- Column *names and types* are aligned per query (Spark int vs DuckDB
+  BIGINT is a schema mismatch — casts are explicit on whichever side needs
+  them).
+
+Queries marked ``sql=None`` are genuinely non-SQL-expressible (stateful
+multi-run SCD2, xxhash64-based LSH) — the driver records a weaker rows-only
+check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.functions.keys import NULL_SENTINEL, surrogate_key
+from unified_firmographic_data_pipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    collapse_ws,
+    doc_fingerprint,
+    punct_ratio,
+    token_count,
+    tokens,
+)
+from unified_firmographic_data_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_first,
+    dedup_latest,
+)
+from unified_firmographic_data_pipeline_spark.operators.neardup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_pairs,
+)
+from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
+from unified_firmographic_data_pipeline_spark.sources.multimodal import media_from_text
+from unified_firmographic_data_pipeline_spark.streaming.ingest import windowed_counts_batch
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
+        # read as long and truncate to micros — exactly what DuckDB does when
+        # it surfaces the column as its micros TIMESTAMP.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(c) -> F.Column:
+    """Cross-engine-exact double sum (see module docstring)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+#: SQL twin of ``_dsum``.
+def _S(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Aggregation pipeline (H-group + B1 projections) — TPC-H-shaped
+# --------------------------------------------------------------------------
+
+@q(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_S('l_quantity')} AS sum_qty,
+           {_S('l_extendedprice')} AS sum_base_price,
+           {_S('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_S('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_S('l_quantity')} / COUNT(*) AS avg_qty,
+           {_S('l_extendedprice')} / COUNT(*) AS avg_price,
+           {_S('l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> pushed filter -> partial+final hash agg.
+    One shuffle on the 6-group key; map-side combine does ~all the work."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_extendedprice") / n).alias("avg_price"),
+            (_dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q03_shipping_priority",
+    f"""
+    SELECT o.o_orderkey, {_S('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-k.
+    customer is the small side (broadcast); revenue is decimal-exact so the
+    top-10 cut is deterministic across engines."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q05_local_supplier_volume",
+    f"""
+    SELECT n.n_name, {_S('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join; dims broadcast, facts shuffle once on
+    the join keys; Catalyst reorders the dim joins below the fact join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q(
+    "q06_forecast_revenue",
+    f"""
+    SELECT {_S('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg; every predicate pushes to the
+    parquet reader (PushedFilters), zero shuffle (single global agg)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@q(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, {_S('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (C-group): inner/semi/anti/outer + FK-integrity
+# --------------------------------------------------------------------------
+
+@q(
+    "join_semi_active_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (free variant of C1 — SURVEY.md §2.C)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@q(
+    "join_anti_inactive_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the dbt ``relationships`` test shape (C2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "join_outer_order_counts",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + agg; customers with no orders keep count 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@q(
+    "fk_violations_lineitem_orders",
+    """
+    SELECT DISTINCT l_orderkey FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def fk_violations_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 FK-integrity as a violation SELECT — expected empty (pass)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").select("l_orderkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# Semi-structured (D-group): JSON path extraction + explode
+# --------------------------------------------------------------------------
+
+@q(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: JSON path extraction from the VARIANT-like ``props`` string
+    (``get_json_object`` = Snowflake ``payload:k`` = DuckDB ->>)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "explode_token_counts",
+    """
+    SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ) WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: lateral-flatten analogue — explode the token array, count."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (E-group)
+# --------------------------------------------------------------------------
+
+@q(
+    "scalar_string_kitchen_sink",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           split_part(p_type, ' ', 1) AS type_first,
+           substring(p_name, 1, 5) AS name_prefix,
+           replace(p_name, ' ', '_') AS name_snake,
+           coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    """,
+)
+def scalar_string_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E3/E4/E6 + casts: the staging-cleaning function family on `part`."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#13")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@q(
+    "scalar_money_roundtrip",
+    """
+    SELECT p_partkey,
+           '$' || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS money_str,
+           CAST(nullif(regexp_replace('$' || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR), '[$,]', '', 'g'), '') AS DOUBLE) AS parsed
+    FROM part
+    """,
+)
+def scalar_money_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: the parse_money macro analogue — build a money string, parse it
+    back (reference ``macros/parse_numeric.sql``)."""
+    from unified_firmographic_data_pipeline_spark.functions.cleaning import parse_money
+
+    p = _t(spark, sf_dir, "part")
+    money = F.concat(F.lit("$"), F.col("p_retailprice").cast("decimal(12,2)").cast("string"))
+    return p.select(
+        "p_partkey", money.alias("money_str"), parse_money(money).alias("parsed")
+    )
+
+
+@q(
+    "scalar_conditional_buckets",
+    f"""
+    SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type IN ('click', 'view') THEN 'engagement'
+                ELSE 'other' END AS bucket,
+           COUNT(*) AS n, {_S('value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def scalar_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (IFF/CASE) + accepted-values-style bucketing."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type").isin("click", "view"), "engagement")
+        .otherwise("other")
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
+    )
+
+
+@q(
+    "surrogate_keys_f1",
+    f"""
+    SELECT c_custkey,
+           md5(concat_ws('-',
+               coalesce(CAST(c_name AS VARCHAR), '{NULL_SENTINEL}'),
+               coalesce(CAST(c_nationkey AS VARCHAR), '{NULL_SENTINEL}'))) AS company_style_key,
+           md5(concat_ws('-',
+               coalesce(CAST(c_name AS VARCHAR), '{NULL_SENTINEL}'),
+               coalesce(CAST(nullif(c_mktsegment, 'BUILDING') AS VARCHAR), '{NULL_SENTINEL}'))) AS null_component_key
+    FROM customer
+    """,
+)
+def surrogate_keys_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: dbt_utils.generate_surrogate_key byte-exact semantics, including
+    the NULL-component sentinel path."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        surrogate_key(["c_name", "c_nationkey"]).alias("company_style_key"),
+        surrogate_key(
+            [F.col("c_name"), F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))]
+        ).alias("null_component_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (G-group) + dedup
+# --------------------------------------------------------------------------
+
+@q(
+    "window_dedup_first",
+    """
+    SELECT user_id, event_id, ts, event_type FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def window_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 keep-first-per-key (stg_wiki_sp500 dedup shape)."""
+    e = _t(spark, sf_dir, "events")
+    return dedup_first(e, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+
+@q(
+    "window_dedup_latest",
+    """
+    SELECT user_id, event_id, ts, event_type FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 keep-latest-per-key (cr_company_complete dedup shape)."""
+    e = _t(spark, sf_dir, "events")
+    return dedup_latest(e, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+
+@q(
+    "window_topn_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (driver-suite window coverage)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic window (SURVEY §2.G engine extension)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@q(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: running sum per user (decimal-exact — window
+    sum implementations are free to re-associate, e.g. segment trees)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (H-group): watermark, rollup/cube, distinct
+# --------------------------------------------------------------------------
+
+@q(
+    "agg_high_watermark",
+    "SELECT max(ts) AS max_ts, max(event_id) AS max_event_id FROM events",
+)
+def agg_high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: the incremental high-watermark scalar (``max(ingested_at)``)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(F.max("ts").alias("max_ts"), F.max("event_id").alias("max_event_id"))
+
+
+@q(
+    "agg_rollup_region_nation",
+    f"""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers, {_S('c.c_acctbal')} AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine extension beyond reference — §2.H)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"), _dsum("c_acctbal").alias("sum_acctbal")
+    )
+
+
+@q(
+    "agg_cube_flags",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_S('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem flags."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@q(
+    "agg_distinct_customers",
+    """
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expand + two-phase agg in Spark)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"), F.count("*").alias("n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set ops (I-group)
+# --------------------------------------------------------------------------
+
+@q(
+    "orderby_limit_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+)
+def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — no full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    ).limit(25)
+
+
+@q(
+    "set_intersect_buyers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").intersect(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+@q(
+    "set_except_nonbuyers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except_nonbuyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.select("c_custkey").subtract(o.select(F.col("o_custkey").alias("c_custkey")))
+
+
+# --------------------------------------------------------------------------
+# Temporal / incremental (B2, J-group)
+# --------------------------------------------------------------------------
+
+@q(
+    "incremental_delta_filter",
+    """
+    SELECT event_id, ts, event_type FROM events
+    WHERE ts > (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-20')
+    """,
+)
+def incremental_delta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: the high-watermark delta predicate — scalar subquery vs prior
+    state, here simulated with a date split of the same table."""
+    e = _t(spark, sf_dir, "events")
+    wm = (
+        e.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    return e.filter(F.col("ts") > F.lit(wm)).select("event_id", "ts", "event_type")
+
+
+@q(
+    "scd2_intervals",
+    """
+    SELECT user_id, event_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's core primitive: validity intervals from a change stream
+    (valid_from = change ts, valid_to = next change, open row = current)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@q(
+    "windowed_event_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_S('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K: tumbling-window aggregation — the exact expressions the streaming
+    path uses (`streaming.ingest`), run in batch mode for the oracle."""
+    e = _t(spark, sf_dir, "events")
+    _ = windowed_counts_batch  # same expressions; decimal-exact twin below
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-data extensions (§2.M): dedup / text / similarity / multimodal
+# --------------------------------------------------------------------------
+
+_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+@q(
+    "dedup_exact_documents",
+    f"""
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id IN (
+        SELECT min(doc_id) FROM documents GROUP BY {_FP_SQL})
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fingerprint-groupBy keeping lowest doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+_TOKENS_SQL = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+
+@q(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INTEGER) AS n_bpe_ish,
+           CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS INTEGER) AS n_stopwords,
+           {_FP_SQL} AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts (whitespace + BPE-ish), stopwords,
+    content fingerprint — all pure expressions."""
+    from unified_firmographic_data_pipeline_spark.functions.text import (
+        bpe_ish_token_count,
+        stopword_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+        stopword_count("text", LANG_STOPWORDS["en"]).alias("n_stopwords"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_TOKENS_SQL}, t -> t IN ({words})))"
+
+
+@q(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, detected, COUNT(*) AS n FROM (
+        SELECT lang,
+               CASE WHEN best.score >= 1 THEN best.lang ELSE 'und' END AS detected
+        FROM (
+            SELECT lang, list_aggregate([
+                {{'score': {_lang_score_sql('en')}, 'lang': 'en'}},
+                {{'score': {_lang_score_sql('es')}, 'lang': 'es'}},
+                {{'score': {_lang_score_sql('de')}, 'lang': 'de'}},
+                {{'score': {_lang_score_sql('fr')}, 'lang': 'fr'}}], 'max') AS best
+            FROM documents))
+    GROUP BY lang, detected
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs labeled lang — confusion-matrix counts."""
+    from unified_firmographic_data_pipeline_spark.functions.text import detect_lang
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", detect_lang("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "quality_scores",
+    f"""
+    SELECT doc_id, round((
+        (CASE WHEN len({_TOKENS_SQL}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN coalesce(
+            CASE WHEN len({_TOKENS_SQL}) = 0 THEN NULL
+                 ELSE CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE)
+                      / CAST(len({_TOKENS_SQL}) AS DOUBLE) END, 0.0) > 0.01
+         THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN coalesce(
+            CASE WHEN length(text) = 0 THEN NULL
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) END, 1.0) < 0.3
+         THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style document quality heuristic (length band + stopword
+    presence + punctuation density)."""
+    from unified_firmographic_data_pipeline_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+_MINHASH_SQL = ", ".join(
+    f"list_aggregate(list_transform(list_distinct({_TOKENS_SQL}), t -> md5('{j}:' || t)), 'min') AS mh{j}"
+    for j in range(4)
+)
+
+@q("minhash_signatures_md5", f"SELECT doc_id, {_MINHASH_SQL} FROM documents")
+def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-permutation variant, oracle-checkable): the
+    per-row signature stage of MinHash-LSH dedup. The production path uses
+    xxhash64 (see near_dup_candidates_lsh) — same algorithm, cheaper hash."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens("text"))
+
+    def mh(j: int):
+        # NB: closure over a ready-made literal — a 2-arg lambda would make
+        # F.transform pass the array *index* as the second parameter.
+        prefix = F.lit(f"{j}:")
+        return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(prefix, t))))
+
+    return d.select("doc_id", *[mh(j).alias(f"mh{j}") for j in range(4)])
+
+
+@q(
+    "neardup_jaccard_unigram",
+    f"""
+    WITH sets_ AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL}) AS sh FROM documents WHERE doc_id < 100),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets_),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM sets_),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(n_common AS INTEGER) AS n_common,
+           CAST(sa.n AS INTEGER) AS n_a, CAST(sb.n AS INTEGER) AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def neardup_jaccard_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup (unigram shingles, inverted-index pair
+    generation — no cross join) on a bounded doc subset."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = jaccard_pairs(d, shingle_n=1, threshold=0.5)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("int").alias("n_common"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        "jaccard",
+    )
+
+
+@q("near_dup_candidates_lsh")  # xxhash64-based — no SQL twin, rows-only check
+def near_dup_candidates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (banded xxhash64 signatures). The scale
+    path for near-dedup: one uniform-key shuffle, no n² blowup."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d)
+
+
+@q("simhash_near_pairs")  # xxhash64-based — no SQL twin, rows-only check
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 3 (pigeonhole blocks)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_near_pairs(d)
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT qid AS query_id, nid AS neighbor_id,
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+        FROM q, c WHERE qid <> nid)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: exact brute-force cosine top-5 for 10 query
+    vectors (broadcast queries × corpus scan, per-partition top-k)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@q(
+    "multimodal_binary_meta",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text -> binary payload -> Arrow-batched metadata
+    extraction via mapInPandas (decode stubbed — sources.multimodal)."""
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import decode_media_meta
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_text(d, "doc_id", "text")
+    return decode_media_meta(media).select("media_id", "kind", "n_bytes", "sha256")
+
+
+@q(
+    "quality_violation_counts",
+    """
+    SELECT COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+           COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS negative_totalprice,
+           COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS bad_status,
+           COUNT(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01' OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 END) AS out_of_range_date
+    FROM orders
+    """,
+)
+def quality_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§5 test-suite shape: not_null / accepted_values / accepted_range as
+    violation counters in a single pass (quality.expect's execution plan)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("negative_totalprice"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("bad_status"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("out_of_range_date"),
+    )

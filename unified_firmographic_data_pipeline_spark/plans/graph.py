@@ -1,0 +1,152 @@
+"""Mini model-graph runner — the dbt-DAG analogue (SURVEY.md §3.2).
+
+Each model is a pure function ``(ctx) -> DataFrame`` registered with a name,
+schema/layer, dependency list (the ``ref()`` edges), and a materialization
+strategy. ``run()`` topologically sorts and executes; each result goes to a
+materializer:
+
+- ``table``       -> atomic overwrite (dbt ``+materialized: table``).
+- ``incremental`` -> watermark delta is the *model's* job (it can call
+                     ``ctx.watermark``/``ctx.prior``); the runner upserts the
+                     result on the configured unique key
+                     (dbt ``+materialized: incremental`` + ``+unique_key``,
+                     ``dbt_project.yml:35-56``).
+- ``snapshot``    -> SCD2 fold via ``scd2_apply`` (dbt snapshot, §2.J).
+
+The IR of the whole cascade is the Catalyst logical plan — nothing here
+executes row data on the driver; the runner only sequences writes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Callable
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unified_firmographic_data_pipeline_spark.operators.incremental import upsert
+from unified_firmographic_data_pipeline_spark.operators.scd2 import scd2_apply
+from unified_firmographic_data_pipeline_spark.sources.catalog import Catalog
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    fn: Callable[["Context"], DataFrame]
+    schema: str
+    deps: tuple[str, ...] = ()
+    materialized: str = "table"  # table | incremental | snapshot | ephemeral
+    unique_key: tuple[str, ...] = ()
+    scd2_key: str = ""
+    scd2_updated_at: str = ""
+    tests: Callable[["Context", DataFrame], None] | None = None
+
+
+@dataclass
+class Context:
+    """What a model function sees: the session, the catalog (for ``ref`` /
+    ``source`` reads) and its own prior materialization (for incremental
+    watermarks — the ``{{ this }}`` analogue)."""
+
+    spark: SparkSession
+    catalog: Catalog
+    graph: "ModelGraph"
+    current: ModelSpec | None = None
+
+    def ref(self, name: str) -> DataFrame:
+        spec = self.graph.models[name]
+        return self.catalog.read(spec.schema, name)
+
+    def source(self, schema: str, table: str) -> DataFrame:
+        return self.catalog.read(schema, table)
+
+    def prior(self) -> DataFrame | None:
+        """The current model's previous materialization, None on first run."""
+        assert self.current is not None
+        return self.catalog.read_or_none(self.current.schema, self.current.name)
+
+
+class ModelGraph:
+    def __init__(self) -> None:
+        self.models: dict[str, ModelSpec] = {}
+
+    def register(self, spec: ModelSpec) -> None:
+        if spec.name in self.models:
+            raise ValueError(f"duplicate model {spec.name}")
+        self.models[spec.name] = spec
+
+    def topo_order(self, select: list[str] | None = None) -> list[str]:
+        ts = TopologicalSorter(
+            {name: set(spec.deps) for name, spec in self.models.items()}
+        )
+        order = list(ts.static_order())
+        if select is not None:
+            keep = set(select)
+            order = [n for n in order if n in keep]
+        return order
+
+    def run(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        select: list[str] | None = None,
+        run_tests: bool = True,
+    ) -> dict[str, str]:
+        """Execute models in dependency order; returns name -> status."""
+        ctx = Context(spark=spark, catalog=catalog, graph=self)
+        status: dict[str, str] = {}
+        for name in self.topo_order(select):
+            spec = self.models[name]
+            ctx.current = spec
+            df = spec.fn(ctx)
+            if spec.materialized == "table":
+                catalog.overwrite(df, spec.schema, name)
+            elif spec.materialized == "incremental":
+                existing = catalog.read_or_none(spec.schema, name)
+                merged = upsert(existing, df, list(spec.unique_key))
+                catalog.overwrite(merged, spec.schema, name)
+            elif spec.materialized == "snapshot":
+                existing = catalog.read_or_none(spec.schema, name)
+                snap = scd2_apply(existing, df, spec.scd2_key, spec.scd2_updated_at)
+                catalog.overwrite(snap, spec.schema, name)
+            elif spec.materialized == "ephemeral":
+                pass  # inlined by callers via ref(); nothing to write
+            else:
+                raise ValueError(f"unknown materialization {spec.materialized}")
+            if run_tests and spec.tests is not None:
+                spec.tests(ctx, catalog.read(spec.schema, name))
+            status[name] = "ok"
+        return status
+
+
+def model(
+    graph: ModelGraph,
+    *,
+    schema: str,
+    deps: tuple[str, ...] = (),
+    materialized: str = "table",
+    unique_key: tuple[str, ...] = (),
+    scd2_key: str = "",
+    scd2_updated_at: str = "",
+    tests: Callable[[Context, DataFrame], None] | None = None,
+) -> Callable:
+    """Decorator registering a model function under its own name."""
+
+    def deco(fn: Callable[[Context], DataFrame]) -> Callable[[Context], DataFrame]:
+        graph.register(
+            ModelSpec(
+                name=fn.__name__,
+                fn=fn,
+                schema=schema,
+                deps=deps,
+                materialized=materialized,
+                unique_key=unique_key,
+                scd2_key=scd2_key,
+                scd2_updated_at=scd2_updated_at,
+                tests=tests,
+            )
+        )
+        return fn
+
+    return deco

@@ -1,0 +1,67 @@
+"""Parquet table catalog + materializers (SURVEY.md §2.A A5/A6, §3.2).
+
+The medallion layers (raw/staging/core/analytics) are directories of parquet
+tables. Three materialization strategies, mirroring dbt's
+(``dbt_project.yml:35-56``):
+
+- ``table``: full overwrite (dims/fact).
+- ``incremental``: watermark delta + keyed upsert (staging/core/fact).
+- ``snapshot``: SCD2 fold (snapshots).
+
+Writes are atomic via write-temp-then-swap (Spark's parquet overwrite is not
+atomic on plain filesystems; with Delta/Iceberg this class would delegate to
+MERGE/REPLACE and inherit ACID)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """Path-addressed parquet catalog rooted at ``root``; schema/table
+    naming mirrors the reference's RAW/STAGING/CORE/ANALYTICS layout
+    (reference README.md:520-527)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, schema: str, table: str) -> str:
+        return os.path.join(self.root, schema.lower(), table.lower())
+
+    def exists(self, schema: str, table: str) -> bool:
+        p = self.path(schema, table)
+        return os.path.exists(p) and bool(
+            [f for f in os.listdir(p) if f.endswith(".parquet") or f == "_SUCCESS"]
+        )
+
+    def read(self, schema: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(schema, table))
+
+    def read_or_none(self, schema: str, table: str) -> DataFrame | None:
+        return self.read(schema, table) if self.exists(schema, table) else None
+
+    def overwrite(self, df: DataFrame, schema: str, table: str, partition_by: list[str] | None = None) -> None:
+        """Atomic full-refresh write: write to a temp dir, then swap. The
+        self-referencing incremental pattern (read prior output while
+        computing the new one) requires this — a direct overwrite would
+        truncate its own input before reading it."""
+        final = self.path(schema, table)
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        old = final + ".old-" + uuid.uuid4().hex[:8]
+        if os.path.exists(final):
+            os.replace(final, old)
+        os.replace(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def append(self, df: DataFrame, schema: str, table: str) -> None:
+        df.write.mode("append").parquet(self.path(schema, table))

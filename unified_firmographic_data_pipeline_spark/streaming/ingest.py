@@ -1,0 +1,83 @@
+"""Streaming ingest — the Spark-native upgrade of COPY INTO's idempotency.
+
+The reference is batch-only (``schedule_interval=None``, ``DAG:142``); its
+COPY INTO gives exactly-once-per-file loading. The Structured Streaming file
+source with a checkpoint is the same contract, plus watermarked windowed
+aggregation for late events (SURVEY.md §2.K). ``windowed_counts_batch`` is
+the identical plan on a batch frame — used by the correctness oracle, since
+the streaming and batch expressions share one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def stream_file_ingest(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint: str,
+    out_path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Exactly-once-per-file ingest: file source + checkpoint ledger.
+
+    Each discovered file is processed once across restarts (the checkpoint's
+    file log is the COPY INTO load-history analogue, SURVEY.md §2.A A4).
+    """
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(path).withColumn("ingested_at", F.current_timestamp())
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _windowed_counts(events: DataFrame, window: str, ts_col: str) -> DataFrame:
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> "DataFrame":
+    """Streaming tumbling-window counts with late-data watermark; caller
+    attaches the sink. Late rows beyond ``watermark`` are dropped and window
+    state is evicted — bounded state at any scale."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return _windowed_counts(stream.withWatermark(ts_col, watermark), window, ts_col)
+
+
+def windowed_counts_batch(
+    events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Batch twin of ``stream_windowed_counts`` (same expressions, no
+    watermark — batch sees all data)."""
+    return _windowed_counts(events, window, ts_col)
