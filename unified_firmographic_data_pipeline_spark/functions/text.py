@@ -120,6 +120,8 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     Documents shorter than ``n`` tokens yield their whole text as the single
     shingle (so they still participate in similarity)."""
     toks = tokens(c)
+    if n == 1:
+        return toks  # avoid the n-gram expression tree for the unigram case
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), k - n),

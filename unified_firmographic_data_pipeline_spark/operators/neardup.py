@@ -107,8 +107,10 @@ def jaccard_pairs(
     sets_ = df.select(
         F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("__sh")
     )
-    sizes = sets_.select(id_col, F.size("__sh").alias("__n"))
     inv = sets_.select(id_col, F.explode("__sh").alias("__s"))
+    # set sizes fall out of the inverted index (distinct shingles per doc) —
+    # avoids re-running the tokenizer expression on a second scan branch
+    sizes = inv.groupBy(id_col).agg(F.count("*").alias("__n"))
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
