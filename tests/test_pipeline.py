@@ -1,0 +1,218 @@
+"""End-to-end pipeline tests: raw fixtures -> staging -> core -> snapshots ->
+star, including incremental reruns and SCD2 evolution (FIXTURES.md §1-§5)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.fixtures import (
+    FORTUNE_ITEMS_T0,
+    T0,
+    T1,
+    T2,
+    fortune_item,
+    fortune_payload,
+    raw_df,
+    wiki_payload,
+)
+from unified_firmographic_data_pipeline_spark.plans.firmographics import GRAPH
+from unified_firmographic_data_pipeline_spark.sources.catalog import Catalog
+
+
+def dbt_key(*parts) -> str:
+    """Reference dbt_utils.generate_surrogate_key golden (FIXTURES.md §6)."""
+    s = "-".join("_dbt_utils_surrogate_key_null_" if p is None else str(p) for p in parts)
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "warehouse"))
+    cat.overwrite(raw_df(spark, wiki_payload(), "wikipedia_sp500", T0), "raw", "wiki_sp500")
+    cat.overwrite(raw_df(spark, fortune_payload(), "fortune500", T0), "raw", "fortune_500")
+    return cat
+
+
+def run_all(spark, catalog):
+    return GRAPH.run(spark, catalog, run_tests=True)
+
+
+def test_staging_wiki(spark, catalog):
+    run_all(spark, catalog)
+    stg = {r["symbol"]: r for r in catalog.read("staging", "stg_wiki_sp500").collect()}
+    # parenthetical stripped (E1)
+    assert stg["MMM"]["company_name"] == "3M Company"
+    # founded_year from "1902 (as Minnesota Mining)" (E2)
+    assert stg["MMM"]["founded_year"] == 1902
+    # HQ split (E1) and 'none' sentinel (B3)
+    assert stg["MMM"]["headquarters_location_city"] == "Saint Paul"
+    assert stg["MMM"]["headquarters_location_country"] == "Minnesota"
+    assert stg["NOHQ"]["headquarters_location_city"] is None
+    assert stg["NOHQ"]["headquarters_location_country"] is None
+    # empty date -> NULL (E3)
+    assert stg["NOHQ"]["date_added"] is None
+    # G1 dedup: duplicate CIK keeps earliest date_added -> GOOG, not GOOGL
+    assert "GOOG" in stg and "GOOGL" not in stg
+    assert str(stg["GOOG"]["date_added"]) == "2006-04-03"
+
+
+def test_staging_fortune(spark, catalog):
+    run_all(spark, catalog)
+    stg = {r["company_name"]: r for r in catalog.read("staging", "stg_fortune500").collect()}
+    w = stg["Walmart"]
+    assert w["revenues_m"] == 648125.0 and w["assets_m"] == 252399.0  # E7 money
+    assert w["employees"] == 2100000  # E6 comma int
+    assert w["revenue_pct_change"] == 6.0 and w["profit_pct_change"] == 32.8  # E6 pct
+    assert w["is_best_company"] is True and w["has_female_ceo"] is False  # E5 flags
+    assert w["change_rank_1000"] == 0.0  # empty -> COALESCE 0
+    m = stg["3M Company"]
+    assert m["profits_m"] == -1234.0  # negative money
+    assert m["employees"] is None  # empty -> NULL
+    assert m["revenue_pct_change"] == 0.0  # empty pct -> 0
+    assert m["change_rank_500"] == -42.0
+
+
+def test_core_join_and_star(spark, catalog):
+    run_all(spark, catalog)
+    core = catalog.read("core", "cr_company_complete")
+    names = {r["company_name"] for r in core.select("company_name").collect()}
+    # intersection semantics: FortuneOnly (no wiki) and wiki-only rows dropped
+    assert names == {"Walmart", "3M Company", "Alphabet"}
+    assert len(core.columns) == 35
+
+    dim_company = {r["company_name"]: r for r in catalog.read("analytics", "dim_company").collect()}
+    # F1 surrogate key byte-exact with dbt_utils (FIXTURES.md §6)
+    assert dim_company["Walmart"]["company_key"] == dbt_key("Walmart", "WMT")
+    fact = catalog.read("analytics", "fact_company_performance").collect()
+    fact_by_key = {r["company_key"]: r for r in fact}
+    assert dim_company["Walmart"]["company_key"] in fact_by_key
+    # fact location_key for Walmart: (company_name, city, state)
+    assert fact_by_key[dbt_key("Walmart", "WMT")]["location_key"] == dbt_key(
+        "Walmart", "Bentonville", "AR"
+    )
+    # dims expose current SCD2 rows only
+    dim_loc = catalog.read("analytics", "dim_location")
+    assert dim_loc.count() == 3
+    assert dim_loc.filter(F.col("location_key") == dbt_key("Walmart", "Bentonville", "AR")).count() == 1
+
+
+def test_incremental_rerun_noop(spark, catalog):
+    """Second run with no new raw data must not duplicate anything (B2/J3)."""
+    run_all(spark, catalog)
+    before = {
+        (s, t): catalog.read(s, t).count()
+        for s, t in [
+            ("staging", "stg_wiki_sp500"),
+            ("staging", "stg_fortune500"),
+            ("core", "cr_company_complete"),
+            ("analytics", "fact_company_performance"),
+            ("snapshots", "company_location_snapshot"),
+        ]
+    }
+    run_all(spark, catalog)
+    for key, n in before.items():
+        assert catalog.read(*key).count() == n, key
+
+
+def _land_full_batch(spark, catalog, ts, row_id, wiki_rows=None, fortune_items=None):
+    """The reference re-extracts BOTH sources in full each DAG run
+    (``DAG:199-200``) — a later batch is a complete re-landing, not a delta."""
+    from tests.fixtures import WIKI_ROWS_T0
+
+    catalog.append(
+        raw_df(spark, wiki_payload(wiki_rows if wiki_rows is not None else WIKI_ROWS_T0),
+               "wikipedia_sp500", ts, row_id=row_id),
+        "raw", "wiki_sp500",
+    )
+    catalog.append(
+        raw_df(spark, fortune_payload(fortune_items), "fortune500", ts, row_id=row_id),
+        "raw", "fortune_500",
+    )
+
+
+def test_incremental_new_batch_upserts(spark, catalog):
+    """FIXTURES.md §5: full re-landing with one updated + one new key —
+    updates overwrite (MERGE semantics), new keys insert, nothing duplicates."""
+    run_all(spark, catalog)
+    from tests.fixtures import WIKI_ROWS_T0
+
+    new_wiki = WIKI_ROWS_T0 + [
+        {
+            "Symbol": "NEWCO",
+            "Security": "NewCo Industries",
+            "GICS Sector": "Industrials",
+            "GICS Sub-Industry": "Misc",
+            "Headquarters Location": "Denver, Colorado",
+            "Date added": "2025-01-15",
+            "CIK": 555555,
+            "Founded": "2020",
+        }
+    ]
+    new_fortune = [
+        fortune_item("Walmart", 2, "walmart", city="Dallas", state="TX"),
+        fortune_item("3M Company", 50, "3m-company", city="Saint Paul", state="MN",
+                     revenues="$32,681", profits="$-1,234"),
+        fortune_item("Alphabet", 8, "alphabet", city="Mountain View", state="CA",
+                     revenues="$307,394", profits="$73,795"),
+        fortune_item("NewCo Industries", 400, "newco", city="Denver", state="CO"),
+    ]
+    _land_full_batch(spark, catalog, T1, 1, wiki_rows=new_wiki, fortune_items=new_fortune)
+    run_all(spark, catalog)
+
+    core = {r["company_name"]: r for r in catalog.read("core", "cr_company_complete").collect()}
+    assert set(core) == {"Walmart", "3M Company", "Alphabet", "NewCo Industries"}
+    # updated key overwritten, not duplicated
+    assert core["Walmart"]["headquarters_city"] == "Dallas"
+    assert core["Walmart"]["company_rank"] == 2
+    # staging upsert kept exactly one row per key
+    stg_f = catalog.read("staging", "stg_fortune500")
+    assert stg_f.filter(F.col("company_name") == "Walmart").count() == 1
+    assert stg_f.filter(F.col("company_name") == "Walmart").first()["ingested_at"] == T1
+
+
+def test_scd2_snapshot_evolution(spark, catalog):
+    """FIXTURES.md §4 via the full pipeline: a location change closes the
+    old location_key (it vanishes — hard delete) and opens the new one.
+
+    Two reference semantics this documents faithfully:
+    - dbt's timestamp strategy is content-blind: a full re-landing bumps
+      every key's updated_at, so unchanged keys get re-versioned too.
+    - the incremental core never deletes rows, so a company dropping out of
+      the Fortune list does NOT hard-delete its snapshot key (the dormant
+      hard-delete path is unit-tested in test_scd2.py instead).
+    """
+    run_all(spark, catalog)
+    t1_fortune = [
+        fortune_item("Walmart", 1, "walmart", city="Dallas", state="TX"),
+        fortune_item("3M Company", 50, "3m-company", city="Saint Paul", state="MN",
+                     revenues="$32,681", profits="$-1,234"),
+        fortune_item("Alphabet", 8, "alphabet", city="Mountain View", state="CA",
+                     revenues="$307,394", profits="$73,795"),
+    ]
+    _land_full_batch(spark, catalog, T1, 1, fortune_items=t1_fortune)
+    run_all(spark, catalog)
+
+    snap = catalog.read("snapshots", "company_location_snapshot")
+    wrows = {
+        (r["location_key"], r["dbt_valid_from"]): r
+        for r in snap.collect()
+    }
+    old = wrows[(dbt_key("Walmart", "Bentonville", "AR"), T0)]
+    new = wrows[(dbt_key("Walmart", "Dallas", "TX"), T1)]
+    # old location_key vanished from source at t1 -> closed at batch hwm
+    assert old["dbt_valid_to"] == T1
+    assert new["dbt_valid_to"] is None
+    # content-blind timestamp strategy: 3M re-versioned by the re-landing
+    mmm_key = dbt_key("3M Company", "Saint Paul", "MN")
+    assert wrows[(mmm_key, T0)]["dbt_valid_to"] == T1
+    assert wrows[(mmm_key, T1)]["dbt_valid_to"] is None
+
+    # current projection exposes exactly the open rows
+    dim_loc = catalog.read("analytics", "dim_location")
+    cur = {r["location_key"] for r in dim_loc.collect()}
+    assert dbt_key("Walmart", "Dallas", "TX") in cur
+    assert dbt_key("Walmart", "Bentonville", "AR") not in cur
+    assert dim_loc.count() == 3

@@ -1,0 +1,104 @@
+"""Streaming ingest tests: exactly-once-per-file semantics (the COPY INTO
+analogue) and batch/stream expression parity for windowed counts."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+    stream_file_ingest,
+    windowed_counts_batch,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_exactly_once_per_file(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, [(1, datetime(2024, 1, 1, 10), "click", 1.0)])
+
+    q = stream_file_ingest(spark, src, SCHEMA, ckpt, out)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 1
+
+    # rerun with no new files: checkpoint must prevent reprocessing
+    q = stream_file_ingest(spark, src, SCHEMA, ckpt, out)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 1
+
+    # new file: only the delta is ingested
+    _write_batch(spark, src, [(2, datetime(2024, 1, 1, 11), "view", 2.0)])
+    q = stream_file_ingest(spark, src, SCHEMA, ckpt, out)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert "ingested_at" in got.columns  # metadata stamp (A4 semantics)
+
+
+def test_windowed_counts_batch(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (2, datetime(2024, 1, 1, 10, 55), "click", 2.0),
+        (3, datetime(2024, 1, 1, 11, 5), "click", 4.0),
+        (4, datetime(2024, 1, 1, 10, 30), "view", 8.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_counts_batch(df, "1 hour").collect()
+    }
+    assert out[(datetime(2024, 1, 1, 10), "click")] == (2, 3.0)
+    assert out[(datetime(2024, 1, 1, 11), "click")] == (1, 4.0)
+    assert out[(datetime(2024, 1, 1, 10), "view")] == (1, 8.0)
+
+
+def test_streaming_windowed_counts_runs(spark, tmp_path):
+    """The watermarked streaming plan executes end-to-end on a file source."""
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        stream_windowed_counts,
+    )
+
+    src = str(tmp_path / "landing2")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, datetime(2024, 1, 1, 10, 5), "click", 1.0),
+            (2, datetime(2024, 1, 1, 10, 15), "click", 2.0),
+        ],
+    )
+    agg = stream_windowed_counts(spark, src, SCHEMA, str(tmp_path / "ckpt2"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2 and rows[0]["sum_value"] == 3.0

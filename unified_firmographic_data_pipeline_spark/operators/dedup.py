@@ -23,7 +23,11 @@ def _order_cols(order_by: Sequence[Column | str], desc: bool) -> list[Column]:
     out = []
     for c in order_by:
         col = F.col(c) if isinstance(c, str) else c
-        out.append(col.desc() if desc else col.asc())
+        # a caller-supplied SortOrder (e.g. asc_nulls_last) keeps its direction
+        if " ASC" in str(col) or " DESC" in str(col):
+            out.append(col)
+        else:
+            out.append(col.desc() if desc else col.asc())
     return out
 
 
