@@ -30,7 +30,12 @@ HEADLINE = [
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
     "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_filter",
     "join_outer_order_counts",
+    "grouping_sets_sql",
+    "stats_summary",
     "window_topn_per_group",
     "window_running_sum",
     "json_extract_props",
