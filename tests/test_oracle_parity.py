@@ -77,6 +77,38 @@ def test_query_parity(name: str, spark, sf_small: str):
     assert_bit_exact(name, spark_pdf, duck_pdf)
 
 
+#: Spark simple type -> expected DuckDB type(s). The driver compares result
+#: schemas, so any drift (e.g. DuckDB SUM(BIGINT) -> HUGEINT) must be caught.
+TYPE_MAP = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_schema_alignment(name: str, spark, sf_small: str):
+    sdf = QUERIES[name](spark, sf_small)
+    con = duck_con(sf_small)
+    duck_types = {
+        r[0]: r[1] for r in con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    }
+    for f in sdf.schema.fields:
+        simple = f.dataType.simpleString()
+        assert f.name in duck_types, f"{name}: col {f.name} missing from oracle"
+        allowed = TYPE_MAP.get(simple)
+        assert allowed is not None, f"{name}: unmapped spark type {simple} ({f.name})"
+        assert duck_types[f.name] in allowed, (
+            f"{name}: col {f.name} spark={simple} duck={duck_types[f.name]}"
+        )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -1,0 +1,102 @@
+"""Landing reader (A4), watermark store, run metadata (A7), and the
+temporal operators (as-of join, sessionize)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.operators.incremental import WatermarkStore
+from unified_firmographic_data_pipeline_spark.operators.temporal import asof_join, sessionize
+from unified_firmographic_data_pipeline_spark.sources.landing import read_json_landing
+
+
+def test_read_json_landing_glob_and_stamp(spark, tmp_path):
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "fortune500_2025.json").write_text(json.dumps({"items": [1, 2]}))
+    (land / "sp500.json").write_text(json.dumps([{"a": 1}]))
+    df = read_json_landing(spark, str(land), "fortune500", glob="*fortune500_2025.json")
+    rows = df.collect()
+    # PATTERN pruning: only the matching file loads (COPY INTO analogue)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["source"] == "fortune500"
+    assert r["ingested_at"] is not None
+    assert json.loads(r["payload"]) == {"items": [1, 2]}
+    assert set(df.columns) == {"id", "source", "ingested_at", "payload"}
+
+
+def test_watermark_store_roundtrip(tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    assert store.get("t1") is None
+    store.set("t1", "2025-01-01 00:00:00")
+    store.set("t2", datetime(2025, 2, 1))
+    assert store.get("t1") == "2025-01-01 00:00:00"
+    assert store.get("t2") == "2025-02-01 00:00:00"
+    store.set("t1", "2025-03-01 00:00:00")  # overwrite
+    assert store.get("t1") == "2025-03-01 00:00:00"
+
+
+def test_run_metadata_recorded(spark, tmp_path):
+    from tests.fixtures import T0, fortune_payload, raw_df, wiki_payload
+    from unified_firmographic_data_pipeline_spark.plans.firmographics import GRAPH
+    from unified_firmographic_data_pipeline_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(raw_df(spark, wiki_payload(), "wikipedia_sp500", T0), "raw", "wiki_sp500")
+    cat.overwrite(raw_df(spark, fortune_payload(), "fortune500", T0), "raw", "fortune_500")
+    GRAPH.run(spark, cat, record_metadata=True)
+    meta = cat.read("_meta", "run_metadata")
+    rows = meta.collect()
+    assert {r["model"] for r in rows} >= {"stg_wiki_sp500", "fact_company_performance"}
+    assert len({r["invocation_id"] for r in rows}) == 1
+    assert all(r["status"] == "ok" and r["wall_sec"] >= 0 for r in rows)
+
+
+def _events(spark):
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: click, purchase 5m later, click, purchase right at same ts
+        (1, 1, t, "click", 1.0),
+        (2, 1, t + timedelta(minutes=5), "purchase", 2.0),
+        (3, 1, t + timedelta(minutes=10), "click", 3.0),
+        (4, 1, t + timedelta(minutes=10), "purchase", 4.0),  # same-ts click visible
+        # user 2: purchase with no prior click
+        (5, 2, t, "purchase", 5.0),
+        (6, 2, t + timedelta(minutes=1), "click", 6.0),
+        # user 1: late event far away -> new session under 30m gap
+        (7, 1, t + timedelta(hours=2), "click", 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_asof_join_semantics(spark):
+    e = _events(spark)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            purchases, clicks, key="user_id", ts="ts", right_cols=["event_id"], tiebreak="event_id"
+        ).collect()
+    }
+    assert out[2]["event_id_asof"] == 1  # last click before +5m is event 1
+    assert out[4]["event_id_asof"] == 3  # same-timestamp click visible (<=)
+    assert out[5]["event_id_asof"] is None  # no prior click for user 2
+    assert out[5]["ts_asof"] is None
+
+
+def test_sessionize_gap_rule(spark):
+    e = _events(spark).filter(F.col("user_id") == 1)
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(e, "user_id", "ts", gap="30 minutes", order_tiebreak="event_id").collect()
+    }
+    # events 1-4 within 30m gaps -> session 1; event 7 two hours later -> session 2
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[7] == 2

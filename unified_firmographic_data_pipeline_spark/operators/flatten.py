@@ -45,3 +45,29 @@ def flatten_json_array(
             ArrayType(element_schema),
         )
     return df.select(*parent_cols, F.explode(arr).alias(out_col))
+
+
+def flatten_variant(
+    df: DataFrame,
+    payload_col: str,
+    parent_cols: Sequence[str] = (),
+    array_path: str | None = None,
+    out_col: str = "value",
+) -> DataFrame:
+    """Spark-4 VARIANT-native flatten — the closest analogue of Snowflake's
+    ``LATERAL FLATTEN(input => payload)`` (``stg_wiki_sp500.sql:16-17``):
+    ``parse_json`` produces a VariantType and ``LATERAL variant_explode``
+    unnests it, keeping elements as variants (schema-on-read preserved all
+    the way; extract typed fields later with ``variant_get``)."""
+    import uuid
+
+    spark = df.sparkSession
+    view = f"__flatten_variant_{uuid.uuid4().hex[:8]}"
+    df.createOrReplaceTempView(view)
+    expr = f"parse_json({payload_col})"
+    if array_path is not None:
+        expr = f"variant_get({expr}, '$.{array_path}')"
+    cols = ", ".join([*parent_cols, f"f.value AS {out_col}"])
+    out = spark.sql(f"SELECT {cols} FROM {view}, LATERAL variant_explode({expr}) f")
+    spark.catalog.dropTempView(view)
+    return out

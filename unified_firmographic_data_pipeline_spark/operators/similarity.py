@@ -118,3 +118,58 @@ def cosine_topk_lsh(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
+
+    O(n²) scoring — the oracle-checkable exact variant for bounded inputs.
+    The scale path is ``embedding_dup_pairs_lsh`` (bucketed candidates)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-bucket both sides, score only
+    same-bucket pairs (equi-join shuffle on a uniform key, no n² blowup).
+    High-threshold pairs almost always share all hyperplane signs, so recall
+    at threshold>=0.9 is near-exact while cost drops ~2^planes-fold."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(vec_col, planes).alias("__bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+    )
+    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,101 @@
+"""Temporal operators beyond the reference surface: as-of join and
+gap-based sessionization (SURVEY.md §2.C notes these as driver-suite
+extensions; the reference itself models time only via SCD2 intervals).
+
+Both are pure DataFrame compositions:
+
+- ``asof_join`` uses the union-and-carry-forward pattern, NOT a range join:
+  tag both sides, union, and carry the right side's last value forward with
+  a running ``max_by``-style window per key. One shuffle on (key), linear in
+  input — at 100 TB this beats the naive correlated range join (which
+  explodes to pairs) and is the standard scalable as-of technique.
+- ``sessionize`` is the classic gap rule: a new session starts where the
+  gap from the previous event exceeds the threshold; session ids are the
+  running count of session starts. One window shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row (same key,
+    right.ts <= left.ts). Left rows with no prior right row keep NULLs.
+
+    Implementation: union tagged frames, sort within key by (ts, right
+    first on ties), carry right values forward with a ``last(ignorenulls)``
+    window, then keep left rows. Right-side columns come back suffixed.
+    ``tiebreak`` (a right-side column) makes the winner among equal-ts right
+    rows deterministic (highest value wins).
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
+    lt = left.select(
+        "*",
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+    )
+    placeholder_left = [
+        c for c in left.columns if c not in (key,)
+    ]
+    rt = right.select(
+        F.col(key),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in placeholder_left],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(ts).alias("__r_ts"),
+    ).withColumn(ts, F.col("__r_ts"))
+    unioned = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts (__side 0 < 1), so a
+    # same-timestamp right row IS visible to the left row (<= semantics)
+    order = [F.col(ts).asc(), F.col("__side").asc()]
+    if tiebreak is not None:
+        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *left.columns, *[f"{c}{suffix}" for c in right_cols], f"{ts}{suffix}"
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str = "30 minutes",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session indexes per key: a new session starts when
+    the time since the previous event exceeds ``gap``. Adds ``session_id``
+    (1-based per key) — the batch twin of a Structured Streaming session
+    window."""
+    order = [F.col(ts).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_ts = F.lag(ts).over(w)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    new_session = F.when(
+        prev_ts.isNull() | (F.col(ts) > prev_ts + gap_expr), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(new_session).over(wsum))

@@ -345,7 +345,7 @@ def fk_violations_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     "json_extract_props",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1052,8 +1052,8 @@ def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_classes",
     """
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY l.l_returnflag
     """,
@@ -1305,4 +1305,125 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 3: as-of join, sessionization, embedding near-dup,
+# VARIANT lateral flatten
+# --------------------------------------------------------------------------
+
+@q(
+    "asof_purchase_last_click",
+    """
+    SELECT a.event_id, a.user_id, a.ts,
+           (SELECT max(b.ts) FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'click' AND b.ts <= a.ts) AS ts_asof,
+           (SELECT b.event_id FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'click' AND b.ts <= a.ts
+            ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS event_id_asof
+    FROM events a WHERE a.event_type = 'purchase'
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the most recent prior click of the
+    same user (union + carry-forward window — linear, no range-join blowup;
+    the oracle uses the equivalent correlated-subquery formulation)."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts", right_cols=["event_id"], tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "ts", "ts_asof", "event_id_asof")
+
+
+@q(
+    "sessionization_30m",
+    """
+    SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (
+        SELECT user_id, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                     + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events))
+    """,
+)
+def sessionization_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min rule) — the batch twin of a
+    Structured Streaming session window."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize(e, key="user_id", ts="ts", gap="30 minutes", order_tiebreak="event_id")
+    return out.select("user_id", "event_id", F.col("session_id").cast("long").alias("session_id"))
+
+
+@q(
+    "embedding_dup_pairs",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9
+    """,
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact pair scoring on a bounded subset
+    (the LSH-bucketed scale variant is embedding_dup_pairs_lsh, rows-only)."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        embedding_dup_pairs as _pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return _pairs(e, threshold=0.9)
+
+
+@q("embedding_dup_pairs_lsh")  # driver-seeded hyperplanes -> rows-only check
+def embedding_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-bucketed pair scoring."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_lsh(e, threshold=0.9)
+
+
+@q(
+    "variant_lateral_flatten",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_lateral_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake LATERAL FLATTEN parity on the Spark-4 VARIANT type:
+    wrap props into a 1-element JSON array, ``LATERAL variant_explode`` it,
+    then ``variant_get`` the typed field out of the exploded element."""
+    from unified_firmographic_data_pipeline_spark.operators.flatten import flatten_variant
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.concat(F.lit("["), F.col("props"), F.lit("]")).alias("payload")
+    )
+    flat = flatten_variant(e, "payload", parent_cols=("event_type",))
+    return (
+        flat.select(
+            "event_type",
+            F.expr("variant_get(value, '$.k', 'long')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
     )

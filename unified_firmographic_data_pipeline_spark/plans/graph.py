@@ -92,11 +92,24 @@ class ModelGraph:
         catalog: Catalog,
         select: list[str] | None = None,
         run_tests: bool = True,
+        record_metadata: bool = False,
     ) -> dict[str, str]:
-        """Execute models in dependency order; returns name -> status."""
+        """Execute models in dependency order; returns name -> status.
+
+        ``record_metadata=True`` appends one row per model to the
+        ``_meta.run_metadata`` table (invocation_id, model, status, wall
+        seconds) — the engine analogue of the reference's dbt-artifact
+        upload partitioned by invocation_id (SURVEY.md §2.A A7,
+        ``DAG:66-107``)."""
+        import time as _time
+        import uuid as _uuid
+
+        invocation_id = _uuid.uuid4().hex
+        timings: list[tuple[str, str, float]] = []
         ctx = Context(spark=spark, catalog=catalog, graph=self)
         status: dict[str, str] = {}
         for name in self.topo_order(select):
+            t0 = _time.perf_counter()
             spec = self.models[name]
             ctx.current = spec
             df = spec.fn(ctx)
@@ -117,6 +130,13 @@ class ModelGraph:
             if run_tests and spec.tests is not None:
                 spec.tests(ctx, catalog.read(spec.schema, name))
             status[name] = "ok"
+            timings.append((name, "ok", _time.perf_counter() - t0))
+        if record_metadata:
+            meta_df = spark.createDataFrame(
+                [(invocation_id, n, s, float(t)) for n, s, t in timings],
+                "invocation_id string, model string, status string, wall_sec double",
+            )
+            catalog.append(meta_df, "_meta", "run_metadata")
         return status
 
 
