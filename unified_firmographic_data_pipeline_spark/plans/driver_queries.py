@@ -1427,3 +1427,168 @@ def variant_lateral_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 4: remaining TPC-H join/subquery shapes
+# --------------------------------------------------------------------------
+
+@q(
+    "q02_min_per_group_join_back",
+    """
+    SELECT s.s_nationkey, s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN (SELECT s_nationkey, min(s_acctbal) AS min_bal
+          FROM supplier GROUP BY s_nationkey) m
+      ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.min_bal
+    """,
+)
+def q02_min_per_group_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-per-group subquery joined back to pick the
+    extreme row(s) per group."""
+    s = _t(spark, sf_dir, "supplier")
+    m = s.groupBy(F.col("s_nationkey").alias("__nk")).agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(
+            F.broadcast(m),
+            (s.s_nationkey == m.__nk) & (s.s_acctbal == m.min_bal),
+        )
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@q(
+    "q07_nation_volume_pairs",
+    f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+           {_S('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('FRANCE', 'GERMANY') AND sn.n_name IN ('FRANCE', 'GERMANY')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q07_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension joined twice under different
+    roles (customer-nation vs supplier-nation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("FRANCE", "GERMANY"))
+    cn = n.select(F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("__cnk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("__snk"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("yr"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+@q(
+    "q11_share_of_total_having",
+    f"""
+    SELECT p_brand, {_S('p_retailprice')} AS brand_value
+    FROM part GROUP BY p_brand
+    HAVING {_S('p_retailprice')} >
+           (SELECT 0.02 * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) FROM part)
+    """,
+)
+def q11_share_of_total_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar fraction-of-total subquery
+    (stays in-plan as a 1-row broadcast, not a driver collect)."""
+    p = _t(spark, sf_dir, "part")
+    total = p.agg((F.lit(0.02) * _dsum("p_retailprice")).alias("__threshold"))
+    return (
+        p.groupBy("p_brand")
+        .agg(_dsum("p_retailprice").alias("brand_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("brand_value") > F.col("__threshold"))
+        .select("p_brand", "brand_value")
+    )
+
+
+@q(
+    "q13_order_count_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an extra join-side predicate, then
+    a distribution-of-counts re-aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q(
+    "q16_notin_distinct_count",
+    """
+    SELECT p_type, p_size, CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS brand_cnt
+    FROM part
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_type <> 'PROMO'
+    GROUP BY p_type, p_size
+    """,
+)
+def q16_notin_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN filter + grouped distinct count."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            ~F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_type") != "PROMO")
+        )
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("p_brand").alias("brand_cnt"))
+    )
+
+
+@q(
+    "q17_below_avg_quantity",
+    f"""
+    SELECT {_S('l.l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                                   / COUNT(*)) AS half_avg
+          FROM lineitem GROUP BY l_partkey) a
+      ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average decorrelated into an
+    aggregate self-join (the scalable plan: one extra agg + equi-join,
+    never a per-row subquery)."""
+    l = _t(spark, sf_dir, "lineitem")
+    avg_q = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.5) * (_dsum("l_quantity") / F.count("*"))).alias("half_avg")
+    )
+    return (
+        l.join(avg_q, l.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (_dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
