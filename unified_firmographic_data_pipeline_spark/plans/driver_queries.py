@@ -1592,3 +1592,249 @@ def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 5: remaining TPC-H shapes (Q8/Q9/Q15/Q20/Q21 adapted to the
+# driver tables — no partsupp/receiptdate in testdata), pivot, fingerprints
+# --------------------------------------------------------------------------
+
+@q(
+    "q08_nation_market_share",
+    f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+           {_S("CASE WHEN n.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {_S('l.l_extendedprice * (1 - l.l_discount)')} AS mkt_share
+    FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+    GROUP BY 1
+    """,
+)
+def q08_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    conditional numerator over a common denominator in a single aggregate
+    pass (no self-join, no second scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (
+                _dsum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0)))
+                / _dsum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "q09_product_profit",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+           {_S('l.l_extendedprice * (1 - l.l_discount)')} AS profit
+    FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier-nation and year over a
+    name-filtered part subset. The part filter runs before the join (Catalyst
+    pushes it into the scan) and both dimension sides broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+    )
+
+
+@q(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey, {_S('l_extendedprice * (1 - l_discount)')} AS total_rev
+        FROM lineitem GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-of-aggregate scalar subquery. The revenue agg is
+    computed once and reused for both the ranking and the max (single shuffle;
+    the 1-row max side broadcasts back)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("__max_rev"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@q(
+    "q20_bulk_suppliers_semi",
+    f"""
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'large%'
+        GROUP BY l.l_suppkey
+        HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 50)
+    """,
+)
+def q20_bulk_suppliers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join against an aggregated-and-filtered
+    subquery (suppliers who moved bulk quantity of a part-name subset)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("large%"))
+    s = _t(spark, sf_dir, "supplier")
+    bulk = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(_dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@q(
+    "q21_sole_late_supplier",
+    """
+    WITH flagged AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
+        FROM flagged GROUP BY l_orderkey)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM flagged f
+      JOIN per_order po ON f.l_orderkey = po.l_orderkey
+      JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    WHERE po.n_supp >= 2 AND po.n_late = 1 AND f.is_late = 1
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (exists + not-exists): orders involving >=2 suppliers
+    where exactly one shipped late — blame tally per supplier. The
+    correlated EXISTS pair is decorrelated into per-order window distinct
+    counts over the joined lines: ONE lineitem scan and ONE shuffle on
+    l_orderkey (a groupBy+join-back would scan lineitem twice — verified
+    via .explain that this form doesn't).
+
+    Lateness adapts TPC-H's receipt-vs-commit test to this schema:
+    shipped more than 60 days after the order date."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    flagged = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_line = flagged.select(
+        "*",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late"),
+    )
+    return (
+        per_line.filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), per_line.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@q(
+    "pivot_status_by_priority",
+    f"""
+    SELECT o_orderstatus,
+           {_S("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent,
+           {_S("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END")} AS medium,
+           {_S("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): total price by order status x priority, via
+    Spark's native pivot with an explicit value list (explicit values avoid
+    the extra distinct-collect job pivot otherwise runs)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .agg(_dsum("o_totalprice"))
+        .withColumnsRenamed(
+            {"1-URGENT": "urgent", "3-MEDIUM": "medium", "5-LOW": "low"}
+        )
+    )
+
+
+@q(
+    "doc_fingerprint_clusters",
+    r"""
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over lowercased whitespace-normalized
+    text (functions.text.doc_fingerprint) -> cluster sizes + canonical id.
+    The exact-dedup building block as a standalone query."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
