@@ -99,3 +99,41 @@ def sessionize(
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_id", F.sum(new_session).over(wsum))
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bin_width_s: int = 3600,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval/range join at scale: match left rows whose ``left_ts`` falls
+    in ``[right_start, right_end)``.
+
+    The naive plan for ``l.ts BETWEEN r.start AND r.end`` is a broadcast
+    nested-loop join — quadratic work and a broadcast of a whole side, which
+    dies at 100 TB. This is the standard binning rewrite: quantize time into
+    ``bin_width_s`` buckets, explode each right interval to the buckets it
+    overlaps, then EQUI-join on (keys..., bucket) and re-check the exact
+    predicate. Work is linear in rows x (interval_len / bin_width), the join
+    is a plain shuffled hash join, and AQE/skew handling apply. Choose
+    ``bin_width_s`` ~= typical interval length so replication stays O(1).
+    """
+    binl = F.floor(F.unix_timestamp(F.col(left_ts)) / bin_width_s)
+    bins = F.sequence(
+        F.floor(F.unix_timestamp(F.col(right_start)) / bin_width_s),
+        F.floor(F.unix_timestamp(F.col(right_end)) / bin_width_s),
+    )
+    lb = left.withColumn("__bin", binl)
+    rb = right.withColumn("__bin", F.explode(bins))
+    on = ["__bin"] + (keys or [])
+    return (
+        lb.join(rb, on)
+        .filter(
+            (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
+        )
+        .drop("__bin")
+    )

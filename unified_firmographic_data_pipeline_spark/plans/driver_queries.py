@@ -1838,3 +1838,136 @@ def doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 6: range join, higher-order array functions, time-hierarchy
+# rollup, time-range window frames
+# --------------------------------------------------------------------------
+
+@q(
+    "range_join_clicks_before_purchase",
+    """
+    SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: clicks in the hour before each purchase, same
+    user. Uses the binned rewrite (operators.temporal.range_join_binned):
+    equi-join on (user_id, time-bucket) + exact re-check — a shuffled hash
+    join instead of the quadratic nested-loop a raw BETWEEN predicate plans."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import range_join_binned
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    return (
+        range_join_binned(
+            clicks,
+            purchases,
+            left_ts="click_ts",
+            right_start="win_start",
+            right_end="win_end",
+            bin_width_s=3600,
+            keys=["user_id"],
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+
+
+@q(
+    "array_higher_order_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+)
+def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column: transform
+    (square), aggregate (fold-sum), filter (positive count) — all JVM-side
+    Catalyst expressions, no UDF. Both engines fold the array left-to-right
+    in double, so the norm is bit-stable and the 6-digit round is safely
+    above ULP noise."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@q(
+    "rollup_events_time_hierarchy",
+    f"""
+    SELECT CAST(year(ts) AS INTEGER) AS yr,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(day(ts) AS INTEGER) AS dy,
+           COUNT(*) AS n_events, {_S('value')} AS total_value
+    FROM events
+    GROUP BY ROLLUP(1, 2, 3)
+    """,
+)
+def rollup_events_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: year/month/day subtotals and
+    the grand total in one pass (Spark expands the grouping sets map-side;
+    one shuffle, no per-level rescan)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup(
+            F.year("ts").alias("yr"),
+            F.month("ts").alias("mo"),
+            F.dayofmonth("ts").alias("dy"),
+        )
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("total_value"))
+    )
+
+
+@q(
+    "window_moving_avg_range",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (RANGE BETWEEN interval PRECEDING): per-user
+    trailing-1-hour average, ordered by physical event time in microseconds
+    so the frame bound is a plain numeric range both engines agree on."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    return e.select(
+        "event_id", (dec_sum / F.count("*").over(w)).alias("avg_1h")
+    )
