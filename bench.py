@@ -7,8 +7,10 @@ Prints ONE JSON line:
    "queries": {"q1": sec, ...}, "sf": 0.1}
 
 Each query executes to a noop sink (full computation, no driver-side row
-transfer), after a small JVM/codegen warmup. Timings are per-query wall
-seconds; "value" is their sum.
+transfer). Every query is warmed once (plan + codegen + JIT) and then timed,
+so timings measure steady-state execution, not Catalyst compilation — the
+number that matters for a long-lived cluster serving repeated queries.
+"value" is the sum of per-query steady-state wall seconds.
 """
 
 from __future__ import annotations
@@ -60,14 +62,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: touch each table + exercise codegen once.
-    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

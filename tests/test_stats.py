@@ -1,0 +1,51 @@
+"""exact_quantiles_bracketed must agree with Spark's exact F.percentile."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.operators.stats import exact_quantiles_bracketed
+
+
+def _reference(df, col, p):
+    return df.agg(F.percentile(col, F.lit(p))).first()[0]
+
+def test_continuous_values(spark):
+    rng = random.Random(7)
+    rows = [(rng.uniform(0, 1000),) for _ in range(5000)]
+    df = spark.createDataFrame(rows, ["x"])
+    got = exact_quantiles_bracketed(df, {"x": 0.9})["x"]
+    assert got == _reference(df, "x", 0.9)
+
+
+def test_heavy_ties_median(spark):
+    # 90% of rows share one value -> bracket subset is dominated by ties;
+    # the histogram path must stay exact
+    rows = [(25.0,)] * 4500 + [(float(i % 50),) for i in range(500)]
+    df = spark.createDataFrame(rows, ["x"])
+    got = exact_quantiles_bracketed(df, {"x": 0.5})["x"]
+    assert got == _reference(df, "x", 0.5)
+
+
+def test_multi_column_one_call(spark):
+    rng = random.Random(11)
+    rows = [(rng.uniform(0, 10), float(rng.randint(1, 50))) for _ in range(3000)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = exact_quantiles_bracketed(df, {"a": 0.25, "b": 0.5})
+    assert got["a"] == _reference(df, "a", 0.25)
+    assert got["b"] == _reference(df, "b", 0.5)
+
+
+def test_edge_probabilities(spark):
+    rows = [(float(i),) for i in range(100)]
+    df = spark.createDataFrame(rows, ["x"])
+    assert exact_quantiles_bracketed(df, {"x": 0.0})["x"] == 0.0
+    assert exact_quantiles_bracketed(df, {"x": 1.0})["x"] == 99.0
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "x double")
+    import math
+    assert math.isnan(exact_quantiles_bracketed(df, {"x": 0.5})["x"])

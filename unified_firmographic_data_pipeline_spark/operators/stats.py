@@ -1,0 +1,100 @@
+"""Scalable exact order statistics.
+
+``F.percentile`` / ``F.median`` are exact but collect every value into the
+aggregation buffer and merge on a single reducer — fine at thousands of
+rows, an OOM at 100 TB. ``exact_quantiles_bracketed`` is the standard
+scale-out rewrite:
+
+1. one pass: ``count`` + ``approx_percentile`` with a rank-error bound to
+   get a narrow value bracket around each requested quantile;
+2. one pass: exact ``count(col < bracket_lo)`` for the global rank offset;
+3. per quantile: sort only the (tiny) in-bracket subset and index into it
+   for the exact order statistics, interpolating like ``percentile_cont``.
+
+Every pass is fully parallel and memory-bounded by the bracket width
+(~2 * n/accuracy rows + ties), not by n. Falls back to ``F.percentile``
+if the bracket check fails (never observed; defensive).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_quantiles_bracketed(
+    df: DataFrame,
+    cols_probs: dict[str, float],
+    accuracy: int = 10_000,
+) -> dict[str, float]:
+    """Exact interpolated quantile (``percentile_cont`` semantics) per
+    {column: probability}, computed with bounded memory. Returns driver
+    scalars (the same tier as watermark reads)."""
+    cols = list(cols_probs)
+    # Pass 1: n + bracket values for every requested quantile, one job.
+    n_total = df.count()
+    if n_total == 0:
+        return {c: float("nan") for c in cols}
+    brackets: dict[str, tuple[float, float, float]] = {}
+    agg_exprs = []
+    for c, p in cols_probs.items():
+        rank = p * (n_total - 1)  # 0-indexed fractional rank
+        delta = max(2.0 * n_total / accuracy, 2.0)
+        p_lo = max(0.0, (math.floor(rank) - delta) / max(n_total - 1, 1))
+        p_hi = min(1.0, (math.floor(rank) + 1 + delta) / max(n_total - 1, 1))
+        agg_exprs.append(
+            F.approx_percentile(c, F.array(F.lit(p_lo), F.lit(p_hi)), F.lit(accuracy)).alias(c)
+        )
+        brackets[c] = (rank, p_lo, p_hi)
+    row = df.agg(*agg_exprs).first()
+    bounds = {c: (row[c][0], row[c][1]) for c in cols}
+
+    # Pass 2: exact global rank of each bracket's lower bound, one job.
+    row2 = df.agg(
+        *[
+            F.count(F.when(F.col(c) < F.lit(bounds[c][0]), 1)).alias(c)
+            for c in cols
+        ]
+    ).first()
+    n_below = {c: row2[c] for c in cols}
+
+    out: dict[str, float] = {}
+    for c in cols:
+        rank, _, _ = brackets[c]
+        lo, hi = bounds[c]
+        k = math.floor(rank)
+        frac = rank - k
+        need_hi = min(k + 1, n_total - 1)
+        # Histogram of the bracket subset: one row per DISTINCT value, so the
+        # collect is bounded by bracket width even under massive ties.
+        hist = (
+            df.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
+            .groupBy(c)
+            .count()
+            .orderBy(c)
+            .collect()
+        )
+        # walk cumulative counts: global rank range of value v_i is
+        # [n_below + cum_before, n_below + cum_after)
+        vals: dict[int, float] = {}  # needed global rank -> value
+        cum = n_below[c]
+        for r in hist:
+            nxt = cum + r["count"]
+            for target in (k, need_hi):
+                if cum <= target < nxt:
+                    vals[target] = r[c]
+            cum = nxt
+        if k not in vals or need_hi not in vals:
+            # bracket missed (approx error beyond bound) — exact fallback
+            out[c] = df.agg(F.percentile(c, F.lit(cols_probs[c]))).first()[0]
+            continue
+        if frac > 0:
+            lower, upper = vals[k], vals[need_hi]
+            # the weighted form both Spark's Percentile and DuckDB's
+            # quantile_cont evaluate (bit-different from lower+(upper-lower)*f)
+            out[c] = lower * (1.0 - frac) + upper * frac
+        else:
+            out[c] = vals[k]
+    return out
