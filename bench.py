@@ -46,6 +46,22 @@ HEADLINE = [
     "text_stats",
     "neardup_jaccard_unigram",
     "ann_cosine_topk",
+    # join/subquery shapes
+    "q07_nation_volume_pairs",
+    "q09_product_profit",
+    "q13_order_count_distribution",
+    "q17_below_avg_quantity",
+    "q21_sole_late_supplier",
+    # temporal operators
+    "range_join_clicks_before_purchase",
+    "asof_purchase_last_click",
+    "sessionization_30m",
+    "rollup_events_time_hierarchy",
+    "window_moving_avg_range",
+    # reshaping + fingerprinting
+    "pivot_status_by_priority",
+    "array_higher_order_stats",
+    "doc_fingerprint_clusters",
 ]
 
 

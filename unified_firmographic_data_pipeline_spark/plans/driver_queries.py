@@ -1112,7 +1112,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey IN (
         SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+        HAVING SUM(CAST(round(l_quantity * 1e6) AS BIGINT)) > 250000000)
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
 )
@@ -1123,8 +1123,8 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
-        .filter(F.col("q") > 250)
+        .agg(F.sum(F.round(F.col("l_quantity") * 1e6).cast("long")).alias("q"))
+        .filter(F.col("q") > 250_000_000)
         .select("l_orderkey")
     )
     return (
@@ -1263,7 +1263,7 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
@@ -1515,7 +1515,7 @@ def q07_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, {_S('p_retailprice')} AS brand_value
     FROM part GROUP BY p_brand
     HAVING {_S('p_retailprice')} >
-           (SELECT 0.02 * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) FROM part)
+           (SELECT 0.02 * {_S('p_retailprice')} FROM part)
     """,
 )
 def q11_share_of_total_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,8 +1584,7 @@ def q16_notin_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT {_S('l.l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n
     FROM lineitem l
-    JOIN (SELECT l_partkey, 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-                                   / COUNT(*)) AS half_avg
+    JOIN (SELECT l_partkey, 0.5 * ({_S('l_quantity')} / COUNT(*)) AS half_avg
           FROM lineitem GROUP BY l_partkey) a
       ON l.l_partkey = a.l_partkey
     WHERE l.l_quantity < a.half_avg
@@ -1724,7 +1723,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE p.p_name LIKE 'large%'
         GROUP BY l.l_suppkey
-        HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 50)
+        HAVING {_S('l.l_quantity')} > 50)
     """,
 )
 def q20_bulk_suppliers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
