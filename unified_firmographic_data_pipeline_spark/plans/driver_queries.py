@@ -1985,3 +1985,94 @@ def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", (dec_sum / F.count("*").over(w)).alias("avg_1h")
     )
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 7: skew-mitigation ops under the oracle, native session
+# windows
+# --------------------------------------------------------------------------
+
+@q(
+    "salted_hot_key_agg",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {_S('l_extendedprice')} AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.skew.salted_aggregate) on a
+    3-distinct-value key — the worst-case hot-key layout. The salt spreads
+    each hot key over 16 reducers in phase 1; phase 2 merges 48 partials.
+    Result must equal the plain groupBy (the oracle IS the plain groupBy)."""
+    from unified_firmographic_data_pipeline_spark.operators.skew import salted_aggregate
+
+    l = _t(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        l,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 1e6).cast("long")).alias("s"),
+        ],
+        merge_aggs=[
+            F.sum("n").alias("n_rows"),
+            (F.sum("s").cast("double") / F.lit(1e6)).alias("revenue"),
+        ],
+    )
+
+
+@q(
+    "salted_join_nation_revenue",
+    f"""
+    SELECT s.s_nationkey, {_S('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def salted_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators.skew.salted_join): lineitem x supplier
+    without broadcast — the small side is replicated across 8 salt values so
+    a hot supplier key cannot pin one reducer. Oracle is the plain join."""
+    from unified_firmographic_data_pipeline_spark.operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(l, s, key="l_suppkey", num_salts=8)
+        .groupBy("s_nationkey")
+        .agg(_dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+@q(
+    "session_window_native",
+    """
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                     + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window aggregation (the streaming-capable
+    session operator, here in batch mode): per-user sessions with a 30-min
+    inactivity gap -> session start + event count. The oracle replays the
+    same gap rule with window functions (note session_window treats a gap
+    of exactly 30:00 as a NEW session — events merge only while
+    ts < prev + gap — hence `>=` in the oracle's is_new)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
