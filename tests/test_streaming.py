@@ -102,3 +102,38 @@ def test_streaming_windowed_counts_runs(spark, tmp_path):
     rows = spark.sql("SELECT * FROM win_counts").collect()
     assert len(rows) == 1
     assert rows[0]["n_events"] == 2 and rows[0]["sum_value"] == 3.0
+
+
+def test_streaming_session_counts(spark, tmp_path):
+    """Session windows close after the gap; two bursts 2h apart -> two
+    sessions for the same user."""
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import stream_session_counts
+
+    src = str(tmp_path / "landing3")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), "click", 1.0),
+            (2, datetime(2024, 1, 1, 10, 10), "click", 1.0),
+            (3, datetime(2024, 1, 1, 12, 30), "click", 1.0),
+        ],
+    )
+    agg = stream_session_counts(
+        spark, src, SCHEMA, gap="30 minutes", key_col="event_type", ts_col="ts"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        spark.sql("SELECT * FROM sess_counts").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [r["n_events"] for r in rows] == [2, 1]
+    assert rows[0]["session_start"] == datetime(2024, 1, 1, 10, 0)
+    assert rows[0]["session_end"] == datetime(2024, 1, 1, 10, 40)  # last + gap

@@ -2076,3 +2076,15 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
         .select("user_id", "session_start", "n_events")
     )
+
+
+@q("ann_cosine_topk_lsh")  # seeded hyperplane buckets -> rows-only check
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH-bucketed cosine top-k (IVF-style
+    recall/cost tradeoff; equi-join on bucket id, corpus never
+    cross-joined). Exact twin: ann_cosine_topk."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q_set = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(e, q_set, k=5)

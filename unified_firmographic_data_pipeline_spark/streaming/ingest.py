@@ -81,3 +81,32 @@ def windowed_counts_batch(
     """Batch twin of ``stream_windowed_counts`` (same expressions, no
     watermark — batch sees all data)."""
     return _windowed_counts(events, window, ts_col)
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows: per-key sessions that close after ``gap``
+    of inactivity. The watermark bounds session state — a session finalizes
+    (and its state is evicted) once the watermark passes its close time, so
+    state is proportional to concurrently-open sessions, not history.
+    Batch twin: the ``session_window_native`` driver query uses the same
+    ``F.session_window`` expression on a static frame."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
