@@ -1,0 +1,68 @@
+"""Physical-plan quality gate over the whole query inventory.
+
+Catches scale regressions mechanically: a CartesianProduct or an unexpected
+BroadcastNestedLoopJoin in any registered query is a plan that dies at
+100 TB, even if the sf0.001 result is correct. Also pins filter pushdown on
+the selective scan queries.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+#: BNLJ is acceptable only where the build side is structurally tiny or the
+#: pairing is the documented exact baseline of an LSH scale path:
+#: - q11/q22: 1-row scalar-aggregate broadcast (the in-plan scalar subquery)
+#: - ann_cosine_topk: brute-force baseline — broadcasts the bounded query
+#:   set; linear in corpus, the scale path is ann_cosine_topk_lsh
+#: - embedding_dup_pairs: exact pair scoring on a bounded id-range subset;
+#:   the scale path is embedding_dup_pairs_lsh
+BNLJ_ALLOWED = {
+    "q11_share_of_total_having",
+    "q22_idle_rich_customers",
+    "ann_cosine_topk",
+    "embedding_dup_pairs",
+}
+
+#: Selective scans that must keep non-trivial parquet filter pushdown.
+MUST_PUSH_FILTERS = [
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_filter",
+]
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_scale_hostile_joins(name: str, spark, sf_small: str):
+    plan = _formatted_plan(QUERIES[name](spark, sf_small))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join (non-equi or missing key?)"
+        )
+
+
+@pytest.mark.parametrize("name", MUST_PUSH_FILTERS)
+def test_filters_reach_the_scan(name: str, spark, sf_small: str):
+    plan = _formatted_plan(QUERIES[name](spark, sf_small))
+    pushed = [
+        line for line in plan.splitlines()
+        if "PushedFilters" in line and "PushedFilters: []" not in line
+    ]
+    assert pushed, f"{name}: no non-empty PushedFilters in any scan"
