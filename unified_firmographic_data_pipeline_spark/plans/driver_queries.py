@@ -2088,3 +2088,61 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q_set = e.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(e, q_set, k=5)
+
+
+@q(
+    "argmax_latest_event_per_user",
+    """
+    SELECT user_id, event_id AS latest_event_id, value AS latest_value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    """,
+)
+def argmax_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max aggregation: the latest event per user via max_by over a
+    (ts, event_id) ordering struct — ONE aggregation shuffle, no window
+    sort, no join-back. The deterministic-tiebreak twin of window dedup
+    (G2) expressed as an aggregate."""
+    e = _t(spark, sf_dir, "events")
+    ordk = F.struct("ts", "event_id")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", ordk).alias("latest_event_id"),
+        F.max_by("value", ordk).alias("latest_value"),
+    )
+
+
+@q(
+    "bigram_topk",
+    r"""
+    WITH toks AS (
+        SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+    big AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2)
+    SELECT bigram, COUNT(*) AS n
+    FROM big GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (bigram) frequency top-k over the documents table: adjacent
+    token pairs via a zip of the token array with its own tail — all
+    JVM-side array expressions, then explode -> count -> TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.filter(F.size(t) >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

@@ -65,3 +65,25 @@ class Catalog:
 
     def append(self, df: DataFrame, schema: str, table: str) -> None:
         df.write.mode("append").parquet(self.path(schema, table))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Materialize a bucketed (and optionally sorted) managed table.
+
+    Bucketing is the co-located-join device: two tables bucketed on the
+    same key with the same bucket count join WITHOUT a shuffle — at 100 TB
+    the difference between moving terabytes per join and moving nothing.
+    Sorted buckets additionally drop the sort from sort-merge joins.
+    (Spark bucketed tables require saveAsTable; path-only parquet writes
+    can't record bucket metadata.)
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table, format="parquet")
