@@ -137,3 +137,101 @@ def test_streaming_session_counts(spark, tmp_path):
     assert [r["n_events"] for r in rows] == [2, 1]
     assert rows[0]["session_start"] == datetime(2024, 1, 1, 10, 0)
     assert rows[0]["session_end"] == datetime(2024, 1, 1, 10, 40)  # last + gap
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases join clicks of the same user within the preceding hour;
+    a click 2h earlier must not match."""
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    sch = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    t = datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 30), 100),   # within 1h of the buy
+            (1, datetime(2024, 1, 1, 8, 0), 101),    # 2h before -> excluded
+            (2, datetime(2024, 1, 1, 9, 45), 102),   # other user
+        ],
+        sch,
+    ).coalesce(1).write.parquet(clicks_dir)
+    spark.createDataFrame([(1, datetime(2024, 1, 1, 10, 0), 200)], sch).coalesce(
+        1
+    ).write.parquet(buys_dir)
+
+    clicks = spark.readStream.schema(sch).parquet(clicks_dir).withColumnRenamed(
+        "ts", "click_ts"
+    ).withColumnRenamed("event_id", "click_id")
+    buys = spark.readStream.schema(sch).parquet(buys_dir).withColumnRenamed(
+        "ts", "buy_ts"
+    ).withColumnRenamed("event_id", "buy_id")
+    joined = stream_stream_interval_join(
+        buys, clicks, key="user_id", left_ts="buy_ts", right_ts="click_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT buy_id, click_id FROM ssj").collect()
+    assert [(r["buy_id"], r["click_id"]) for r in rows] == [(200, 100)]
+
+
+def test_stream_upsert_sink(spark, tmp_path):
+    """foreachBatch MERGE: later batches overwrite earlier rows by key;
+    rerunning with no new files changes nothing (idempotent)."""
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import stream_upsert_sink
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    sch = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    src = str(tmp_path / "updates")
+    table = str(tmp_path / "state_table")
+    ckpt = str(tmp_path / "ckpt_ups")
+
+    spark.createDataFrame([(1, "a"), (2, "b")], sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(sch).parquet(src), table, keys=["k"], checkpoint=ckpt
+    )
+    q.awaitTermination()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(table).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+    spark.createDataFrame([(2, "B2"), (3, "c")], sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(sch).parquet(src), table, keys=["k"], checkpoint=ckpt
+    )
+    q.awaitTermination()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(table).collect()} == {
+        (1, "a"),
+        (2, "B2"),
+        (3, "c"),
+    }
+
+    # replay with nothing new: checkpoint skips, table unchanged
+    q = stream_upsert_sink(
+        spark.readStream.schema(sch).parquet(src), table, keys=["k"], checkpoint=ckpt
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(table).count() == 3

@@ -110,3 +110,64 @@ def stream_session_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``lookback`` before each
+    left row, same key (e.g. clicks preceding a purchase).
+
+    Both sides carry watermarks and the join condition is time-bounded in
+    BOTH directions, so Spark can evict buffered state once the watermark
+    passes the interval — state stays proportional to the lookback window,
+    the requirement for an unbounded 24x7 stream.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] < lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint: str,
+):
+    """Streaming MERGE sink via foreachBatch: each micro-batch is upserted
+    into the parquet table by key (operators.incremental.upsert — anti-join
+    + union + atomic swap). With exactly-once file-source semantics upstream
+    and idempotent-by-key merge here, replays converge to the same table —
+    the Structured Streaming analogue of dbt's incremental+unique_key
+    materialization (SURVEY.md §2.J J3)."""
+    from unified_firmographic_data_pipeline_spark.operators.incremental import upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(table_path)
+        except Exception:
+            existing = None
+        merged = upsert(existing, batch_df, keys)
+        # materialize before overwrite (upsert reads the path being replaced)
+        tmp = table_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
