@@ -162,3 +162,30 @@ def test_multimodal_stubs_raise(spark, docs):
         resize_images(media)
     with pytest.raises(NotImplementedError):
         frame_sample(media)
+
+
+def test_cosine_topk_numpy_matches_expression(spark, sf_small):
+    """The numpy tier must return the same top-k pairs as the expression
+    fold (sims agree to ~1e-12, far beyond the 6-digit round)."""
+    from pyspark.sql import functions as F
+
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_numpy,
+    )
+
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q_set = e.filter(F.col("vec_id") < 5)
+    expr_out = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in cosine_topk(e, q_set, k=3).collect()
+    }
+    np_out = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in cosine_topk_numpy(e, q_set, k=3).collect()
+    }
+    assert expr_out.keys() == np_out.keys()
+    for key, (nid, sim) in expr_out.items():
+        nid2, sim2 = np_out[key]
+        assert nid == nid2, (key, nid, nid2)
+        assert abs(sim - sim2) < 1e-9

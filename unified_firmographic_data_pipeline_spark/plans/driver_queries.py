@@ -2146,3 +2146,16 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@q("ann_cosine_topk_numpy")  # Arrow/numpy tier; rows-only (matmul assoc.)
+def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force ANN: mapInPandas + one numpy matmul per Arrow
+    batch, local top-k per batch before the global top-k window. The
+    expression twin ann_cosine_topk is the bit-exact oracle reference;
+    this one is rows-only (BLAS reassociates the dot-product sums)."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk_numpy
+
+    e = _t(spark, sf_dir, "embeddings")
+    q_set = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_numpy(e, q_set, k=5)
