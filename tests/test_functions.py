@@ -137,3 +137,27 @@ def test_vector_math(spark):
 def test_cosine_zero_norm_is_null(spark):
     df = spark.createDataFrame([([0.0, 0.0], [1.0, 1.0])], "a array<double>, b array<double>")
     assert df.select(cosine_similarity("a", "b").alias("c")).first()["c"] is None
+
+
+def test_strict_cast(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from unified_firmographic_data_pipeline_spark.functions.cleaning import strict_cast
+
+    df = spark.createDataFrame([("12",), (None,)], ["s"])
+    got = [r[0] for r in df.select(strict_cast("s", "int")).collect()]
+    assert got == [12, None]
+
+    bad = spark.createDataFrame([("12",), ("oops",)], ["s"])
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="strict_cast to int failed"):
+        bad.select(strict_cast("s", "int")).collect()
+
+
+def test_lenient_cast(spark):
+    from unified_firmographic_data_pipeline_spark.functions.cleaning import lenient_cast
+
+    df = spark.createDataFrame([("12",), ("oops",), (None,)], ["s"])
+    got = [r[0] for r in df.select(lenient_cast("s", "int")).collect()]
+    assert got == [12, None, None]

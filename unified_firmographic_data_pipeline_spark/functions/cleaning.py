@@ -96,3 +96,30 @@ def split_first(c: Column | str, sep: str = " (") -> Column:
     import re
 
     return F.split(_col(c), re.escape(sep)).getItem(0)
+
+
+def strict_cast(c: Column | str, dtype: str) -> Column:
+    """Snowflake-semantics cast: raise on unparseable input. NULL input
+    still yields NULL — only a non-NULL value that fails to parse errors.
+
+    Session-independent: under Spark 4 the session default (ANSI on)
+    already raises, but this stays strict even if a deployment disables
+    ANSI. Lenient twin: ``lenient_cast``. (SURVEY.md §7.3c, E8.)"""
+    c = _col(c)
+    casted = c.try_cast(dtype)
+    return F.when(
+        c.isNotNull() & casted.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"strict_cast to {dtype} failed for value: "),
+                c.cast("string"),
+            )
+        ).cast(dtype),
+    ).otherwise(casted)
+
+
+def lenient_cast(c: Column | str, dtype: str) -> Column:
+    """NULL-on-error cast (pre-ANSI Spark semantics), session-independent:
+    the opt-out for permissive ingest paths where bad values should become
+    NULL and be counted by the quality suite rather than abort the job."""
+    return _col(c).try_cast(dtype)
