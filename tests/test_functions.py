@@ -161,3 +161,43 @@ def test_lenient_cast(spark):
     df = spark.createDataFrame([("12",), ("oops",), (None,)], ["s"])
     got = [r[0] for r in df.select(lenient_cast("s", "int")).collect()]
     assert got == [12, None, None]
+
+
+def test_bpe_ish_pandas_tier_matches_expression(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from unified_firmographic_data_pipeline_spark.functions.text import (
+        bpe_ish_token_count,
+        bpe_ish_token_count_pandas,
+    )
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").limit(200)
+    rows = d.select(
+        bpe_ish_token_count("text").alias("jvm"),
+        bpe_ish_token_count_pandas("text").alias("py"),
+    ).collect()
+    assert rows and all(r["jvm"] == r["py"] for r in rows)
+
+
+def test_split_sentences_udtf(spark):
+    from unified_firmographic_data_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "One. Two! Three?"), (2, None), (3, "No boundary")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("docs_udtf")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    ).collect()
+    got = [(r["doc_id"], r["sent_idx"], r["sentence"]) for r in rows]
+    assert got == [
+        (1, 0, "One."),
+        (1, 1, "Two!"),
+        (1, 2, "Three?"),
+        (3, 0, "No boundary"),
+    ]

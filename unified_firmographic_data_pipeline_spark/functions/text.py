@@ -35,11 +35,15 @@ def token_count(c: Column | str) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
 
 
+#: words, digit runs, single punctuation — shared by both token-count tiers
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
 def bpe_ish_token_count(c: Column | str) -> Column:
     """Sub-word-ish token count: words, digit runs, and punctuation each
     count as one token — a cheap deterministic proxy for a BPE tokenizer
     (word-count-based estimates undercount code/punctuation-heavy text)."""
-    return F.size(F.regexp_extract_all(_col(c), F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0))
+    return F.size(F.regexp_extract_all(_col(c), F.lit(BPE_ISH_PATTERN), 0))
 
 
 def stopword_count(c: Column | str, stopwords: Sequence[str]) -> Column:
@@ -128,3 +132,20 @@ def shingles(c: Column | str, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def bpe_ish_token_count_pandas(c: Column | str) -> Column:
+    """Arrow-vectorized twin of ``bpe_ish_token_count``: the same BPE-ish
+    regex evaluated by a ``@pandas_udf`` over Arrow batches.
+
+    Exists to pin the engine's Python-UDF tier contract (scalar pandas_udf,
+    never row-at-a-time): the expression version stays the default — it is
+    codegen'd JVM-side — and the unit suite asserts both tiers agree."""
+    import pandas as pd  # noqa: F401 (resolves the annotation below)
+    from pyspark.sql.functions import pandas_udf
+
+    def _count(s):
+        return s.str.count(BPE_ISH_PATTERN).fillna(0).astype("int32")
+
+    _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_count, "int")(_col(c))
