@@ -225,3 +225,61 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_lsh_candidates_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-engine-reproducible MinHash-LSH: permutations are
+    ``md5(i || ':' || shingle)`` and the signature element is the
+    lexicographic min of the hex digests — identical in any engine with
+    md5, so the whole candidate set is oracle-checkable (the xxhash64
+    variant stays the faster in-engine default; same plan shape: band
+    equi-join on uniform keys, no cross product)."""
+    rows = num_hashes // bands
+    sh = shingles(text_col, shingle_n)
+
+    def perm_min(i: int):
+        prefix = F.lit(f"{i}:")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    sig = df.select(
+        F.col(id_col),
+        F.array(*[perm_min(i) for i in range(num_hashes)]).alias("__sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.col("__sig")[b * rows + r] for r in range(rows)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )

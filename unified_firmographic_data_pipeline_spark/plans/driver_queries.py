@@ -1404,9 +1404,44 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs(e, threshold=0.9)
 
 
-@q("embedding_dup_pairs_lsh")  # driver-seeded hyperplanes -> rows-only check
+def _lsh_planes_sql(num_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """The SAME seeded hyperplanes operators.similarity uses, embedded as SQL
+    VALUES so DuckDB replays the bucket assignment (repr round-trips doubles
+    exactly; both engines then compare the identical dot-product sign)."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for pid in range(num_planes):
+        vals = ", ".join(repr(rnd.gauss(0, 1)) for _ in range(dim))
+        rows.append(f"({pid}, [{vals}]::DOUBLE[])")
+    return ",\n       ".join(rows)
+
+
+@q(
+    "embedding_dup_pairs_lsh",
+    f"""
+    WITH planes(pid, p) AS (VALUES
+       {_lsh_planes_sql()}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bk AS (
+        SELECT vec_id,
+               SUM(CASE WHEN list_dot_product(e, p) > 0
+                        THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS bucket
+        FROM v, planes GROUP BY vec_id),
+    bv AS (SELECT v.vec_id, v.e, bk.bucket FROM v JOIN bk USING (vec_id))
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
+    FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9
+    """,
+)
 def embedding_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: hyperplane-bucketed pair scoring."""
+    """Scale path for embedding near-dup: hyperplane-bucketed pair scoring.
+    Fully oracle-checked — the seeded planes are embedded in the oracle SQL
+    as constants, so bucket assignment AND surviving pairs are bit-compared."""
     from unified_firmographic_data_pipeline_spark.operators.similarity import (
         embedding_dup_pairs_lsh,
     )
@@ -2078,11 +2113,36 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_cosine_topk_lsh")  # seeded hyperplane buckets -> rows-only check
+@q(
+    "ann_cosine_topk_lsh",
+    f"""
+    WITH planes(pid, p) AS (VALUES
+       {_lsh_planes_sql()}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bk AS (
+        SELECT vec_id,
+               SUM(CASE WHEN list_dot_product(e, p) > 0
+                        THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS bucket
+        FROM v, planes GROUP BY vec_id),
+    bv AS (SELECT v.vec_id, v.e, bk.bucket FROM v JOIN bk USING (vec_id)),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e) /
+                     (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+        FROM bv q JOIN bv c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10)
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: hyperplane-LSH-bucketed cosine top-k (IVF-style
     recall/cost tradeoff; equi-join on bucket id, corpus never
-    cross-joined). Exact twin: ann_cosine_topk."""
+    cross-joined). Exact twin: ann_cosine_topk. Oracle-checked with the
+    seeded planes embedded as SQL constants."""
     from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2159,3 +2219,43 @@ def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q_set = e.filter(F.col("vec_id") < 10)
     return cosine_topk_numpy(e, q_set, k=5)
+
+
+@q(
+    "near_dup_candidates_md5",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        FROM documents),
+    sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+        UNION ALL
+        SELECT doc_id, norm AS s FROM toks WHERE len(t) < 3),
+    sig AS (
+        SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || s)) AS m
+        FROM sh, UNNEST(generate_series(0, 15)) AS v(h)
+        GROUP BY doc_id, h),
+    band AS (
+        SELECT doc_id, h // 4 AS band, string_agg(m, ',' ORDER BY h) AS bucket
+        FROM sig GROUP BY doc_id, h // 4)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM band a JOIN band b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def near_dup_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with md5-hex permutations — the
+    oracle-checkable twin of near_dup_candidates_lsh (xxhash64): both
+    engines compute identical signatures, so the ENTIRE candidate set is
+    bit-verified, not just row counts. 16 hashes x 4 bands, trigram
+    shingles, short docs fall back to their whole normalized text."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        minhash_lsh_candidates_md5,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates_md5(d, num_hashes=16, bands=4, shingle_n=3)
