@@ -283,3 +283,82 @@ def minhash_lsh_candidates_md5(
         )
         .distinct()
     )
+
+
+def simhash_md5(text_col: Column | str, bits: int = 32) -> Column:
+    """Cross-engine-reproducible SimHash: token hash = first 8 md5 hex chars
+    as a 32-bit integer (identical in any md5 engine), each token voting ±1
+    per low bit. Mirrors ``simhash`` (xxhash64, 62-bit) structurally; exists
+    so the near-pair set can be bit-verified against a SQL oracle."""
+    toks = F.array_distinct(tokens(text_col))
+
+    def token_votes(t: Column) -> Column:
+        hv = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        chars = F.split(F.lpad(F.bin(hv), 64, "0"), "")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda i: F.when(F.element_at(chars, F.lit(64) - i) == "1", 1).otherwise(-1),
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_near_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Oracle-checkable twin of ``simhash_near_pairs``: same pigeonhole
+    block join, over the md5-based 32-bit fingerprint."""
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    fp = df.select(F.col(id_col), simhash_md5(text_col, bits).alias("__fp"))
+    blocks = fp.select(
+        id_col,
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("__fp"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__fp", "bb.blk", "bb.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -2259,3 +2259,44 @@ def near_dup_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates_md5(d, num_hashes=16, bands=4, shingle_n=3)
+
+
+@q(
+    "simhash_near_pairs_md5",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t
+        FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+    th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hv FROM tok),
+    bitsum AS (
+        SELECT doc_id, bb.bit,
+               SUM(CASE WHEN ((hv >> bb.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) bb
+        GROUP BY doc_id, bb.bit),
+    fp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS f
+        FROM bitsum GROUP BY doc_id),
+    blocks AS (
+        SELECT doc_id, f, bl.blk, (f >> (bl.blk * 8)) & 255 AS val
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS blk) bl)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+)
+def simhash_near_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs with md5-based 32-bit fingerprints — the
+    oracle-checkable twin of simhash_near_pairs (xxhash64/62-bit): token
+    hashes, per-bit votes, pigeonhole block join and the exact Hamming
+    filter all replayed bit-for-bit in the SQL oracle."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        simhash_near_pairs_md5 as _pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return _pairs(d, max_hamming=3, bits=32)
