@@ -100,3 +100,21 @@ def test_sessionize_gap_rule(spark):
     # events 1-4 within 30m gaps -> session 1; event 7 two hours later -> session 2
     assert out[1] == out[2] == out[3] == out[4] == 1
     assert out[7] == 2
+
+
+def test_compact_small_files(spark, tmp_path):
+    from unified_firmographic_data_pipeline_spark.sources.catalog import compact_small_files
+
+    path = str(tmp_path / "fragmented")
+    # 40 tiny files
+    spark.range(20_000).repartition(40).write.parquet(path)
+    import os
+
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 40
+    before = set(r["id"] for r in spark.read.parquet(path).collect())
+
+    n_after = compact_small_files(spark, path, target_mb=1)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_after < 40
+    assert set(r["id"] for r in spark.read.parquet(path).collect()) == before

@@ -87,3 +87,37 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table, format="parquet")
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files.
+
+    Streaming sinks and incremental appends accumulate small files; at scale
+    the resulting scan-task explosion (one task per tiny file) and NameNode/
+    listing pressure dominate query time. Sizing uses the on-disk bytes of
+    the existing directory (no data pass), and the rewrite is staged through
+    a temp dir + atomic swap like Catalog.overwrite. ``sort_within_by``
+    sorts within each output file (better column compression + min/max
+    pruning). Returns the output file count.
+    """
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    n_files = max(1, round(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + f".__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    final_files = [
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    ]
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(final_files)
