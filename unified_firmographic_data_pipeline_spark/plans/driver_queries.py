@@ -2300,3 +2300,33 @@ def simhash_near_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return _pairs(d, max_hamming=3, bits=32)
+
+
+@q(
+    "yoy_monthly_revenue_growth",
+    f"""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               {_S('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1, 2)
+    SELECT yr, mo, revenue,
+           revenue - lag(revenue) OVER (PARTITION BY mo ORDER BY yr) AS yoy_delta
+    FROM monthly
+    """,
+)
+def yoy_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-aggregate shape (not row-level lag): monthly revenue
+    rollup, then year-over-year delta via lag partitioned by calendar
+    month. The window input is the already-aggregated (tiny) series, so
+    the second shuffle moves one row per (yr, mo) — the cheap side of the
+    plan no matter the fact-table size."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(_dsum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy("mo").orderBy("yr")
+    return monthly.select(
+        "yr", "mo", "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("yoy_delta"),
+    )
