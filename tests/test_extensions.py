@@ -189,3 +189,24 @@ def test_cosine_topk_numpy_matches_expression(spark, sf_small):
         nid2, sim2 = np_out[key]
         assert nid == nid2, (key, nid, nid2)
         assert abs(sim - sim2) < 1e-9
+
+
+def test_stratified_sample(spark, sf_small):
+    from unified_firmographic_data_pipeline_spark.operators.dedup import stratified_sample
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    fr = {"en": 0.2, "de": 1.0}  # drop es/fr entirely, keep all de
+    got = stratified_sample(d, "lang", fr, seed=7)
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    full = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) <= {"en", "de"}
+    assert counts.get("de") == full.get("de")  # rate 1.0 keeps everything
+    if "en" in full and full["en"] >= 50:
+        assert 0 < counts["en"] < full["en"]  # rate 0.2 strictly downsamples
+    # deterministic per seed
+    again = stratified_sample(d, "lang", fr, seed=7).count()
+    assert again == got.count()

@@ -86,3 +86,24 @@ def dedup_exact(
         .select(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict | float,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): the training-data
+    rebalancing primitive — downsample over-represented sources/languages
+    without a shuffle (sampling is a narrow, scan-fused filter).
+
+    ``fractions``: either one rate for every stratum or {stratum: rate}
+    (strata absent from the map are dropped — upsampling is out of scope,
+    duplicate-free by construction). Deterministic per (seed, row) within
+    an engine; not cross-engine reproducible, so it carries unit tests
+    rather than a DuckDB oracle."""
+    if isinstance(fractions, float):
+        keys = [r[0] for r in df.select(strata_col).distinct().collect()]
+        fractions = {k: fractions for k in keys}
+    return df.sampleBy(strata_col, fractions, seed)

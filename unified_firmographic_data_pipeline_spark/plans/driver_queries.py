@@ -2330,3 +2330,49 @@ def yoy_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr", "mo", "revenue",
         (F.col("revenue") - F.lag("revenue").over(w)).alias("yoy_delta"),
     )
+
+
+@q(
+    "unpivot_fortune_metrics",
+    f"""
+    SELECT p_brand, metric, {_S('val')} AS total
+    FROM (SELECT p_brand, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d
+          FROM part)
+    UNPIVOT (val FOR metric IN (p_retailprice, p_size_d))
+    GROUP BY p_brand, metric
+    """,
+)
+def unpivot_fortune_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long, the pivot inverse): metric columns become
+    (metric, val) rows via DataFrame.unpivot — a zero-shuffle narrow
+    transform; only the downstream GROUP BY exchanges."""
+    p = _t(spark, sf_dir, "part")
+    long = p.select(
+        "p_brand", "p_retailprice", F.col("p_size").cast("double").alias("p_size_d")
+    ).unpivot(
+        ids=["p_brand"],
+        values=["p_retailprice", "p_size_d"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("p_brand", "metric").agg(_dsum("val").alias("total"))
+
+
+@q(
+    "posexplode_token_positions",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        FROM documents WHERE doc_id < 100)
+    SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t[u.i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    """,
+)
+def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token rows WITH their array position (ordinality) — the
+    positional variant of the lateral flatten (D1)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
