@@ -62,6 +62,8 @@ HEADLINE = [
     "pivot_status_by_priority",
     "array_higher_order_stats",
     "doc_fingerprint_clusters",
+    # the end-to-end curation flagship (lang-ID + quality + dedup + stats)
+    "curation_pipeline",
 ]
 
 

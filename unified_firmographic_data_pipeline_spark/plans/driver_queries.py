@@ -2376,3 +2376,74 @@ def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     )
+
+
+_QUALITY_SQL = f"""round((
+        (CASE WHEN len({_TOKENS_SQL}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN coalesce(
+            CASE WHEN len({_TOKENS_SQL}) = 0 THEN NULL
+                 ELSE CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE)
+                      / CAST(len({_TOKENS_SQL}) AS DOUBLE) END, 0.0) > 0.01
+         THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN coalesce(
+            CASE WHEN length(text) = 0 THEN NULL
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) END, 1.0) < 0.3
+         THEN 1.0 ELSE 0.0 END)) / 3.0, 6)"""
+
+_DETECTED_SQL = f"""CASE WHEN list_aggregate([
+                {{'score': {_lang_score_sql('en')}, 'lang': 'en'}},
+                {{'score': {_lang_score_sql('es')}, 'lang': 'es'}},
+                {{'score': {_lang_score_sql('de')}, 'lang': 'de'}},
+                {{'score': {_lang_score_sql('fr')}, 'lang': 'fr'}}], 'max').score >= 1
+            THEN list_aggregate([
+                {{'score': {_lang_score_sql('en')}, 'lang': 'en'}},
+                {{'score': {_lang_score_sql('es')}, 'lang': 'es'}},
+                {{'score': {_lang_score_sql('de')}, 'lang': 'de'}},
+                {{'score': {_lang_score_sql('fr')}, 'lang': 'fr'}}], 'max').lang
+            ELSE 'und' END"""
+
+
+@q(
+    "curation_pipeline",
+    rf"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               {_DETECTED_SQL} AS detected,
+               {_QUALITY_SQL} AS quality,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored
+            WHERE detected = 'en' AND quality >= 0.66)
+        WHERE rn = 1)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation path as ONE declarative plan:
+    language-ID filter -> quality-score gate -> exact dedup by normalized
+    fingerprint (keep lowest doc_id) -> per-source corpus stats. Everything
+    fuses into two shuffles (fp-dedup window, final groupBy); at 100 TB the
+    scoring/filtering stage is embarrassingly parallel and only survivors
+    reach the exchanges. Composes functions.text: detect_lang,
+    quality_score, doc_fingerprint."""
+    from unified_firmographic_data_pipeline_spark.functions.text import detect_lang, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        detect_lang("text").alias("detected"),
+        F.round(quality_score("text"), 6).alias("quality"),
+        doc_fingerprint("text").alias("fp"),
+    ).filter((F.col("detected") == "en") & (F.col("quality") >= 0.66))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
