@@ -210,3 +210,46 @@ def test_stratified_sample(spark, sf_small):
     # deterministic per seed
     again = stratified_sample(d, "lang", fr, seed=7).count()
     assert again == got.count()
+
+
+def test_hll_sketch_estimate_and_merge(spark, sf_small):
+    """HLL sketches: estimate within a few % of exact, and the union of
+    per-group partial sketches must equal the direct global sketch exactly
+    (register-max merge is associative/deterministic) — the property that
+    makes sketch aggregation safe to distribute across 1000 executors."""
+    from pyspark.sql import functions as F
+
+    c = spark.read.parquet(f"{sf_small}/customer.parquet")
+    per = c.groupBy("c_nationkey").agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    direct = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("est")
+    ).first()["est"]
+    exact = c.select("c_custkey").distinct().count()
+    assert merged == direct  # partial-merge == single-pass, exactly
+    assert abs(direct - exact) / exact < 0.05
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing guarantee: two documents sharing a substring of length
+    >= k + w - 1 share at least one selected fingerprint; disjoint texts
+    share none."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        winnow_overlap_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "totally different lead-in " + shared + " and another tail"),
+        (3, "zzz qqq vvv completely unrelated content 12345 67890 xxyyzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in winnow_overlap_pairs(df, k=8, w=4, min_common=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs

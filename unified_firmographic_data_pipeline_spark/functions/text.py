@@ -134,6 +134,35 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def char_kgrams(c: Column | str, k: int = 8) -> Column:
+    """Character k-gram array over lowercased, whitespace-normalized text.
+    Texts shorter than ``k`` chars yield the whole text as a single gram so
+    short documents still fingerprint deterministically."""
+    norm = F.lower(collapse_ws(c))
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array(norm))
+
+
+def kgram_hashes(c: Column | str, k: int = 8) -> Column:
+    """Rolling k-gram hash array: md5 hex of every character k-gram. md5 hex
+    strings serve as the hashes, compared lexicographically (fixed-width
+    lowercase hex, so string order == numeric order) — which keeps the whole
+    pipeline expressible in ANSI SQL for the DuckDB oracle.
+
+    NB: winnowing window-selection over this array is deliberately NOT a
+    pure-Column composition — referencing this (expensive) expression inside
+    a higher-order-function lambda re-evaluates it per array element
+    (Catalyst does not CSE into lambda bodies), turning O(n) work into
+    O(n^2). Window selection lives in
+    ``operators.neardup.winnow_fingerprints`` as a row-based sliding
+    window-frame min instead."""
+    return F.transform(char_kgrams(c, k), F.md5)
+
+
 def bpe_ish_token_count_pandas(c: Column | str) -> Column:
     """Arrow-vectorized twin of ``bpe_ish_token_count``: the same BPE-ish
     regex evaluated by a ``@pandas_udf`` over Arrow batches.

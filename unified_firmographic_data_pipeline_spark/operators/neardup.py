@@ -362,3 +362,80 @@ def simhash_near_pairs_md5(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    algorithm): hash every character k-gram (rolling hash =
+    ``functions.text.kgram_hashes``), slide a window of ``w`` consecutive
+    hashes, keep each window's minimum, return the distinct selected hashes
+    as ``(id, fp)`` rows. Guarantees any shared substring of length
+    >= k + w - 1 contributes at least one common fingerprint. Documents with
+    fewer than ``w`` k-grams contribute the min over all their hashes.
+
+    Scale shape: hashing is a narrow per-row expression evaluated ONCE per
+    document; ``posexplode`` fans out to one row per k-gram; window
+    selection is a sliding window-frame ``min`` over rows (O(w) per row,
+    JVM-side) — one shuffle on the doc key, which also co-locates the
+    per-doc ``distinct``. A pure-Column formulation (array slices inside
+    ``F.transform``) re-evaluates the hash array per window — O(n^2) — so
+    the row-based plan is deliberate.
+    """
+    from pyspark.sql import Window
+
+    from unified_firmographic_data_pipeline_spark.functions.text import kgram_hashes
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(kgram_hashes(text_col, k)).alias("pos", "h"),
+    )
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    whole = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("wmin", F.min("h").over(frame))
+        .withColumn("mx", F.max("pos").over(whole))
+        # full windows only (start + w - 1 <= last pos); docs shorter than w
+        # k-grams keep the pos-0 row, whose frame min spans the whole doc
+        .filter((F.col("pos") + (w - 1) <= F.col("mx")) | (F.col("pos") == 0))
+        .select(F.col(id_col), F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_common: int = 2,
+) -> DataFrame:
+    """Shared-winnowing-fingerprint pairs ``(id_a, id_b, n_common)`` with
+    ``id_a < id_b`` and at least ``min_common`` fingerprints in common — the
+    MOSS-style plagiarism/near-dup detector over rolling-hash fingerprints.
+
+    Scale shape: after ``winnow_fingerprints`` (one doc-key shuffle), the
+    self-equi-join shuffles on the fingerprint hash (uniformly distributed —
+    no skew); pair cardinality is bounded by per-fingerprint bucket sizes,
+    never n².
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

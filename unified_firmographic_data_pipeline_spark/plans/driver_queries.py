@@ -54,6 +54,7 @@ from unified_firmographic_data_pipeline_spark.operators.neardup import (
     jaccard_pairs,
     minhash_lsh_candidates,
     simhash_near_pairs,
+    winnow_overlap_pairs,
 )
 from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
 from unified_firmographic_data_pipeline_spark.sources.multimodal import media_from_text
@@ -2447,3 +2448,63 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@q(
+    "winnow_fingerprint_overlap",
+    r"""
+    WITH norm AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        FROM documents WHERE doc_id < 300),
+    grams AS (
+        SELECT doc_id, CASE WHEN length(t) >= 16
+            THEN list_transform(range(1, length(t) - 16 + 2), i -> substr(t, i, 16))
+            ELSE [t] END AS gs
+        FROM norm),
+    hashes AS (SELECT doc_id, list_transform(gs, g -> md5(g)) AS hs FROM grams),
+    sel AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(hs) >= 8
+                THEN list_transform(range(1, len(hs) - 8 + 2),
+                                    i -> list_aggregate(hs[i:i+7], 'min'))
+                ELSE [list_aggregate(hs, 'min')] END) AS fps
+        FROM hashes),
+    inv AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS algorithm, k=16 char-grams,
+    window w=8) -> shared-fingerprint doc pairs with overlap count >= 3. The
+    SURVEY §2.M "document fingerprinting (rolling hash)" operator: hashing
+    is narrow and evaluated once per doc; window selection is a sliding
+    window-frame min (doc-key shuffle); the pair join shuffles on the
+    uniform md5 fingerprint (skew-free)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return winnow_overlap_pairs(d, k=16, w=8, min_common=3)
+
+
+@q("approx_distinct_hll")  # Datasketches HLL estimate — no DuckDB twin (rows-only)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (Apache DataSketches via
+    `hll_sketch_agg`): per-nation approx distinct customers, plus the GLOBAL
+    estimate computed by `hll_union_agg` over the per-nation partial
+    sketches (nationkey -1). The canonical 100 TB distinct-count pattern:
+    sketches aggregate map-side, merge associatively across partitions/
+    groups, and never materialize the value set. Register-max merging makes
+    the estimate deterministic regardless of partitioning — the exact twin
+    is `agg_distinct_customers`; the unit suite pins estimate-vs-exact error
+    and union-vs-direct equality."""
+    c = _t(spark, sf_dir, "customer")
+    per = c.groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey")).agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    glob = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit(-1).alias("c_nationkey"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    return per.select(
+        "c_nationkey", F.hll_sketch_estimate("sk").alias("approx_customers")
+    ).unionByName(glob)
