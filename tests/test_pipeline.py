@@ -52,6 +52,9 @@ def test_staging_wiki(spark, catalog):
     assert stg["MMM"]["headquarters_location_country"] == "Minnesota"
     assert stg["NOHQ"]["headquarters_location_city"] is None
     assert stg["NOHQ"]["headquarters_location_country"] is None
+    # sentinel applies to the WHOLE field only: a city named "none" survives
+    assert stg["NONE"]["headquarters_location_city"] == "none"
+    assert stg["NONE"]["headquarters_location_country"] == "Alaska"
     # empty date -> NULL (E3)
     assert stg["NOHQ"]["date_added"] is None
     # G1 dedup: duplicate CIK keeps earliest date_added -> GOOG, not GOOGL
@@ -216,3 +219,42 @@ def test_scd2_snapshot_evolution(spark, catalog):
     assert dbt_key("Walmart", "Dallas", "TX") in cur
     assert dbt_key("Walmart", "Bentonville", "AR") not in cur
     assert dim_loc.count() == 3
+
+
+def test_ephemeral_model_inlined(spark, tmp_path):
+    """ephemeral models write nothing; downstream ref() composes their
+    unexecuted logical plan inline (dbt CTE-inlining analogue), memoized per
+    run so diamond dependencies build the subplan once."""
+    from unified_firmographic_data_pipeline_spark.plans.graph import Context, ModelGraph, model
+
+    g = ModelGraph()
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(spark.range(10).withColumnRenamed("id", "n"), "raw", "nums")
+    calls = {"n": 0}
+
+    @model(g, schema="staging", materialized="ephemeral")
+    def doubled(ctx):
+        calls["n"] += 1
+        return ctx.source("raw", "nums").withColumn("n2", F.col("n") * 2)
+
+    @model(g, schema="core", deps=("doubled",))
+    def evens(ctx):
+        return ctx.ref("doubled").filter(F.col("n") % 2 == 0)
+
+    @model(g, schema="core", deps=("doubled",))
+    def odds(ctx):
+        return ctx.ref("doubled").filter(F.col("n") % 2 == 1)
+
+    status = g.run(spark, cat, run_tests=False)
+    assert status == {"doubled": "ok", "evens": "ok", "odds": "ok"}
+    # nothing materialized for the ephemeral model
+    assert not cat.exists("staging", "doubled")
+    # downstream models read through it correctly
+    assert {r["n2"] for r in cat.read("core", "evens").collect()} == {0, 4, 8, 12, 16}
+    assert cat.read("core", "odds").count() == 5
+    # memoized: run() evaluated the fn once; both refs reused the cached plan
+    assert calls["n"] == 1
+
+    # an ephemeral ref outside run() also works (fresh Context, lazy inline)
+    ctx = Context(spark=spark, catalog=cat, graph=g)
+    assert ctx.ref("doubled").count() == 10

@@ -73,6 +73,17 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert got == {"a": "A", "nomatch": None}
 
 
+def test_salted_join_rejects_outer_and_semi(spark):
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], ["k", "v"])
+    small = spark.createDataFrame([("a", "A"), ("b", "B")], ["k", "tag"])
+    # replication would emit unmatched small-side rows num_salts times
+    for how in ("right", "full", "outer", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
+
+
 # ------------------------------------------------------------ stateful ----
 
 SCHEMA = StructType(

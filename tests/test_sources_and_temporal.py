@@ -118,3 +118,125 @@ def test_compact_small_files(spark, tmp_path):
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == n_after < 40
     assert set(r["id"] for r in spark.read.parquet(path).collect()) == before
+    # staged atomically: no .tmp-/.old- siblings left behind
+    assert [d for d in os.listdir(tmp_path) if d != "fragmented"] == []
+
+
+def test_materialize_merge_fallback_branch(spark, tmp_path):
+    """No Delta in-container: the seam must pick the swap-rewrite path and
+    produce upsert semantics with no staging dirs left behind."""
+    import os
+
+    from unified_firmographic_data_pipeline_spark.operators import incremental as inc
+
+    table = str(tmp_path / "merge_table")
+    assert inc.delta_merge_available() is False
+    assert inc.materialize_merge(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"], table
+    ) == "swap-rewrite"
+    assert inc.materialize_merge(
+        spark, spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"]), ["k"], table
+    ) == "swap-rewrite"
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}
+    assert [d for d in os.listdir(tmp_path) if d != "merge_table"] == []
+
+
+def test_materialize_merge_dispatches_to_delta(spark, tmp_path, monkeypatch):
+    """When the runtime reports Delta support, the seam must route to the
+    MERGE INTO strategy (recorded via a stub, since Delta isn't installed)."""
+    from unified_firmographic_data_pipeline_spark.operators import incremental as inc
+
+    calls = []
+    monkeypatch.setattr(inc, "delta_merge_available", lambda: True)
+    monkeypatch.setattr(
+        inc,
+        "_merge_with_delta",
+        lambda spark_, df, keys, path: calls.append((keys, path)) or "delta-merge",
+    )
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    assert inc.materialize_merge(spark, df, ["k"], str(tmp_path / "t")) == "delta-merge"
+    assert calls == [(["k"], str(tmp_path / "t"))]
+
+
+# ---------------------------------------------------------------- fetch ----
+
+
+def test_fetch_json_to_landing_injected_opener(spark, tmp_path):
+    """A1 analogue (DAG:24-39): GET JSON -> landed file -> RAW shape."""
+    from unified_firmographic_data_pipeline_spark.sources.fetch import fetch_json_to_landing
+
+    doc = {"items": [{"name": "Walmart", "rank": 1}]}
+    seen = []
+
+    def opener(url):
+        seen.append(url)
+        return json.dumps(doc).encode()
+
+    land = str(tmp_path / "landing")
+    path = fetch_json_to_landing(
+        "https://api.example.com/fortune", land, "fortune500", opener=opener
+    )
+    assert seen == ["https://api.example.com/fortune"]
+    assert path.endswith(".json") and json.load(open(path)) == doc
+    raw = read_json_landing(spark, land, "fortune500", glob="fortune500_*.json")
+    rows = raw.collect()
+    assert len(rows) == 1 and json.loads(rows[0]["payload"]) == doc
+
+
+def test_fetch_json_rejects_non_json(tmp_path):
+    import pytest
+
+    from unified_firmographic_data_pipeline_spark.sources.fetch import fetch_json_to_landing
+
+    with pytest.raises(json.JSONDecodeError):
+        fetch_json_to_landing(
+            "https://x", str(tmp_path), "s", opener=lambda u: b"<html>error page</html>"
+        )
+    # failed fetch must not pollute the landing dir
+    assert [f for f in (tmp_path).iterdir()] == []
+
+
+def test_scrape_table_to_landing(spark, tmp_path):
+    """A2 analogue (DAG:43-62): pd.read_html(...)[1] -> landed JSON array."""
+    from unified_firmographic_data_pipeline_spark.sources.fetch import (
+        html_tables,
+        scrape_table_to_landing,
+    )
+
+    html = """
+    <html><body>
+    <table><tr><th>toc</th></tr><tr><td>ignored table 0</td></tr></table>
+    <table>
+      <tr><th>Symbol</th><th>Security</th><th>CIK</th></tr>
+      <tr><td>MMM</td><td>3M &amp; Co</td><td>66740</td></tr>
+      <tr><td>WMT</td><td>Walmart</td><td>104169</td></tr>
+    </table>
+    </body></html>
+    """
+    tables = html_tables(html)
+    assert len(tables) == 2
+    land = str(tmp_path / "landing")
+    path = scrape_table_to_landing(
+        "https://en.example.org/sp500", land, "wikipedia_sp500",
+        table_index=1, opener=lambda u: html.encode(),
+    )
+    landed = json.load(open(path))
+    assert landed == [
+        {"Symbol": "MMM", "Security": "3M & Co", "CIK": "66740"},
+        {"Symbol": "WMT", "Security": "Walmart", "CIK": "104169"},
+    ]
+    raw = read_json_landing(spark, land, "wikipedia_sp500")
+    assert json.loads(raw.first()["payload"]) == landed
+
+
+def test_scrape_table_index_out_of_range(tmp_path):
+    import pytest
+
+    from unified_firmographic_data_pipeline_spark.sources.fetch import scrape_table_to_landing
+
+    with pytest.raises(IndexError, match="out of range"):
+        scrape_table_to_landing(
+            "https://x", str(tmp_path), "s", table_index=3,
+            opener=lambda u: b"<table><tr><th>a</th></tr></table>",
+        )

@@ -49,3 +49,34 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], "x double")
     import math
     assert math.isnan(exact_quantiles_bracketed(df, {"x": 0.5})["x"])
+
+
+def test_null_heavy_column(spark):
+    # percentile ignores NULLs; ranks must come from the non-null count.
+    # 60% NULLs previously shifted the target rank by ~1.5x.
+    rng = random.Random(3)
+    rows = [
+        ((rng.uniform(0, 100) if i % 5 < 2 else None),)
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "x double")
+    for p in (0.1, 0.5, 0.9):
+        assert exact_quantiles_bracketed(df, {"x": p})["x"] == _reference(df, "x", p)
+
+
+def test_all_null_column(spark):
+    import math
+    df = spark.createDataFrame([(None,)] * 100, "x double")
+    assert math.isnan(exact_quantiles_bracketed(df, {"x": 0.5})["x"])
+
+
+def test_mixed_null_and_clean_columns(spark):
+    rng = random.Random(5)
+    rows = [
+        (float(i), (rng.uniform(0, 10) if i % 3 else None))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = exact_quantiles_bracketed(df, {"a": 0.75, "b": 0.25})
+    assert got["a"] == _reference(df, "a", 0.75)
+    assert got["b"] == _reference(df, "b", 0.25)

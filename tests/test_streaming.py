@@ -235,3 +235,10 @@ def test_stream_upsert_sink(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(table).count() == 3
+
+    # atomic swap leaves no .tmp-/.old- staging dirs next to the table
+    import os
+
+    assert [
+        d for d in os.listdir(tmp_path) if d.startswith("state_table") and d != "state_table"
+    ] == []

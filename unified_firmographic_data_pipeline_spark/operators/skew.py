@@ -49,7 +49,18 @@ def salted_join(
 ) -> DataFrame:
     """Skewed equi-join without broadcast: salt the big side with a uniform
     random salt, replicate the small side across all salt values (explode of
-    a literal range — ``num_salts``× duplication), join on (key, salt)."""
+    a literal range — ``num_salts``× duplication), join on (key, salt).
+
+    Only ``inner`` and ``left`` (big side preserved) are semantically valid:
+    the small side is replicated ``num_salts``×, so any join shape that emits
+    unmatched small-side rows (right/full outer) or tests small-side
+    existence (right_semi/anti) would emit each such row once per salt."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): the "
+            "replicated small side duplicates unmatched rows under outer/semi "
+            "variants"
+        )
     big_s = big.withColumn("__salt", (F.rand(seed=42) * num_salts).cast("int"))
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))

@@ -33,40 +33,47 @@ def exact_quantiles_bracketed(
     {column: probability}, computed with bounded memory. Returns driver
     scalars (the same tier as watermark reads)."""
     cols = list(cols_probs)
-    # Pass 1: n + bracket values for every requested quantile, one job.
-    n_total = df.count()
-    if n_total == 0:
-        return {c: float("nan") for c in cols}
+    # Pass 1: per-column NON-NULL counts (percentile / approx_percentile /
+    # percentile_cont all ignore NULLs, so ranks must be computed over the
+    # non-null population — df.count() would shift every rank on a column
+    # containing NULLs and could silently return a wrong quantile).
+    row0 = df.agg(*[F.count(c).alias(c) for c in cols]).first()
+    n_nonnull = {c: row0[c] for c in cols}
+    out: dict[str, float] = {c: float("nan") for c in cols if n_nonnull[c] == 0}
+    live = [c for c in cols if n_nonnull[c] > 0]
+    if not live:
+        return out
+    # Pass 1b: bracket values for every requested quantile, one job.
     brackets: dict[str, tuple[float, float, float]] = {}
     agg_exprs = []
-    for c, p in cols_probs.items():
-        rank = p * (n_total - 1)  # 0-indexed fractional rank
-        delta = max(2.0 * n_total / accuracy, 2.0)
-        p_lo = max(0.0, (math.floor(rank) - delta) / max(n_total - 1, 1))
-        p_hi = min(1.0, (math.floor(rank) + 1 + delta) / max(n_total - 1, 1))
+    for c in live:
+        p, n = cols_probs[c], n_nonnull[c]
+        rank = p * (n - 1)  # 0-indexed fractional rank within non-nulls
+        delta = max(2.0 * n / accuracy, 2.0)
+        p_lo = max(0.0, (math.floor(rank) - delta) / max(n - 1, 1))
+        p_hi = min(1.0, (math.floor(rank) + 1 + delta) / max(n - 1, 1))
         agg_exprs.append(
             F.approx_percentile(c, F.array(F.lit(p_lo), F.lit(p_hi)), F.lit(accuracy)).alias(c)
         )
         brackets[c] = (rank, p_lo, p_hi)
     row = df.agg(*agg_exprs).first()
-    bounds = {c: (row[c][0], row[c][1]) for c in cols}
+    bounds = {c: (row[c][0], row[c][1]) for c in live}
 
     # Pass 2: exact global rank of each bracket's lower bound, one job.
     row2 = df.agg(
         *[
             F.count(F.when(F.col(c) < F.lit(bounds[c][0]), 1)).alias(c)
-            for c in cols
+            for c in live
         ]
     ).first()
-    n_below = {c: row2[c] for c in cols}
+    n_below = {c: row2[c] for c in live}
 
-    out: dict[str, float] = {}
-    for c in cols:
+    for c in live:
         rank, _, _ = brackets[c]
         lo, hi = bounds[c]
         k = math.floor(rank)
         frac = rank - k
-        need_hi = min(k + 1, n_total - 1)
+        need_hi = min(k + 1, n_nonnull[c] - 1)
         # Histogram of the bracket subset: one row per DISTINCT value, so the
         # collect is bounded by bracket width even under massive ties.
         hist = (

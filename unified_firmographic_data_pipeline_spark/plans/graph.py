@@ -53,9 +53,22 @@ class Context:
     catalog: Catalog
     graph: "ModelGraph"
     current: ModelSpec | None = None
+    _ephemeral_cache: dict[str, DataFrame] = field(default_factory=dict)
 
     def ref(self, name: str) -> DataFrame:
         spec = self.graph.models[name]
+        if spec.materialized == "ephemeral":
+            # dbt inlines ephemeral models as CTEs; the Spark analogue is
+            # composing the unexecuted logical plan directly. Memoized per
+            # Context (= per run) so diamond deps build the subplan once.
+            if name not in self._ephemeral_cache:
+                prev = self.current
+                self.current = spec
+                try:
+                    self._ephemeral_cache[name] = spec.fn(self)
+                finally:
+                    self.current = prev
+            return self._ephemeral_cache[name]
         return self.catalog.read(spec.schema, name)
 
     def source(self, schema: str, table: str) -> DataFrame:
@@ -124,11 +137,13 @@ class ModelGraph:
                 snap = scd2_apply(existing, df, spec.scd2_key, spec.scd2_updated_at)
                 catalog.overwrite(snap, spec.schema, name)
             elif spec.materialized == "ephemeral":
-                pass  # inlined by callers via ref(); nothing to write
+                # nothing written: downstream ref() inlines the logical plan
+                ctx._ephemeral_cache[name] = df
             else:
                 raise ValueError(f"unknown materialization {spec.materialized}")
             if run_tests and spec.tests is not None:
-                spec.tests(ctx, catalog.read(spec.schema, name))
+                tested = df if spec.materialized == "ephemeral" else catalog.read(spec.schema, name)
+                spec.tests(ctx, tested)
             status[name] = "ok"
             timings.append((name, "ok", _time.perf_counter() - t0))
         if record_metadata:

@@ -21,6 +21,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def atomic_swap_write(df: DataFrame, final: str, partition_by: list[str] | None = None) -> str:
+    """Write ``df`` to ``final`` atomically: write to a sibling temp dir,
+    ``os.replace`` the old dir aside, ``os.replace`` the temp in, then remove
+    the old dir. The original data is never deleted before the replacement is
+    fully in place, so a crash at any point leaves either the old or the new
+    table readable (never a missing/partial directory). Also required by the
+    self-referencing incremental pattern: ``df`` may lazily read ``final``
+    while the temp dir is being written. Returns the temp dir it wrote
+    (already swapped into ``final``) for callers that want its file listing."""
+    tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = final + ".old-" + uuid.uuid4().hex[:8]
+    if os.path.exists(final):
+        os.replace(final, old)
+    os.replace(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
+    return final
+
+
 class Catalog:
     """Path-addressed parquet catalog rooted at ``root``; schema/table
     naming mirrors the reference's RAW/STAGING/CORE/ANALYTICS layout
@@ -50,18 +72,7 @@ class Catalog:
         self-referencing incremental pattern (read prior output while
         computing the new one) requires this — a direct overwrite would
         truncate its own input before reading it."""
-        final = self.path(schema, table)
-        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
-        old = final + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(final):
-            os.replace(final, old)
-        os.replace(tmp, final)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        atomic_swap_write(df, self.path(schema, table), partition_by)
 
     def append(self, df: DataFrame, schema: str, table: str) -> None:
         df.write.mode("append").parquet(self.path(schema, table))
@@ -101,23 +112,17 @@ def compact_small_files(
     the resulting scan-task explosion (one task per tiny file) and NameNode/
     listing pressure dominate query time. Sizing uses the on-disk bytes of
     the existing directory (no data pass), and the rewrite is staged through
-    a temp dir + atomic swap like Catalog.overwrite. ``sort_within_by``
-    sorts within each output file (better column compression + min/max
-    pruning). Returns the output file count.
+    ``atomic_swap_write`` (the old directory is moved aside, never deleted,
+    until the replacement is in place). ``sort_within_by`` sorts within each
+    output file (better column compression + min/max pruning). Returns the
+    output file count.
     """
     total = 0
     for root, _, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
     n_files = max(1, round(total / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    out = df.repartition(n_files)
+    out = spark.read.parquet(path).repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp = path.rstrip("/") + f".__compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
-    final_files = [
-        f for f in os.listdir(tmp) if f.endswith(".parquet")
-    ]
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    return len(final_files)
+    atomic_swap_write(out, path.rstrip("/"))
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

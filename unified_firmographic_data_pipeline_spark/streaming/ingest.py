@@ -150,20 +150,26 @@ def stream_upsert_sink(
     + union + atomic swap). With exactly-once file-source semantics upstream
     and idempotent-by-key merge here, replays converge to the same table —
     the Structured Streaming analogue of dbt's incremental+unique_key
-    materialization (SURVEY.md §2.J J3)."""
+    materialization (SURVEY.md §2.J J3).
+
+    Crash-safety: the merged batch is staged through
+    ``catalog.atomic_swap_write`` — the previous table is moved aside, never
+    deleted, until the replacement is fully written, so a crash mid-write
+    leaves a readable table and the checkpoint replays the batch into it.
+    The existence check is explicit (no blanket ``except`` around the read):
+    a transient or partial-read failure of a *present* table propagates and
+    fails the batch instead of silently truncating the table to one batch."""
+    import os
+
     from unified_firmographic_data_pipeline_spark.operators.incremental import upsert
+    from unified_firmographic_data_pipeline_spark.sources.catalog import atomic_swap_write
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(table_path)
-        except Exception:
-            existing = None
+        existing = spark.read.parquet(table_path) if os.path.exists(table_path) else None
         merged = upsert(existing, batch_df, keys)
-        # materialize before overwrite (upsert reads the path being replaced)
-        tmp = table_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
+        # swap-write: upsert lazily reads the path being replaced
+        atomic_swap_write(merged, table_path)
 
     return (
         stream.writeStream.foreachBatch(_merge)
