@@ -153,15 +153,50 @@ def test_multimodal_decode_meta(docs):
 
 def test_multimodal_stubs_raise(spark, docs):
     from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        IMAGE_CODEC_AVAILABLE,
         frame_sample,
         resize_images,
     )
 
     media = media_from_text(docs, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        resize_images(media)
+    if not IMAGE_CODEC_AVAILABLE:
+        with pytest.raises(NotImplementedError):
+            resize_images(media)
     with pytest.raises(NotImplementedError):
         frame_sample(media)
+
+
+def test_multimodal_null_payload(spark):
+    """Column-wise decode must keep NULL payloads NULL (n_bytes 0)."""
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [(1, "image", b"abc", "x"), (2, "audio", None, "x")], MEDIA_SCHEMA
+    )
+    meta = {r["media_id"]: r for r in decode_media_meta(media).collect()}
+    assert meta[1]["n_bytes"] == 3 and meta[1]["sha256"] is not None
+    assert meta[2]["n_bytes"] == 0 and meta[2]["sha256"] is None
+    assert meta[2]["width"] is None and meta[2]["duration_ms"] is None
+
+
+def test_resize_images_pil_path(spark):
+    """Exercises the real PIL codec when the environment provides it."""
+    from unified_firmographic_data_pipeline_spark.sources import multimodal as mm
+
+    if not mm.IMAGE_CODEC_AVAILABLE:
+        pytest.skip("PIL not installed in this container")
+    import io
+
+    img = mm._PILImage.new("RGB", (640, 320), color=(200, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), "image/png")], mm.MEDIA_SCHEMA
+    )
+    out = mm.resize_images(media, max_side=256).collect()
+    assert len(out) == 1
+    assert (out[0]["width"], out[0]["height"]) == (256, 128)
+    assert out[0]["mime"] == "image/png" and out[0]["payload"]
 
 
 def test_cosine_topk_numpy_matches_expression(spark, sf_small):
