@@ -52,6 +52,18 @@ WIKI_ROWS_T0 = [
         "Founded": "2013",
     },
     {
+        "Symbol": "NONE",
+        "Security": "None City Corp",
+        "GICS Sector": "Industrials",
+        "GICS Sub-Industry": "Misc",
+        # a city literally named "none" with a real state: only a WHOLE-field
+        # sentinel may null it (stg_wiki_sp500.sql:32-33)
+        "Headquarters Location": "none, Alaska",
+        "Date added": "2001-01-01",
+        "CIK": 999002,
+        "Founded": "1999",
+    },
+    {
         "Symbol": "WMT",
         "Security": "Walmart",
         "GICS Sector": "Consumer Staples",

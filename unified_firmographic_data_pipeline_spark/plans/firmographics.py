@@ -104,9 +104,12 @@ def stg_wiki_sp500(ctx: Context):
         first4_year(d["Founded"]).alias("founded_year"),
         d["GICS Sector"].alias("gics_sector"),
         d["GICS Sub-Industry"].alias("gics_sub_industry"),
-        none_to_null(F.split(hq, ", ").getItem(0)).alias("headquarters_location_city"),
-        # NOTE: reference nulls the *whole* HQ when the sentinel matches, then
-        # splits; order preserved here via when() on the raw column.
+        # reference nulls when the *whole* HQ field is the sentinel, then
+        # splits (stg_wiki_sp500.sql:32-33: IFF(hq='none', NULL, SPLIT(..)[i]))
+        # — a city literally named "none" with a real state must survive.
+        F.when(hq == "none", F.lit(None).cast("string"))
+        .otherwise(F.split(hq, ", ").getItem(0))
+        .alias("headquarters_location_city"),
         F.when(hq == "none", F.lit(None).cast("string"))
         .otherwise(F.split(hq, ", ").getItem(1))
         .alias("headquarters_location_country"),
