@@ -64,6 +64,12 @@ HEADLINE = [
     "doc_fingerprint_clusters",
     # the end-to-end curation flagship (lang-ID + quality + dedup + stats)
     "curation_pipeline",
+    # round-2 widening: heavy subquery shapes + near-dup/ANN scale paths
+    "q02_min_per_group_join_back",
+    "q11_share_of_total_having",
+    "q15_top_supplier",
+    "winnow_fingerprint_overlap",
+    "embedding_dup_pairs_lsh",
 ]
 
 

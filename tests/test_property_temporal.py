@@ -82,3 +82,75 @@ def test_range_join_binned_matches_bruteforce(spark, pts, ivals):
         if pk == ik and istart <= pts_ < iend
     )
     assert got == want
+
+
+# ----------------------------------------------------------------- SCD2 ----
+
+scd_runs = st.lists(
+    # one run = {key: ts_offset_seconds}; a key absent from a run is a hard
+    # delete, present again later is a reinsertion
+    st.dictionaries(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=100),
+        max_size=4,
+    ),
+    min_size=3,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(runs=scd_runs)
+def test_scd2_multi_run_delete_reinsert_matches_bruteforce(spark, runs):
+    """>=3 scd2_apply folds with interleaved hard-deletes and reinsertions of
+    the same key must match a brute-force dbt-timestamp-strategy simulator
+    (snapshots/*.sql:4-11, invalidate_hard_deletes=True; deletes close at the
+    batch high-watermark, empty batches are no-ops)."""
+    from unified_firmographic_data_pipeline_spark.operators.scd2 import scd2_apply
+
+    snap = None
+    state: list[dict] = []  # brute-force versions
+    for run_idx, batch in enumerate(runs):
+        rows = [
+            (k, BASE + timedelta(seconds=s), f"v{run_idx}_{k}_{s}")
+            for k, s in sorted(batch.items())
+        ]
+        sdf = spark.createDataFrame(rows, "key long, updated_at timestamp, val string")
+        snap = scd2_apply(snap, sdf, key="key", updated_at="updated_at")
+
+        if snap is not None and not rows:
+            pass  # empty batch: engine is a no-op (hwm is NULL)
+        elif run_idx == 0 or not state:
+            state = [
+                {"key": k, "val": v, "updated_at": ts, "valid_from": ts, "valid_to": None}
+                for k, ts, v in rows
+            ]
+        elif rows:
+            hwm = max(ts for _, ts, _ in rows)
+            src = {k: (ts, v) for k, ts, v in rows}
+            open_before = {r["key"]: r for r in state if r["valid_to"] is None}
+            for r in open_before.values():
+                if r["key"] in src:
+                    ts, _ = src[r["key"]]
+                    if ts > r["updated_at"]:
+                        r["valid_to"] = ts  # close superseded version
+                else:
+                    r["valid_to"] = hwm  # hard-delete invalidation
+            for k, (ts, v) in src.items():
+                if k not in open_before or ts > open_before[k]["updated_at"]:
+                    state.append(
+                        {"key": k, "val": v, "updated_at": ts, "valid_from": ts, "valid_to": None}
+                    )
+
+        got = sorted(
+            (r["key"], r["val"], r["dbt_updated_at"], r["dbt_valid_from"], r["dbt_valid_to"])
+            for r in snap.collect()
+        )
+        want = sorted(
+            (r["key"], r["val"], r["updated_at"], r["valid_from"], r["valid_to"])
+            for r in state
+        )
+        assert got == want, f"run {run_idx}: {got} != {want}"
+        # rebase the engine snapshot on materialized rows (the graph runner
+        # persists between runs; also keeps the lineage bounded)
+        snap = spark.createDataFrame(snap.collect(), snap.schema)
