@@ -70,6 +70,9 @@ HEADLINE = [
     "q15_top_supplier",
     "winnow_fingerprint_overlap",
     "embedding_dup_pairs_lsh",
+    # curation extensions (corpus-wide shuffle shapes)
+    "chunk_dedup_sources",
+    "unigram_logprob_scores",
 ]
 
 

@@ -24,11 +24,16 @@ QUERIES = entry_mod.queries()
 #:   set; linear in corpus, the scale path is ann_cosine_topk_lsh
 #: - embedding_dup_pairs: exact pair scoring on a bounded id-range subset;
 #:   the scale path is embedding_dup_pairs_lsh
+#: - unigram_logprob_scores / tfidf_top_terms: 1-row corpus-total /
+#:   doc-count aggregate cross-joined broadcast onto the (vocabulary-sized)
+#:   idf/logprob table — same scalar-subquery shape as q11/q22
 BNLJ_ALLOWED = {
     "q11_share_of_total_having",
     "q22_idle_rich_customers",
     "ann_cosine_topk",
     "embedding_dup_pairs",
+    "unigram_logprob_scores",
+    "tfidf_top_terms",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

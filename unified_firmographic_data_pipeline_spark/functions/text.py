@@ -163,6 +163,25 @@ def kgram_hashes(c: Column | str, k: int = 8) -> Column:
     return F.transform(char_kgrams(c, k), F.md5)
 
 
+#: PII patterns, deliberately RE2-and-Java-regex-compatible so the DuckDB
+#: oracle can run the identical patterns (no lookaround, no backrefs).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Regex PII redaction (emails, IPv4 addresses, phone-like digit runs)
+    as chained ``regexp_replace`` expressions — JVM-side, codegen'd, zero
+    shuffle. Email/IP run before the greedier phone pattern so their
+    replacements aren't re-matched. A production pipeline would extend the
+    pattern set (SSNs, IBANs, ...) behind the same column contract."""
+    out = F.regexp_replace(_col(c), PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
 def bpe_ish_token_count_pandas(c: Column | str) -> Column:
     """Arrow-vectorized twin of ``bpe_ish_token_count``: the same BPE-ish
     regex evaluated by a ``@pandas_udf`` over Arrow batches.

@@ -1,0 +1,207 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Extends the SURVEY §2.M text/dedup family with the remaining standard
+pretraining-curation passes (public-knowledge designs: C4's line/window
+dedup, Gopher's repetition filters, CCNet's LM quality scoring, benchmark
+decontamination, sequence packing). Every operator is DataFrame-first:
+
+- per-document metrics are pure Catalyst expressions (no shuffle at all);
+- corpus-level passes shuffle once on a uniform key (token, n-gram hash,
+  chunk hash) — never on raw text, never all-pairs;
+- scalar corpus statistics (vocabulary size, total token count) stay
+  in-plan as 1-row broadcast joins, not driver round-trips.
+
+Doubles destined for the cross-engine oracle are micro-rounded
+(``round(x*1e6)`` summed as BIGINT — see ``plans/driver_queries``
+module docstring) so results are bit-exact vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.functions.text import token_count, tokens
+
+
+def token_chunks(text_col, width: int = 10):
+    """Split a text column into fixed-``width`` token windows ("lines" for
+    corpora without newlines) -> ArrayType(StringType). A pure expression:
+    chunk assembly costs no shuffle; only the (short) chunk strings flow to
+    downstream dedup. The last partial window is kept."""
+    t = tokens(text_col)
+    n_chunks = F.ceil(F.size(t) / F.lit(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i * width + 1, width)),
+    )
+
+
+def chunk_dedup_stats(docs: DataFrame, width: int = 10) -> DataFrame:
+    """C4-style window("line")-level dedup statistics per source: how many
+    fixed-width token chunks each source contributes and how many are
+    corpus-unique. Scale shape: explode -> md5 chunk key -> per-chunk
+    first-owner via min(doc) -> per-source counts. Two shuffles, both on
+    uniform 32-hex keys; raw text never moves (only ``width``-token
+    chunks)."""
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(token_chunks("text", width)).alias("chunk"),
+    ).select("doc_id", "source", F.md5(F.col("chunk")).alias("chunk_fp"))
+    # corpus-wide: a chunk is "kept" for its first owner (min doc_id),
+    # duplicated elsewhere — the C4 rule "keep one occurrence".
+    owner = chunks.groupBy("chunk_fp").agg(F.min("doc_id").alias("owner_doc"))
+    return (
+        chunks.join(owner, "chunk_fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("doc_id") == F.col("owner_doc"), 1)).alias("n_kept"),
+        )
+        .withColumn("n_dropped", F.col("n_chunks") - F.col("n_kept"))
+    )
+
+
+def repetition_metrics(docs: DataFrame, flag_threshold: float = 0.2) -> DataFrame:
+    """Gopher-style within-document repetition: the fraction of token
+    bigrams that are duplicates of an earlier bigram in the same document.
+    Pure per-row expressions (array zip + distinct) — zero shuffle,
+    whole-stage-codegen'd; the standard pre-filter before expensive
+    cross-document dedup."""
+    t = tokens("text")
+    big = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    docs = docs.withColumn("__big", big).filter(F.size("__big") >= 1)
+    n = F.size("__big").cast("double")
+    dup_frac = F.round((n - F.size(F.array_distinct("__big"))) / n, 6)
+    return docs.select(
+        "doc_id",
+        F.size("__big").alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        (dup_frac > flag_threshold).alias("flagged"),
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame, testset: DataFrame, n: int = 3, top: int = 25
+) -> DataFrame:
+    """Benchmark decontamination: count distinct token ``n``-grams each
+    corpus document shares with a held-out test set (the n-gram-overlap
+    rule used to scrub eval sets from pretraining data). Scale shape: both
+    sides explode to distinct (gram, doc) pairs and equi-join on the gram —
+    an inverted-index join on a uniform key, never doc x doc."""
+    from unified_firmographic_data_pipeline_spark.functions.text import shingles
+
+    test_grams = (
+        testset.select(F.explode(shingles("text", n)).alias("gram")).distinct()
+    )
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(shingles("text", n)).alias("gram")
+    ).distinct()
+    w = Window.orderBy(F.col("n_overlap").desc(), F.col("doc_id"))
+    return (
+        corpus_grams.join(test_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .drop("rn")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous sequence packing: assign documents (in deterministic
+    ``order_col`` order, independently per ``group_col``) to training
+    sequences of at most ``capacity`` tokens — the streaming-pack rule
+    ``pack_id = floor(preceding_tokens / capacity)``. One shuffle on the
+    group key; each group packs in parallel, which is how a 100 TB corpus
+    packs without any global coordination. Documents longer than
+    ``capacity`` occupy their own pack(s)."""
+    n_tok = token_count("text")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    preceding = F.coalesce(F.sum("__n_tok").over(w), F.lit(0))
+    return (
+        docs.withColumn("__n_tok", n_tok)
+        .select(
+            F.col(group_col),
+            F.col(order_col),
+            F.col("__n_tok").alias("n_tokens"),
+            F.floor(preceding / capacity).cast("long").alias("pack_id"),
+        )
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style LM quality proxy: score each document by the mean log
+    probability of its tokens under the corpus's own unigram distribution
+    (gibberish and boilerplate score low). Two shuffles: token-count
+    aggregation (vocabulary-sized output) and the per-document sum. The
+    vocabulary joins back broadcast; the corpus total stays in-plan as a
+    1-row cross join. Log values are micro-rounded per token and summed as
+    BIGINT for cross-engine bit-exactness."""
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    lnp_micro = F.round(
+        F.log(F.col("n_tok").cast("double") / F.col("n_total").cast("double")) * 1e6
+    ).cast("long")
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", lnp_micro.alias("lnp_micro")
+    )
+    return (
+        toks.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lnp_micro").alias("__sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((F.col("__sum_micro").cast("double") / F.lit(1e6)) / F.col("n_tokens"))
+            .alias("avg_logprob"),
+        )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame) -> DataFrame:
+    """Per-document top TF-IDF term (classic content-keyword extraction):
+    tf = in-doc count, idf = ln(N/df) over distinct-document frequency,
+    deterministic argmax via a rank window with a term tiebreak. Shuffles
+    on (doc, term) then term — both uniform; N stays in-plan as a 1-row
+    broadcast. idf is micro-rounded before the tf multiply so scores are
+    bit-exact cross-engine."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 6)
+        .alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id", "tok", (F.col("tf").cast("double") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), F.round("score", 6).alias("score"))
+    )

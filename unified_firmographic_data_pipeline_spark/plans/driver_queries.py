@@ -2511,6 +2511,231 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-curation extensions (operators/curation.py): C4 window dedup,
+# Gopher repetition, PII redaction, decontamination, packing, LM scoring
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = r"string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"
+
+
+@q(
+    "chunk_dedup_sources",
+    rf"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+    chunks AS (
+        SELECT doc_id, source,
+               md5(array_to_string(t[(i*10+1):least((i+1)*10, len(t))], ' ')) AS chunk_fp
+        FROM toks,
+             UNNEST(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)) AS u(i)),
+    owner AS (SELECT chunk_fp, min(doc_id) AS owner_doc FROM chunks GROUP BY 1)
+    SELECT source, COUNT(*) AS n_chunks,
+           COUNT(CASE WHEN c.doc_id = o.owner_doc THEN 1 END) AS n_kept,
+           COUNT(*) - COUNT(CASE WHEN c.doc_id = o.owner_doc THEN 1 END) AS n_dropped
+    FROM chunks c JOIN owner o USING (chunk_fp)
+    GROUP BY source
+    """,
+)
+def chunk_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style window("line")-level dedup stats per source: 10-token chunks,
+    corpus-unique chunks keep their first (min doc_id) owner. Chunk assembly
+    is a pure expression (no shuffle); the two shuffles are on uniform
+    32-hex chunk fingerprints. SURVEY §2.M dedup family."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import chunk_dedup_stats
+
+    return chunk_dedup_stats(_t(spark, sf_dir, "documents"), width=10)
+
+
+@q(
+    "gopher_repetition",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    big AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_bigrams,
+           round((COUNT(*) - COUNT(DISTINCT bigram)) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dup_bigram_frac,
+           round((COUNT(*) - COUNT(DISTINCT bigram)) / CAST(COUNT(*) AS DOUBLE), 6) > 0.2
+               AS flagged
+    FROM big GROUP BY doc_id
+    """,
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-document duplicate-bigram
+    fraction via array zip + array_distinct — zero-shuffle, codegen'd
+    per-row expressions; the cheap pre-filter that runs before any
+    cross-document dedup pass."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"), flag_threshold=0.2)
+
+
+@q(
+    "pii_redaction",
+    r"""
+    WITH inj AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +1 555 01'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                    || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.5' AS s
+        FROM documents),
+    red AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(s,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS r
+        FROM inj)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(r, '<EMAIL>')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(r, '<IP>')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(r, '<PHONE>')) AS INT) AS n_phone,
+           md5(r) AS red_fp
+    FROM red
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: deterministic synthetic PII (email/IP/phone
+    derived from doc_id) is appended to each document, then scrubbed by
+    ``functions.text.redact_pii`` — chained JVM regexp_replace, zero
+    shuffle. md5 of the redacted text pins the exact replacement spans
+    cross-engine; the counts pin recall."""
+    from unified_firmographic_data_pipeline_spark.functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".5"),
+    )
+    red = redact_pii(injected)
+    return d.select(
+        "doc_id",
+        F.regexp_count(red, F.lit("<EMAIL>")).alias("n_email"),
+        F.regexp_count(red, F.lit("<IP>")).alias("n_ip"),
+        F.regexp_count(red, F.lit("<PHONE>")).alias("n_phone"),
+        F.md5(red).alias("red_fp"),
+    )
+
+
+@q(
+    "contamination_trigram_overlap",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tg AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3),
+    test_g AS (SELECT DISTINCT gram FROM tg WHERE doc_id < 20),
+    corp_g AS (SELECT DISTINCT doc_id, gram FROM tg WHERE doc_id >= 20),
+    ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+           FROM corp_g JOIN test_g USING (gram) GROUP BY doc_id)
+    SELECT doc_id, n_overlap FROM (
+        SELECT doc_id, n_overlap,
+               row_number() OVER (ORDER BY n_overlap DESC, doc_id) AS rn
+        FROM ov) WHERE rn <= 25
+    """,
+)
+def contamination_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the 25 corpus documents sharing the most
+    distinct token trigrams with the held-out set (doc_id < 20) — an
+    inverted-index equi-join on the gram, never doc x doc. (Real pipelines
+    use 8-13-gram overlap; trigrams keep the toy corpus non-degenerate.)"""
+    from unified_firmographic_data_pipeline_spark.operators.curation import contamination_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_overlap(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=3, top=25
+    )
+
+
+@q(
+    "pack_sequences_256",
+    rf"""
+    WITH n AS (SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS INT) AS n_tokens
+               FROM documents)
+    SELECT source, doc_id, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+               AS BIGINT) AS pack_id
+    FROM n
+    """,
+)
+def pack_sequences_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: contiguous assignment of documents to
+    256-token packs, independently per source (one shuffle on the group
+    key; groups pack in parallel — the no-global-coordination property that
+    survives 100 TB). Exactness note: the divisor is a power of two, so the
+    window-sum division is bit-exact cross-engine without micro-rounding."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), capacity=256)
+
+
+@q(
+    "unigram_logprob_scores",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(n_tok) AS n_total FROM vocab),
+    scored AS (
+        SELECT tok,
+               CAST(round(ln(CAST(n_tok AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS lnp_micro
+        FROM vocab CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           (CAST(SUM(lnp_micro) AS DOUBLE) / 1e6) / COUNT(*) AS avg_logprob
+    FROM toks JOIN scored USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: mean corpus-unigram log-probability per
+    document. Vocabulary-sized aggregation + broadcast join back; the corpus
+    total stays in-plan as a 1-row cross join. Log values micro-rounded per
+    distinct token then summed as BIGINT -> bit-exact vs DuckDB."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "tfidf_top_terms",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    idf AS (SELECT tok, round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS idf
+            FROM dfreq CROSS JOIN nd),
+    scored AS (SELECT doc_id, tok, CAST(tf AS DOUBLE) * idf AS score
+               FROM tf JOIN idf USING (tok))
+    SELECT doc_id, tok AS top_term, round(score, 6) AS score FROM (
+        SELECT doc_id, tok, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        FROM scored) WHERE rn = 1
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term: content-keyword extraction with
+    deterministic tiebreaks (rank window ordered score desc, term asc).
+    idf is micro-rounded before the tf multiply so scores are bit-exact
+    cross-engine; N and the vocabulary idf table broadcast."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Driver-verification registration order
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
@@ -2562,6 +2787,14 @@ _VERIFY_FIRST = [
     "window_moving_avg_range",
     "rollup_events_time_hierarchy",
     "yoy_monthly_revenue_growth",
+    # corpus-curation extensions (round-2, never driver-verified)
+    "chunk_dedup_sources",
+    "gopher_repetition",
+    "pii_redaction",
+    "contamination_trigram_overlap",
+    "pack_sequences_256",
+    "unigram_logprob_scores",
+    "tfidf_top_terms",
     # reshaping + stats + skew
     "stats_summary",
     "pivot_status_by_priority",
