@@ -130,3 +130,47 @@ def test_tfidf_top_term_prefers_rare(spark):
     # doc1: rare has idf ln(2) > common's ln(1)=0 even at tf=2
     assert got[1] == "rare"
     assert got[2] == "stuff"
+
+
+# ----------------------------------------------------- connected components
+
+
+def _graph(spark, nodes, edges):
+    n = spark.createDataFrame([(x,) for x in nodes], "node long")
+    e = spark.createDataFrame(edges or [(None, None)], "src long, dst long").filter(
+        F.col("src").isNotNull()
+    )
+    return n, e
+
+
+def test_cc_two_components_and_isolated(spark):
+    from unified_firmographic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    n, e = _graph(spark, [1, 2, 3, 4, 5, 9], [(2, 1), (3, 2), (4, 5)])
+    got = {r["node"]: r["component"] for r in connected_components(n, e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 9: 9}
+
+
+def test_cc_chain_converges_across_rounds(spark):
+    from unified_firmographic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    # 0-1-2-...-7 chain: min label must travel the full diameter
+    n, e = _graph(spark, list(range(8)), [(i, i + 1) for i in range(7)])
+    got = {r["node"]: r["component"] for r in connected_components(n, e).collect()}
+    assert got == {i: 0 for i in range(8)}
+
+
+def test_cc_raises_when_bound_too_small(spark):
+    import pytest as _pytest
+
+    from unified_firmographic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    n, e = _graph(spark, list(range(6)), [(i, i + 1) for i in range(5)])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(n, e, max_iter=2)

@@ -97,3 +97,54 @@ def test_scd2_current_filters_open_only(spark):
     s1 = scd2_apply(s0, src(spark, [("A", "y", T1)]), "key", "last_updated")
     assert scd2_current(s1).count() == 1
     assert s1.filter(F.col(VALID_TO).isNotNull()).count() == 1
+
+
+# ------------------------------------------------- check strategy (dbt) ----
+
+
+def test_scd2_check_strategy_evolution(spark):
+    """dbt strategy='check': new version iff any check_col differs
+    (null-safe); unchanged rows untouched; hard deletes close at run_ts;
+    reinsertion opens a fresh version."""
+    from datetime import datetime
+
+    from unified_firmographic_data_pipeline_spark.operators.scd2 import (
+        VALID_FROM,
+        VALID_TO,
+        scd2_apply_check,
+        scd2_current,
+    )
+
+    t1, t2, t3 = (datetime(2025, 1, d) for d in (1, 2, 3))
+
+    def src(rows):
+        return spark.createDataFrame(rows, "k long, city string, state string")
+
+    snap = scd2_apply_check(None, src([(1, "Austin", "TX"), (2, None, "CA")]),
+                            "k", ["city", "state"], t1)
+    assert snap.count() == 2 and scd2_current(snap).count() == 2
+
+    # run 2: k1 city changes; k2 identical (NULL city compares null-safe);
+    # k3 appears
+    snap = scd2_apply_check(
+        snap, src([(1, "Dallas", "TX"), (2, None, "CA"), (3, "Miami", "FL")]),
+        "k", ["city", "state"], t2,
+    )
+    rows = {(r["k"], r[VALID_FROM], r[VALID_TO]) for r in snap.collect()}
+    assert (1, t1, t2) in rows and (1, t2, None) in rows  # versioned
+    assert (2, t1, None) in rows  # untouched (null-safe compare)
+    assert (3, t2, None) in rows
+
+    # run 3: k2 vanishes (hard delete), k1 unchanged vs its open version
+    snap = scd2_apply_check(snap, src([(1, "Dallas", "TX"), (3, "Miami", "FL")]),
+                            "k", ["city", "state"], t3)
+    cur = {r["k"]: r for r in scd2_current(snap).collect()}
+    assert set(cur) == {1, 3}
+    closed2 = [r for r in snap.collect() if r["k"] == 2]
+    assert len(closed2) == 1 and closed2[0][VALID_TO] == t3
+
+    # run 4: k2 reinserted -> fresh open version
+    t4 = datetime(2025, 1, 4)
+    snap = scd2_apply_check(snap, src([(2, "Reno", "NV")]), "k", ["city", "state"], t4)
+    k2 = sorted((r[VALID_FROM], r[VALID_TO]) for r in snap.collect() if r["k"] == 2)
+    assert k2 == [(t1, t3), (t4, None)]

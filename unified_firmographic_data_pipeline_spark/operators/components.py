@@ -1,0 +1,81 @@
+"""Connected components over candidate-pair graphs — dedup cluster
+resolution.
+
+Every near-duplicate pipeline ends with this step: LSH/SimHash/chunk-sharing
+produce candidate PAIRS, but retention decisions need CLUSTERS (keep one
+document per component). The public scale algorithm family is min-label
+propagation / alternating star contraction ("Connected Components in
+MapReduce and Beyond", Kiveris et al., SOCC'14).
+
+Implementation: iterative min-label propagation entirely in DataFrame ops —
+each round is one equi-join on the node id plus one aggregation (both
+shuffles on the uniform node key), labels converge to the minimum node id
+reachable in the component. Rounds are bounded by the graph diameter; dedup
+graphs are union-of-near-cliques, so 2-4 rounds in practice (star
+contraction's O(log n) bound matters for pathological chains; the loop
+shares the same per-round shape so swapping the step is local). Each round
+``localCheckpoint``s the label frame: iterative plans otherwise grow
+exponentially in Catalyst and re-execute from the source every round.
+
+The result (min reachable id) is partition- and iteration-order-independent,
+so it is deterministic and SQL-expressible — the DuckDB oracle computes the
+same labels with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the smallest node id in its connected
+    component. ``nodes`` may contain isolated nodes (they label themselves);
+    ``edges`` is treated as undirected (symmetrized internally).
+
+    Returns ``(node, component)``. Raises if ``max_iter`` rounds don't
+    converge (diameter > max_iter — raise the bound for chain-shaped
+    graphs)."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # smallest label among each node's neighbors
+        neigh_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("component").alias("neigh_component"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_component", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("neigh_component", F.col("component")) < F.col("component"))
+                .alias("__changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the bound)"
+    )

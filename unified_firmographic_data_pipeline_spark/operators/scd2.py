@@ -110,6 +110,76 @@ def scd2_apply(
     return closed.select(*data_cols, *META_COLS).unionByName(kept_open).unionByName(inserts)
 
 
+def scd2_apply_check(
+    snapshot: DataFrame | None,
+    source: DataFrame,
+    key: str,
+    check_cols: list[str],
+    run_ts,
+    invalidate_hard_deletes: bool = True,
+) -> DataFrame:
+    """dbt's OTHER snapshot mode, ``strategy='check'``: a new version opens
+    when any of ``check_cols`` differs (null-safe) from the open version —
+    for sources without a reliable ``updated_at``. Public dbt semantics use
+    the snapshot transaction time for ``dbt_updated_at``/``valid_from``;
+    here the caller passes ``run_ts`` explicitly so reruns are
+    deterministic (same design as the batch high-watermark in
+    ``scd2_apply``).
+
+    Same scale shape as ``scd2_apply``: closed history never shuffles; one
+    key-shuffle full-outer join of the open set against the source."""
+    ts_lit = F.lit(run_ts).cast("timestamp")
+    if snapshot is None:
+        return source.select(
+            "*",
+            surrogate_key([F.col(key), ts_lit]).alias(SCD_ID),
+            ts_lit.alias(UPDATED_AT),
+            ts_lit.alias(VALID_FROM),
+            F.lit(None).cast("timestamp").alias(VALID_TO),
+        )
+
+    data_cols = [c for c in snapshot.columns if c not in META_COLS]
+    closed = snapshot.filter(F.col(VALID_TO).isNotNull())
+    open_rows = snapshot.filter(F.col(VALID_TO).isNull())
+
+    src = source.select(
+        F.col(key).alias("__src_key"),
+        F.struct(*source.columns).alias("__src_row"),
+    )
+    joined = open_rows.join(src, open_rows[key] == src["__src_key"], "full_outer")
+
+    is_new_key = open_rows[key].isNull()
+    is_gone = F.col("__src_key").isNull()
+    diff = None
+    for c in check_cols:
+        d = ~open_rows[c].eqNullSafe(F.col(f"__src_row.{c}"))
+        diff = d if diff is None else (diff | d)
+    is_changed = (~is_new_key) & (~is_gone) & (diff if diff is not None else F.lit(False))
+
+    kept_open = joined.filter(~is_new_key).select(
+        *[open_rows[c] for c in data_cols],
+        open_rows[SCD_ID],
+        open_rows[UPDATED_AT],
+        open_rows[VALID_FROM],
+        F.when(is_changed, ts_lit)
+        .when(is_gone & F.lit(invalidate_hard_deletes), ts_lit)
+        .otherwise(open_rows[VALID_TO])
+        .alias(VALID_TO),
+    )
+    inserts = (
+        joined.filter(is_new_key | is_changed)
+        .select(F.col("__src_row.*"))
+        .select(
+            *data_cols,
+            surrogate_key([F.col(key), ts_lit]).alias(SCD_ID),
+            ts_lit.alias(UPDATED_AT),
+            ts_lit.alias(VALID_FROM),
+            F.lit(None).cast("timestamp").alias(VALID_TO),
+        )
+    )
+    return closed.select(*data_cols, *META_COLS).unionByName(kept_open).unionByName(inserts)
+
+
 def scd2_current(snapshot: DataFrame) -> DataFrame:
     """Current-state projection (J2): open rows only
     (``WHERE dbt_valid_to IS NULL`` — ``dim_location.sql:7``,

@@ -2735,6 +2735,56 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "neardup_cluster_components",
+    rf"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(t[(i*10+1):least((i+1)*10, len(t))], ' ')) AS chunk_fp
+        FROM toks,
+             UNNEST(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)) AS u(i)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM chunks a JOIN chunks b
+          ON a.chunk_fp = b.chunk_fp AND a.doc_id <> b.doc_id),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT p.dst AS node, r.lbl FROM reach r JOIN pairs p ON p.src = r.node)
+    SELECT node AS doc_id, min(lbl) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: candidate pairs (documents sharing a
+    10-token chunk fingerprint) -> connected components via iterative
+    min-label propagation (operators/components.py). The step every dedup
+    pipeline needs between pair generation and keep-one-per-cluster
+    retention. Deterministic labels (min doc_id reachable), so the DuckDB
+    oracle recomputes them with a recursive CTE."""
+    from unified_firmographic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", F.explode(token_chunks("text", 10)).alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    return connected_components(
+        d.select(F.col("doc_id").alias("node")), pairs
+    ).select(F.col("node").alias("doc_id"), "component")
+
+
 # --------------------------------------------------------------------------
 # Driver-verification registration order
 # --------------------------------------------------------------------------
@@ -2795,6 +2845,7 @@ _VERIFY_FIRST = [
     "pack_sequences_256",
     "unigram_logprob_scores",
     "tfidf_top_terms",
+    "neardup_cluster_components",
     # reshaping + stats + skew
     "stats_summary",
     "pivot_status_by_priority",
