@@ -240,3 +240,40 @@ def test_scrape_table_index_out_of_range(tmp_path):
             "https://x", str(tmp_path), "s", table_index=3,
             opener=lambda u: b"<table><tr><th>a</th></tr></table>",
         )
+
+
+def test_http_json_datasource_file_urls(spark, tmp_path):
+    """A1 as a real engine source: Spark 4 Python Data Source, one partition
+    per URL (parallel fetch), RAW shape out, file:// replay for tests."""
+    from unified_firmographic_data_pipeline_spark.sources.http_source import HttpJsonDataSource
+
+    d1, d2 = tmp_path / "a.json", tmp_path / "b.json"
+    d1.write_text(json.dumps([{"Symbol": "MMM"}]))
+    d2.write_text(json.dumps({"items": [{"rank": 1}]}))
+    spark.dataSource.register(HttpJsonDataSource)
+    df = (
+        spark.read.format("http_json")
+        .option("urls", f"file://{d1},file://{d2}")
+        .option("source", "unit")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one partition per endpoint
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {0, 1}
+    assert json.loads(rows[0]["payload"]) == [{"Symbol": "MMM"}]
+    assert json.loads(rows[1]["payload"]) == {"items": [{"rank": 1}]}
+    assert all(r["source"] == "unit" and r["ingested_at"] is not None for r in rows.values())
+
+
+def test_http_json_datasource_rejects_bad_json(spark, tmp_path):
+    import pytest
+
+    from unified_firmographic_data_pipeline_spark.sources.http_source import HttpJsonDataSource
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("<html>oops</html>")
+    spark.dataSource.register(HttpJsonDataSource)
+    df = spark.read.format("http_json").option("urls", f"file://{bad}").load()
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "JSONDecodeError" in str(ei.value) or "Expecting value" in str(ei.value)
