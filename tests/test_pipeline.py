@@ -258,3 +258,26 @@ def test_ephemeral_model_inlined(spark, tmp_path):
     # an ephemeral ref outside run() also works (fresh Context, lazy inline)
     ctx = Context(spark=spark, catalog=cat, graph=g)
     assert ctx.ref("doubled").count() == 10
+
+
+def test_schema_drift_tolerance(spark, tmp_path):
+    """The reference keeps raw payloads as VARIANT precisely for schema
+    drift (RM:20,46). Engine analogue: payload stays an unparsed JSON
+    string; the staging from_json casts through a declared schema, so
+    unknown new fields are ignored and missing fields surface as NULL —
+    no pipeline failure either way."""
+    from tests.fixtures import T0, WIKI_ROWS_T0, fortune_payload, raw_df, wiki_payload
+    from unified_firmographic_data_pipeline_spark.plans.firmographics import GRAPH
+    from unified_firmographic_data_pipeline_spark.sources.catalog import Catalog
+
+    drifted = [dict(r) for r in WIKI_ROWS_T0]
+    drifted[0]["Brand New Column"] = "surprise"  # additive drift: ignored
+    del drifted[-1]["Founded"]  # removal drift: NULL, not a crash
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.overwrite(raw_df(spark, wiki_payload(drifted), "wikipedia_sp500", T0), "raw", "wiki_sp500")
+    cat.overwrite(raw_df(spark, fortune_payload(), "fortune500", T0), "raw", "fortune_500")
+    GRAPH.run(spark, cat, run_tests=True)
+    stg = {r["symbol"]: r for r in cat.read("staging", "stg_wiki_sp500").collect()}
+    assert stg["MMM"]["company_name"] == "3M Company"  # row with extra field parsed fine
+    assert "Brand New Column" not in cat.read("staging", "stg_wiki_sp500").columns
+    assert stg["WMT"]["founded_year"] is None  # dropped field -> NULL

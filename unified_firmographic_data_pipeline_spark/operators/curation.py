@@ -41,9 +41,10 @@ def chunk_dedup_stats(docs: DataFrame, width: int = 10) -> DataFrame:
     """C4-style window("line")-level dedup statistics per source: how many
     fixed-width token chunks each source contributes and how many are
     corpus-unique. Scale shape: explode -> md5 chunk key -> per-chunk
-    first-owner via min(doc) -> per-source counts. Two shuffles, both on
-    uniform 32-hex keys; raw text never moves (only ``width``-token
-    chunks)."""
+    first-owner as a window ``min(doc_id)`` over the fingerprint partition
+    (ONE shuffle on the uniform 32-hex key — a groupBy+self-join would
+    shuffle the same data and then join it back) -> per-source counts.
+    Raw text never moves, only ``width``-token chunks."""
     chunks = docs.select(
         "doc_id",
         "source",
@@ -51,13 +52,13 @@ def chunk_dedup_stats(docs: DataFrame, width: int = 10) -> DataFrame:
     ).select("doc_id", "source", F.md5(F.col("chunk")).alias("chunk_fp"))
     # corpus-wide: a chunk is "kept" for its first owner (min doc_id),
     # duplicated elsewhere — the C4 rule "keep one occurrence".
-    owner = chunks.groupBy("chunk_fp").agg(F.min("doc_id").alias("owner_doc"))
+    owner_doc = F.min("doc_id").over(Window.partitionBy("chunk_fp"))
     return (
-        chunks.join(owner, "chunk_fp")
+        chunks.withColumn("__owner", owner_doc)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_chunks"),
-            F.count(F.when(F.col("doc_id") == F.col("owner_doc"), 1)).alias("n_kept"),
+            F.count(F.when(F.col("doc_id") == F.col("__owner"), 1)).alias("n_kept"),
         )
         .withColumn("n_dropped", F.col("n_chunks") - F.col("n_kept"))
     )
