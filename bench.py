@@ -73,6 +73,16 @@ HEADLINE = [
     # curation extensions (corpus-wide shuffle shapes)
     "chunk_dedup_sources",
     "unigram_logprob_scores",
+    # round-2 batch 8: sampling, sketches, clustering, z-order, robust
+    # normalization, incremental maintenance, forward as-of
+    "heavy_hitter_tokens",
+    "kmeans_assign_iter1",
+    "zorder_locality_buckets",
+    "winsorized_value_stats",
+    "zscore_outliers_by_type",
+    "incremental_agg_merge",
+    "asof_forward_tolerance",
+    "hash_sample_bernoulli",
 ]
 
 

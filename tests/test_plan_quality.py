@@ -34,6 +34,9 @@ BNLJ_ALLOWED = {
     "embedding_dup_pairs",
     "unigram_logprob_scores",
     "tfidf_top_terms",
+    # structurally-1-row broadcast (corpus token total) joined to the
+    # distinct-token counts — same scalar-subquery shape as q11
+    "heavy_hitter_tokens",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -137,3 +137,52 @@ def violation_filter(df: DataFrame, condition: Column) -> DataFrame:
     """B6: rows violating a business rule (test passes iff empty) —
     ``tests/test_fortune_profit_not_exceed_revenue.sql:3-6`` analogue."""
     return df.filter(condition)
+
+
+# -- incremental aggregate maintenance ------------------------------------
+
+#: merge rule per aggregate kind: how two partial states combine.
+_MERGEABLE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def agg_state(df: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]]) -> DataFrame:
+    """Build a partial-aggregate state table: one row per key with columns
+    named by ``aggs`` = {out_col: (kind, src_col)}, kind in sum|count|min|max.
+    ``avg`` is intentionally absent — maintain (sum, count) and divide at
+    read time; an average is not mergeable on its own."""
+    exprs = []
+    for out, (kind, src) in aggs.items():
+        if kind == "count":
+            exprs.append(F.count(src if src != "*" else F.lit(1)).alias(out))
+        elif kind in _MERGEABLE:
+            exprs.append(getattr(F, kind)(src).alias(out))
+        else:
+            raise ValueError(f"non-mergeable aggregate kind {kind!r} for {out}")
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def merge_agg_state(
+    state: DataFrame | None,
+    delta_state: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Fold a new batch's partial aggregates into the maintained state —
+    the incremental-rollup pattern: at 100 TB you re-aggregate the DELTA
+    (small) and merge, never the full history. ``union + re-agg`` keeps it
+    one shuffle of (keys × 2 rows max per key); counts merge by SUM, sums
+    by SUM, min/max by min/max — exactly the partial/final split Spark
+    itself uses inside hash aggregation, lifted to run-over-run state.
+
+    Equivalence contract (property-tested): ``merge_agg_state(agg_state(a),
+    agg_state(b)) == agg_state(a ∪ b)`` for any split of the input.
+    """
+    if state is None:
+        return delta_state
+    merged_exprs = []
+    for out, (kind, _src) in aggs.items():
+        fn = _MERGEABLE.get(kind)
+        if fn is None:
+            raise ValueError(f"non-mergeable aggregate kind {kind!r} for {out}")
+        merged_exprs.append(fn(out).alias(out))
+    return state.unionByName(delta_state).groupBy(*keys).agg(*merged_exprs)

@@ -1,0 +1,83 @@
+"""Deterministic, reproducible sampling operators.
+
+Training-data pipelines need samples that are (a) stable across reruns and
+engines (an audit at 100 TB must reproduce the same subset), (b) computable
+in one narrow pass with no shuffle for the Bernoulli form, and (c) exactly
+k-per-group for the reservoir-analogue form. Spark's ``df.sample`` is
+seed-stable only within one Spark version *and* one partition layout, so
+none of these use it: the randomness source is a cryptographic hash of the
+row key, which is layout- and engine-independent (the DuckDB oracles
+reproduce it bit-for-bit).
+
+Reference surface: the reference pipeline has no sampling operator; this
+extends SURVEY.md §2's LLM-curation set (stratified sampling already exists
+in operators/dedup.py — these are its deterministic exact-k / Bernoulli
+cousins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_uniform(key: F.Column) -> F.Column:
+    """A uniform-in-[0,1) double derived from md5(key): the first 13 hex
+    digits (52 bits — exactly a double's mantissa, so the int->double cast
+    is lossless) scaled by 16^-13. Engine-independent: any system with md5
+    and hex parsing reproduces it exactly."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**13))
+
+
+def bernoulli_hash_sample(
+    df: DataFrame, key: F.Column | str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose ``hash_uniform(salt || key)`` < ``fraction``.
+
+    A narrow per-row filter: no shuffle, no state, pushes below joins, and
+    the SAME rows survive on any cluster size, engine, or rerun. ``salt``
+    decorrelates independent samples of the same population.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    if salt:
+        key = F.concat(F.lit(salt), key.cast("string"))
+    return df.filter(hash_uniform(key) < F.lit(fraction))
+
+
+def hash_topk_per_group(
+    df: DataFrame, group_cols: list[str], key: F.Column | str, k: int
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by smallest
+    ``hash_uniform(key)`` — the deterministic analogue of per-group
+    reservoir sampling (each subset of size k is equally likely over the
+    hash's uniformity, but the draw is reproducible).
+
+    One window shuffle on ``group_cols``; rank-filter prunes before any
+    downstream work. The hash itself tiebreaks identically in every engine
+    because md5 collisions aside, keys are unique.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_uniform(key).asc(), key.asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def split_train_eval(
+    df: DataFrame, key: F.Column | str, eval_fraction: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Adds a deterministic ``split`` column ('train' / 'eval') from the
+    keyed hash — the standard leakage-safe corpus split: a document lands in
+    the same split in every run, pipeline stage, and engine, so train/eval
+    contamination cannot creep in through re-partitioning."""
+    key = F.col(key) if isinstance(key, str) else key
+    u = hash_uniform(F.concat(F.lit(salt), key.cast("string")))
+    return df.withColumn(
+        "split", F.when(u < F.lit(eval_fraction), "eval").otherwise("train")
+    )

@@ -105,3 +105,56 @@ def exact_quantiles_bracketed(
         else:
             out[c] = vals[k]
     return out
+
+
+def winsorize(
+    df: DataFrame, col: str, p_lo: float = 0.05, p_hi: float = 0.95
+) -> DataFrame:
+    """Clip ``col`` to its [p_lo, p_hi] exact interpolated quantiles —
+    the standard outlier-robust normalization before scoring/weighting a
+    corpus. Adds ``<col>_w`` (clipped) and ``<col>_clipped`` (bool).
+
+    Quantiles come from :func:`exact_quantiles_bracketed` (bounded memory,
+    two extra passes); the clip itself is a narrow codegen'd projection, so
+    the whole thing is scan-dominated at any scale."""
+    lo = exact_quantiles_bracketed(df, {col: p_lo})[col]
+    hi = exact_quantiles_bracketed(df, {col: p_hi})[col]
+    c = F.col(col)
+    return df.withColumn(
+        f"{col}_w", F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    ).withColumn(f"{col}_clipped", (c < F.lit(lo)) | (c > F.lit(hi)))
+
+
+def zscore_normalize(df: DataFrame, col: str, by: list[str]) -> DataFrame:
+    """Per-group z-score with CROSS-ENGINE-EXACT two-pass moments.
+
+    Single-pass variance (sum of squares minus squared sum) is both
+    numerically unstable and engine-order-dependent. Instead:
+
+    - pass 1: per-group micro-unit integer sum + count -> mean (exact —
+      every engine derives the identical double from the same integers);
+    - pass 2: per-group integer sum of ``round((x-mean)^2 * 1e6)`` —
+      deviations from an identical mean, squared and quantized identically,
+      summed as integers (order-free) -> sample stddev.
+
+    Two shuffles on ``by`` + two broadcast joins of the tiny moment tables.
+    Adds ``<col>_z`` rounded to 6 digits (the quantization noise floor).
+    """
+    c = F.col(col).cast("double")
+    m1 = df.groupBy(*by).agg(
+        F.sum(F.round(c * 1e6).cast("long")).alias("__s"),
+        F.count(c).alias("__n"),
+    ).withColumn("__mean", F.col("__s").cast("double") / F.lit(1e6) / F.col("__n"))
+    with_mean = df.join(F.broadcast(m1.select(*by, "__mean", "__n")), by)
+    dev = F.round((c - F.col("__mean")) * (c - F.col("__mean")) * 1e6).cast("long")
+    m2 = with_mean.groupBy(*by).agg(F.sum(dev).alias("__ss"))
+    with_sd = with_mean.join(F.broadcast(m2), by).withColumn(
+        "__sd",
+        F.sqrt(F.col("__ss").cast("double") / F.lit(1e6) / (F.col("__n") - 1)),
+    )
+    return with_sd.withColumn(
+        f"{col}_z",
+        F.when(
+            F.col("__sd") > 0, F.round((c - F.col("__mean")) / F.col("__sd"), 6)
+        ),
+    ).drop("__s", "__n", "__mean", "__ss", "__sd")

@@ -28,16 +28,26 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
     tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row (same key,
-    right.ts <= left.ts). Left rows with no prior right row keep NULLs.
+    """For each left row, attach the nearest right row on the chosen side
+    (same key; ``backward``: right.ts <= left.ts takes the latest such row,
+    ``forward``: right.ts >= left.ts takes the earliest). Left rows with no
+    candidate keep NULLs — pandas ``merge_asof`` semantics, distributed.
 
-    Implementation: union tagged frames, sort within key by (ts, right
-    first on ties), carry right values forward with a ``last(ignorenulls)``
-    window, then keep left rows. Right-side columns come back suffixed.
+    Implementation: union tagged frames, sort within key by ts (right rows
+    adjacent to the boundary on the matching side of ties), carry right
+    values across with a ``last``/``first``-ignorenulls running window,
+    then keep left rows. Right-side columns come back suffixed.
     ``tiebreak`` (a right-side column) makes the winner among equal-ts right
-    rows deterministic (highest value wins).
+    rows deterministic (highest value wins). ``tolerance`` (an INTERVAL
+    string, e.g. ``"30 minutes"``) nulls out matches farther than that from
+    the left timestamp — applied AFTER the carry, so it is a projection,
+    not a join-shape change.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
     lt = left.select(
         "*",
@@ -56,25 +66,47 @@ def asof_join(
         F.col(ts).alias("__r_ts"),
     ).withColumn(ts, F.col("__r_ts"))
     unioned = lt.unionByName(rt)
-    # right rows sort before left rows at equal ts (__side 0 < 1), so a
-    # same-timestamp right row IS visible to the left row (<= semantics)
-    order = [F.col(ts).asc(), F.col("__side").asc()]
-    if tiebreak is not None:
-        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts (__side 0 < 1), so a
+        # same-timestamp right row IS visible to the left row (<= semantics)
+        order = [F.col(ts).asc(), F.col("__side").asc()]
+        if tiebreak is not None:
+            order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        # forward: right rows sort AFTER left rows at equal ts so the frame
+        # [current, following] still sees them (>= semantics); among
+        # equal-ts right rows the FIRST in order wins, so the tiebreak
+        # column descends to keep "highest value wins" parity with backward
+        order = [F.col(ts).asc(), F.col("__side").desc()]
+        if tiebreak is not None:
+            order.append(F.col(f"__r_{tiebreak}").desc_nulls_last())
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(*frame)
     carried = unioned.select(
         "*",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in right_cols
         ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+        pick("__r_ts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
     )
-    return carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        within = (
+            F.col(f"{ts}{suffix}").isNotNull()
+            & (F.col(f"{ts}{suffix}") >= F.col(ts) - tol)
+            & (F.col(f"{ts}{suffix}") <= F.col(ts) + tol)
+        )
+        for c in [*right_cols]:
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(within, F.col(f"{c}{suffix}"))
+            )
+        out = out.withColumn(f"{ts}{suffix}", F.when(within, F.col(f"{ts}{suffix}")))
+    return out.select(
         *left.columns, *[f"{c}{suffix}" for c in right_cols], f"{ts}{suffix}"
     )
 

@@ -2788,6 +2788,359 @@ def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Driver-verification registration order
 # --------------------------------------------------------------------------
+# Coverage batch 8 (round 2): deterministic sampling, heavy hitters,
+# k-means assignment, Z-order locality, robust normalization, incremental
+# aggregate maintenance, forward as-of with tolerance
+# --------------------------------------------------------------------------
+
+#: 16^13 == 2^52 — the exact power-of-two divisor behind hash_uniform
+_HEX13 = "4503599627370496.0"
+_U_DOC = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)"
+    f" / {_HEX13}"
+)
+
+
+@q(
+    "hash_sample_bernoulli",
+    f"""
+    SELECT doc_id, source, u FROM (
+        SELECT doc_id, source, {_U_DOC} AS u FROM documents
+    ) WHERE u < 0.25
+    """,
+)
+def hash_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (operators.sampling): keep rows whose
+    md5-derived uniform < 0.25. A narrow pushable filter — identical
+    survivors on any engine, cluster size, or rerun (df.sample is none of
+    those). The 13-hex-digit mantissa trick makes ``u`` itself bit-exact,
+    so the oracle checks the randomness source, not just the row set."""
+    from unified_firmographic_data_pipeline_spark.operators.sampling import hash_uniform
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source", hash_uniform(F.col("doc_id")).alias("u")
+    ).filter(F.col("u") < 0.25)
+
+
+@q(
+    "hash_topk_per_source",
+    f"""
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY {_U_DOC}, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def hash_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group deterministic sample (reservoir analogue): 3 docs
+    per source by smallest keyed hash. One window shuffle on the group
+    key."""
+    from unified_firmographic_data_pipeline_spark.operators.sampling import (
+        hash_topk_per_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_topk_per_group(d, ["source"], "doc_id", 3).select("source", "doc_id")
+
+
+@q(
+    "train_eval_split_counts",
+    f"""
+    SELECT source, split, COUNT(*) AS n_docs FROM (
+        SELECT source,
+               CASE WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                         / {_HEX13} < 0.1
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    ) GROUP BY source, split
+    """,
+)
+def train_eval_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: membership is a pure function of the
+    document key, so no re-partition or rerun can migrate a document across
+    the split boundary (operators.sampling.split_train_eval)."""
+    from unified_firmographic_data_pipeline_spark.operators.sampling import (
+        split_train_eval,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        split_train_eval(d, "doc_id", eval_fraction=0.1)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@q(
+    "heavy_hitter_tokens",
+    r"""
+    WITH t AS (
+        SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+            FROM documents
+        ) WHERE token <> '' GROUP BY token
+    ), tot AS (SELECT SUM(n) AS s FROM t)
+    SELECT token, n FROM t, tot WHERE n * 200 >= s
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens with >= 0.5% corpus share. The share
+    threshold is integer arithmetic (n*200 >= total) — no doubles, no
+    rounding trap. Token counts shuffle as (token, partial) thanks to
+    map-side combine; the total is a 1-row broadcast (allowlisted BNLJ).
+    The bounded-memory cousin (operators.sketches.misra_gries) covers the
+    case where even the distinct-token set is too big to shuffle —
+    property-tested to be a superset of this exact result."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("s"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 200 >= F.col("s"))
+        .select("token", "n")
+    )
+
+
+@q(
+    "kmeans_assign_iter1",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(list_zip(e.embedding, c.ce),
+                   x -> CAST(round((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                                 * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * 1e6) AS BIGINT))) AS dm
+        FROM embeddings e CROSS JOIN c
+    ),
+    a AS (SELECT vec_id, cid, dm,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d)
+    SELECT CAST(cid AS INTEGER) AS cluster_id, COUNT(*) AS n_vecs,
+           CAST(SUM(dm) AS BIGINT) AS inertia_micro
+    FROM a WHERE rn = 1 GROUP BY cid
+    """,
+)
+def kmeans_assign_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step (operators.clustering): 8 deterministic
+    centroids (smallest vec_ids) enter as broadcast literals; every row
+    computes 8 integer-micro squared distances inside one codegen'd
+    projection — no join, no shuffle until the k-row size rollup. The
+    integer distances make argmin + inertia bit-exact cross-engine; the
+    full Lloyd's loop (kmeans_fit) is pytest-covered against a numpy
+    reference."""
+    from unified_firmographic_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        cluster_sizes,
+        init_centroids_by_id,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = init_centroids_by_id(e, 8)
+    return cluster_sizes(assign_clusters(e, centroids))
+
+
+_Z_SQL_COLS = ["CAST(p_partkey AS BIGINT)", "CAST(p_size AS BIGINT)"]
+
+
+@q(
+    "zorder_locality_buckets",
+    None,  # placeholder; real SQL assigned below (needs the generated expression)
+)
+def zorder_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-curve bucket stats (operators.zorder): interleave
+    (p_partkey, p_size) bits, group by the top 16 bits. Each bucket's
+    min/max extents stay tight in BOTH dimensions — the property that makes
+    Z-ordered parquet skip files for predicates on either column. Pure
+    integer expressions; the oracle evaluates the identical 32-term bit
+    sum."""
+    from unified_firmographic_data_pipeline_spark.operators.zorder import z_value
+
+    p = _t(spark, sf_dir, "part")
+    z = z_value(["p_partkey", "p_size"])
+    return (
+        p.withColumn("z_bucket", F.shiftright(z, 16))
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p_partkey").alias("min_pk"),
+            F.max("p_partkey").alias("max_pk"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    from unified_firmographic_data_pipeline_spark.operators.zorder import z_value_sql
+
+    return f"""
+    SELECT ({z_value_sql(_Z_SQL_COLS)} >> 16) AS z_bucket, COUNT(*) AS n,
+           MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk,
+           MIN(p_size) AS min_size, MAX(p_size) AS max_size
+    FROM part GROUP BY 1
+    """
+
+
+ORACLES["zorder_locality_buckets"] = _zorder_sql()
+
+
+@q(
+    "winsorized_value_stats",
+    f"""
+    WITH b AS (SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+               FROM events)
+    SELECT event_type, COUNT(*) AS n_rows,
+           COUNT(CASE WHEN value < lo OR value > hi THEN 1 END) AS n_clipped,
+           {_S('LEAST(GREATEST(value, lo), hi)')} AS w_sum
+    FROM events, b GROUP BY event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) value stats per event type. The clip
+    bounds come from operators.stats.exact_quantiles_bracketed — the
+    memory-bounded exact interpolated quantile, bit-identical to DuckDB's
+    quantile_cont — so the comparison thresholds agree across engines and
+    the clipped micro-sum is exact."""
+    from unified_firmographic_data_pipeline_spark.operators.stats import winsorize
+
+    e = _t(spark, sf_dir, "events")
+    w = winsorize(e, "value", 0.05, 0.95)
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("value_clipped"), 1)).alias("n_clipped"),
+        _dsum("value_w").alias("w_sum"),
+    )
+
+
+@q(
+    "zscore_outliers_by_type",
+    """
+    WITH m1 AS (
+        SELECT event_type,
+               (CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6) / COUNT(value) AS mean,
+               COUNT(value) AS n
+        FROM events GROUP BY event_type
+    ), m2 AS (
+        SELECT e.event_type,
+               SUM(CAST(round((value - mean) * (value - mean) * 1e6) AS BIGINT)) AS ss
+        FROM events e JOIN m1 USING (event_type) GROUP BY e.event_type
+    ), z AS (
+        SELECT e.event_type,
+               round((value - mean) / sqrt((CAST(ss AS DOUBLE) / 1e6) / (n - 1)), 6) AS zv
+        FROM events e JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+    )
+    SELECT event_type, COUNT(CASE WHEN abs(zv) > 2 THEN 1 END) AS n_outliers,
+           CAST(SUM(CAST(round(zv * 1e6) AS BIGINT)) AS BIGINT) AS z_checksum
+    FROM z GROUP BY event_type
+    """,
+)
+def zscore_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier counts via the two-pass cross-engine-exact
+    moments in operators.stats.zscore_normalize: integer micro-sums give
+    every engine the identical mean, the second pass sums integer-quantized
+    squared deviations from that identical mean, and the resulting z is
+    rounded at the quantization floor. Single-pass variance would be
+    engine-order-dependent AND numerically unstable."""
+    from unified_firmographic_data_pipeline_spark.operators.stats import zscore_normalize
+
+    e = _t(spark, sf_dir, "events")
+    z = zscore_normalize(e, "value", ["event_type"])
+    return z.groupBy("event_type").agg(
+        F.count(F.when(F.abs(F.col("value_z")) > 2, 1)).alias("n_outliers"),
+        F.sum(F.round(F.col("value_z") * 1e6).cast("long")).alias("z_checksum"),
+    )
+
+
+@q(
+    "incremental_agg_merge",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {_S('o_totalprice')} AS sum_price,
+           CAST(MAX(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS max_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators.incremental.agg_state /
+    merge_agg_state): history split at 1997-01-01 into a maintained state
+    and a new-batch delta; each side partial-aggregates independently and
+    the partials merge by the sum/sum/max rules. The oracle is the full
+    recompute — the merge contract is that they are indistinguishable.
+    Integer micro-units make the split-vs-full sums exactly equal (double
+    partial sums would differ in final ULPs by association).
+
+    At 100 TB this is THE pattern for maintained rollups: re-aggregate only
+    the delta, merge k rows per key, never rescan history."""
+    from unified_firmographic_data_pipeline_spark.operators.incremental import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "m", F.round(F.col("o_totalprice") * 1e6).cast("long")
+    )
+    keys = ["o_orderstatus", "o_orderpriority"]
+    aggs = {"n_orders": ("count", "*"), "s": ("sum", "m"), "mx": ("max", "m")}
+    cut = F.lit("1997-01-01").cast("date")
+    state = agg_state(o.filter(F.col("o_orderdate") < cut), keys, aggs)
+    delta = agg_state(o.filter(F.col("o_orderdate") >= cut), keys, aggs)
+    merged = merge_agg_state(state, delta, keys, aggs)
+    return merged.select(
+        *keys,
+        "n_orders",
+        (F.col("s").cast("double") / F.lit(1e6)).alias("sum_price"),
+        (F.col("mx").cast("double") / F.lit(1e6)).alias("max_price"),
+    )
+
+
+@q(
+    "asof_forward_tolerance",
+    """
+    SELECT a.event_id, a.user_id, a.ts,
+           (SELECT b.event_id FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'click'
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            ORDER BY b.ts ASC, b.event_id DESC LIMIT 1) AS event_id_asof,
+           (SELECT min(b.ts) FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'click'
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE) AS ts_asof
+    FROM events a WHERE a.event_type = 'purchase'
+    """,
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (pandas merge_asof semantics,
+    distributed): each purchase matches the NEXT click of the same user
+    within 30 minutes. Same union-and-carry shape as the backward join —
+    one shuffle, no pair explosion — with the frame flipped to
+    [current, following] and the tolerance applied as a post-carry
+    projection. The oracle's correlated subqueries are the semantics; the
+    engine's plan is the scalable rewrite."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        right_cols=["event_id"],
+        direction="forward",
+        tolerance="30 minutes",
+        tiebreak="event_id",
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations). To rotate external
@@ -2854,6 +3207,18 @@ _VERIFY_FIRST = [
     "array_higher_order_stats",
     "salted_hot_key_agg",
     "salted_join_nation_revenue",
+    # round-2 additions (batch 8): first five fill the remaining r02 window
+    # slots; the rest queue immediately after for the r03 rotation
+    "heavy_hitter_tokens",
+    "winsorized_value_stats",
+    "incremental_agg_merge",
+    "asof_forward_tolerance",
+    "hash_sample_bernoulli",
+    "zscore_outliers_by_type",
+    "kmeans_assign_iter1",
+    "zorder_locality_buckets",
+    "hash_topk_per_source",
+    "train_eval_split_counts",
 ]
 
 _VERIFY_LAST = [
