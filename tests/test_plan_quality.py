@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     # structurally-1-row broadcast (corpus token total) joined to the
     # distinct-token counts — same scalar-subquery shape as q11
     "heavy_hitter_tokens",
+    # three 1-row funnel-stage counts cross-joined into one summary row
+    "funnel_click_signup_purchase",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

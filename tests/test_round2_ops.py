@@ -293,3 +293,78 @@ def test_asof_join_matches_pandas(spark, direction, tolerance):
         .head()
         .to_string()
     )
+
+
+# -- weighted sampling -------------------------------------------------------
+
+
+def test_weighted_hash_sample_respects_weights(spark):
+    from unified_firmographic_data_pipeline_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    # two strata: ids < 500 carry weight 9, the rest weight 1. A k=200
+    # weighted draw from 1000 rows should strongly favor the heavy stratum.
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.when(F.col("id") < 500, 9.0).otherwise(1.0).alias("w")
+    )
+    got = weighted_hash_sample(df, "id", "w", k=200)
+    heavy = got.filter("id < 500").count()
+    assert got.count() == 200
+    assert heavy > 150, f"heavy stratum underdrawn: {heavy}/200"
+    # deterministic: same draw every time, any layout
+    again = weighted_hash_sample(df.repartition(17), "id", "w", k=200)
+    assert set(r["id"] for r in got.collect()) == set(r["id"] for r in again.collect())
+    # per-group variant returns exactly k per group
+    g = df.withColumn("grp", (F.col("id") % 2).cast("int"))
+    per = weighted_hash_sample(g, "id", "w", k=10, group_cols=["grp"])
+    assert {r["n"] for r in per.groupBy("grp").agg(F.count("*").alias("n")).collect()} == {10}
+
+
+# -- format round-trips ------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["orc", "csv", "json"])
+def test_columnar_and_text_format_round_trips(spark, tmp_path, fmt):
+    """The engine's tables survive ORC / CSV / JSON round-trips with schema
+    intact (CSV/JSON re-apply the schema on read; ORC carries it)."""
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") * 0.5).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    path = str(tmp_path / fmt)
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)
+    r = spark.read
+    if fmt in ("csv", "json"):
+        r = r.schema(df.schema)
+        if fmt == "csv":
+            r = r.option("header", True)
+    got = r.format(fmt).load(path)
+    # nullability flags legitimately widen on text-format reads; names and
+    # types must survive exactly
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+# -- CDC snapshot diff -------------------------------------------------------
+
+
+def test_table_diff_classifies_null_transitions(spark):
+    from unified_firmographic_data_pipeline_spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (5, "e")], ["k", "v"]
+    )
+    got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    # NULL -> value and value -> NULL are CHANGES (null-safe compare), not
+    # unchanged; missing keys classify by side
+    assert got == {1: "unchanged", 2: "changed", 3: "changed", 4: "deleted", 5: "inserted"}

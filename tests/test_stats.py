@@ -80,3 +80,18 @@ def test_mixed_null_and_clean_columns(spark):
     got = exact_quantiles_bracketed(df, {"a": 0.75, "b": 0.25})
     assert got["a"] == _reference(df, "a", 0.75)
     assert got["b"] == _reference(df, "b", 0.25)
+
+
+def test_exact_quantiles_pairs_same_column_twice(spark):
+    """winsorize's shape: two probabilities of ONE column share the passes
+    and must both be exact."""
+    from unified_firmographic_data_pipeline_spark.operators.stats import (
+        exact_quantiles_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
+    lo, hi, med = exact_quantiles_pairs(df, [("x", 0.05), ("x", 0.95), ("x", 0.5)])
+    assert lo == df.agg(F.percentile("x", F.lit(0.05))).first()[0]
+    assert hi == df.agg(F.percentile("x", F.lit(0.95))).first()[0]
+    assert med == df.agg(F.percentile("x", F.lit(0.5))).first()[0]

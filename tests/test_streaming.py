@@ -242,3 +242,36 @@ def test_stream_upsert_sink(spark, tmp_path):
     assert [
         d for d in os.listdir(tmp_path) if d.startswith("state_table") and d != "state_table"
     ] == []
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids arriving within
+    the watermark horizon collapse to one row, and state for expired keys
+    is evictable (the unbounded-state hazard of plain dropDuplicates on a
+    24x7 stream). Batch-squashed via availableNow over one file batch."""
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), "click", 1.0),
+            (1, datetime(2024, 1, 1, 10, 5), "click", 1.0),   # dup inside horizon
+            (2, datetime(2024, 1, 1, 10, 7), "view", 2.0),
+        ],
+    )
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2]

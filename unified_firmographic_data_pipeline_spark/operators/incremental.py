@@ -16,6 +16,7 @@ The delta filter itself is a pushed-down Parquet predicate on the source.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Any
@@ -186,3 +187,36 @@ def merge_agg_state(
             raise ValueError(f"non-mergeable aggregate kind {kind!r} for {out}")
         merged_exprs.append(fn(out).alias(out))
     return state.unionByName(delta_state).groupBy(*keys).agg(*merged_exprs)
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare_cols: list[str] | None = None
+) -> DataFrame:
+    """Snapshot diff (CDC derivation): classify every key as ``inserted`` /
+    ``deleted`` / ``changed`` / ``unchanged`` between two table versions —
+    the batch analogue of a CDC feed, and the input SCD2 consumes.
+
+    One full-outer join on the key (both sides shuffle once); change
+    detection is a null-safe struct inequality so NULL-vs-value edits count
+    as changes. Returns keys + change_type + both sides' compare columns
+    (old_/new_ prefixed).
+    """
+    compare_cols = compare_cols or [c for c in new.columns if c not in keys]
+    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols]).withColumn(
+        "__in_old", F.lit(True)
+    )
+    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]).withColumn(
+        "__in_new", F.lit(True)
+    )
+    joined = o.join(n, keys, "full_outer")
+    same = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols],
+    )
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("inserted"))
+        .when(F.col("__in_new").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.withColumn("change_type", change).drop("__in_old", "__in_new")

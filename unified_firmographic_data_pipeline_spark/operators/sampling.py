@@ -81,3 +81,33 @@ def split_train_eval(
     return df.withColumn(
         "split", F.when(u < F.lit(eval_fraction), "eval").otherwise("train")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key: F.Column | str,
+    weight: F.Column | str,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted sample without replacement, deterministic: the
+    Efraimidis–Spirakis A-Res scheme with the keyed hash as the randomness
+    source — row priority ``u^(1/w)`` (equivalently ``ln(u)/w``, larger is
+    better), take the global (or per-group) top k. Inclusion probability is
+    proportional to weight; reruns and engines agree because ``u`` does.
+
+    One window shuffle (or a global top-k) — the standard scalable
+    weighted-reservoir rewrite.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    weight = F.col(weight) if isinstance(weight, str) else weight
+    # ln(u) < 0; dividing by a larger weight moves priority toward 0 (best)
+    prio = F.log(hash_uniform(key)) / weight.cast("double")
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(prio.desc(), key.asc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return df.withColumn("__prio", prio).orderBy(F.col("__prio").desc(), key.asc()).limit(k).drop("__prio")

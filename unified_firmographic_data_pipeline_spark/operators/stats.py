@@ -24,53 +24,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_quantiles_bracketed(
+def exact_quantiles_pairs(
     df: DataFrame,
-    cols_probs: dict[str, float],
+    pairs: list[tuple[str, float]],
     accuracy: int = 10_000,
-) -> dict[str, float]:
-    """Exact interpolated quantile (``percentile_cont`` semantics) per
-    {column: probability}, computed with bounded memory. Returns driver
-    scalars (the same tier as watermark reads)."""
-    cols = list(cols_probs)
+) -> list[float]:
+    """Exact interpolated quantiles (``percentile_cont`` semantics) for a
+    list of (column, probability) pairs — the same column may appear under
+    several probabilities (winsorize needs p05 AND p95 of one column) and
+    all pairs share the same three passes. Returns driver scalars (the same
+    tier as watermark reads), one per pair, in order."""
+    cols = list(dict.fromkeys(c for c, _ in pairs))
     # Pass 1: per-column NON-NULL counts (percentile / approx_percentile /
     # percentile_cont all ignore NULLs, so ranks must be computed over the
     # non-null population — df.count() would shift every rank on a column
     # containing NULLs and could silently return a wrong quantile).
     row0 = df.agg(*[F.count(c).alias(c) for c in cols]).first()
     n_nonnull = {c: row0[c] for c in cols}
-    out: dict[str, float] = {c: float("nan") for c in cols if n_nonnull[c] == 0}
-    live = [c for c in cols if n_nonnull[c] > 0]
+    out: list[float | None] = [None] * len(pairs)
+    live = [i for i, (c, _) in enumerate(pairs) if n_nonnull[c] > 0]
+    for i, (c, _) in enumerate(pairs):
+        if n_nonnull[c] == 0:
+            out[i] = float("nan")
     if not live:
-        return out
+        return out  # type: ignore[return-value]
     # Pass 1b: bracket values for every requested quantile, one job.
-    brackets: dict[str, tuple[float, float, float]] = {}
+    brackets: dict[int, float] = {}
     agg_exprs = []
-    for c in live:
-        p, n = cols_probs[c], n_nonnull[c]
+    for i in live:
+        c, p = pairs[i]
+        n = n_nonnull[c]
         rank = p * (n - 1)  # 0-indexed fractional rank within non-nulls
         delta = max(2.0 * n / accuracy, 2.0)
         p_lo = max(0.0, (math.floor(rank) - delta) / max(n - 1, 1))
         p_hi = min(1.0, (math.floor(rank) + 1 + delta) / max(n - 1, 1))
         agg_exprs.append(
-            F.approx_percentile(c, F.array(F.lit(p_lo), F.lit(p_hi)), F.lit(accuracy)).alias(c)
+            F.approx_percentile(c, F.array(F.lit(p_lo), F.lit(p_hi)), F.lit(accuracy)).alias(
+                f"q{i}"
+            )
         )
-        brackets[c] = (rank, p_lo, p_hi)
+        brackets[i] = rank
     row = df.agg(*agg_exprs).first()
-    bounds = {c: (row[c][0], row[c][1]) for c in live}
+    bounds = {i: (row[f"q{i}"][0], row[f"q{i}"][1]) for i in live}
 
     # Pass 2: exact global rank of each bracket's lower bound, one job.
     row2 = df.agg(
         *[
-            F.count(F.when(F.col(c) < F.lit(bounds[c][0]), 1)).alias(c)
-            for c in live
+            F.count(F.when(F.col(pairs[i][0]) < F.lit(bounds[i][0]), 1)).alias(f"q{i}")
+            for i in live
         ]
     ).first()
-    n_below = {c: row2[c] for c in live}
+    n_below = {i: row2[f"q{i}"] for i in live}
 
-    for c in live:
-        rank, _, _ = brackets[c]
-        lo, hi = bounds[c]
+    for i in live:
+        c, p = pairs[i]
+        rank = brackets[i]
+        lo, hi = bounds[i]
         k = math.floor(rank)
         frac = rank - k
         need_hi = min(k + 1, n_nonnull[c] - 1)
@@ -86,7 +95,7 @@ def exact_quantiles_bracketed(
         # walk cumulative counts: global rank range of value v_i is
         # [n_below + cum_before, n_below + cum_after)
         vals: dict[int, float] = {}  # needed global rank -> value
-        cum = n_below[c]
+        cum = n_below[i]
         for r in hist:
             nxt = cum + r["count"]
             for target in (k, need_hi):
@@ -95,16 +104,28 @@ def exact_quantiles_bracketed(
             cum = nxt
         if k not in vals or need_hi not in vals:
             # bracket missed (approx error beyond bound) — exact fallback
-            out[c] = df.agg(F.percentile(c, F.lit(cols_probs[c]))).first()[0]
+            out[i] = df.agg(F.percentile(c, F.lit(p))).first()[0]
             continue
         if frac > 0:
             lower, upper = vals[k], vals[need_hi]
             # the weighted form both Spark's Percentile and DuckDB's
             # quantile_cont evaluate (bit-different from lower+(upper-lower)*f)
-            out[c] = lower * (1.0 - frac) + upper * frac
+            out[i] = lower * (1.0 - frac) + upper * frac
         else:
-            out[c] = vals[k]
-    return out
+            out[i] = vals[k]
+    return out  # type: ignore[return-value]
+
+
+def exact_quantiles_bracketed(
+    df: DataFrame,
+    cols_probs: dict[str, float],
+    accuracy: int = 10_000,
+) -> dict[str, float]:
+    """Dict convenience wrapper over :func:`exact_quantiles_pairs` — one
+    probability per column."""
+    items = list(cols_probs.items())
+    vals = exact_quantiles_pairs(df, items, accuracy)
+    return {c: v for (c, _), v in zip(items, vals)}
 
 
 def winsorize(
@@ -114,11 +135,11 @@ def winsorize(
     the standard outlier-robust normalization before scoring/weighting a
     corpus. Adds ``<col>_w`` (clipped) and ``<col>_clipped`` (bool).
 
-    Quantiles come from :func:`exact_quantiles_bracketed` (bounded memory,
-    two extra passes); the clip itself is a narrow codegen'd projection, so
-    the whole thing is scan-dominated at any scale."""
-    lo = exact_quantiles_bracketed(df, {col: p_lo})[col]
-    hi = exact_quantiles_bracketed(df, {col: p_hi})[col]
+    Quantiles come from :func:`exact_quantiles_pairs` (bounded memory; both
+    bounds share the same three passes); the clip itself is a narrow
+    codegen'd projection, so the whole thing is scan-dominated at any
+    scale."""
+    lo, hi = exact_quantiles_pairs(df, [(col, p_lo), (col, p_hi)])
     c = F.col(col)
     return df.withColumn(
         f"{col}_w", F.least(F.greatest(c, F.lit(lo)), F.lit(hi))

@@ -3140,6 +3140,362 @@ def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "join_full_outer_user_activity",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+         p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(n_clicks, 0) AS n_clicks,
+           COALESCE(n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def join_full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join of two pre-aggregated sides (users who only
+    click vs only purchase both survive, zero-filled). Aggregating BEFORE
+    the join keeps the outer join on k-row inputs — the scale-correct order;
+    outer-joining raw streams first would shuffle every event row."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        c.withColumnRenamed("user_id", "cu")
+        .join(p.withColumnRenamed("user_id", "pu"), F.col("cu") == F.col("pu"), "full_outer")
+        .select(
+            F.coalesce("cu", "pu").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+_BIGRAMS_SQL = r"""
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+         UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 2
+"""
+
+
+def _bigrams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) bigram stream — token-array zip with its own tail,
+    all JVM array expressions (no Python), exploded once."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        d.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+@q(
+    "bigram_condprob_topk",
+    rf"""
+    WITH bg AS ({_BIGRAMS_SQL}),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1)
+    SELECT w1, w2, n2, CAST(n2 AS DOUBLE) / n1 AS condprob
+    FROM c2 JOIN c1 USING (w1)
+    WHERE n2 >= 20
+    ORDER BY condprob DESC, w1, w2 LIMIT 20
+    """,
+)
+def bigram_condprob_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation: P(w2|w1) = c(w1,w2)/c(w1), top
+    collocations by conditional probability. The denominator derives from
+    the bigram counts themselves (one shuffle feeds both levels); the ratio
+    of two exact integers is the identical double in every engine — no
+    rounding needed, even in the ORDER BY."""
+    c2 = _bigrams_df(spark, sf_dir).groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    return (
+        c2.join(c1, "w1")
+        .filter(F.col("n2") >= 20)
+        .select(
+            "w1", "w2", "n2", (F.col("n2").cast("double") / F.col("n1")).alias("condprob")
+        )
+        .orderBy(F.col("condprob").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@q(
+    "doc_bigram_logprob",
+    rf"""
+    WITH bg AS ({_BIGRAMS_SQL}),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1),
+    lm AS (SELECT w1, w2,
+                  CAST(round(ln(CAST(n2 AS DOUBLE) / n1) * 1e6) AS BIGINT) AS lnp_micro
+           FROM c2 JOIN c1 USING (w1))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           (CAST(SUM(lnp_micro) AS DOUBLE) / 1e6) / COUNT(*) AS avg_logprob
+    FROM bg JOIN lm USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability — the bigram upgrade of the
+    CCNet-style unigram scorer (lower = more surprising text). The LM table
+    is vocabulary²-bounded and joins back to the bigram stream by (w1, w2);
+    ln is micro-rounded per DISTINCT bigram before the integer sum, the
+    proven JVM-vs-libm ULP neutralizer."""
+    bg = _bigrams_df(spark, sf_dir)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    lm = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("n2").cast("double") / F.col("n1")) * 1e6)
+        .cast("long")
+        .alias("lnp_micro"),
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            ((F.sum("lnp_micro").cast("double") / F.lit(1e6)) / F.count("*")).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+@q(
+    "value_histogram_width_bucket",
+    """
+    SELECT event_type,
+           CASE WHEN value < 0 THEN 0
+                WHEN value >= 500 THEN 21
+                ELSE CAST(FLOOR((value - 0) / ((500.0 - 0) / 20)) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type, bucket
+    """,
+)
+def value_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` (21 = overflow bucket):
+    one narrow projection + one groupBy — the single-shuffle histogram that
+    replaces any collect-and-bin pattern. The oracle spells out the
+    identical floor arithmetic (DuckDB has no width_bucket)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.width_bucket("value", F.lit(0), F.lit(500), F.lit(20)).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "mad_robust_outliers",
+    """
+    WITH m AS (SELECT median(value) AS med, mad(value) AS md FROM events)
+    SELECT round(med, 6) AS median_value, round(md, 6) AS mad_value,
+           (SELECT COUNT(CASE WHEN abs(value - med) > 3.5 * 1.4826 * md THEN 1 END)
+            FROM events) AS n_outliers
+    FROM m
+    """,
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation + modified-z outlier count — the robust
+    scale estimator (immune to the very outliers it hunts, unlike stddev).
+    Both medians run through exact_quantiles_pairs (bounded memory, exact
+    percentile_cont interpolation == DuckDB's median/mad); the 1.4826
+    normal-consistency constant is the standard Iglewicz–Hoaglin cutoff."""
+    from unified_firmographic_data_pipeline_spark.operators.stats import (
+        exact_quantiles_pairs,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    (med,) = exact_quantiles_pairs(e, [("value", 0.5)])
+    dev = e.withColumn("adev", F.abs(F.col("value") - F.lit(med)))
+    (mad,) = exact_quantiles_pairs(dev, [("adev", 0.5)])
+    return e.agg(
+        F.round(F.lit(med), 6).alias("median_value"),
+        F.round(F.lit(mad), 6).alias("mad_value"),
+        F.count(
+            F.when(F.abs(F.col("value") - F.lit(med)) > 3.5 * 1.4826 * mad, 1)
+        ).alias("n_outliers"),
+    )
+
+
+@q(
+    "funnel_click_signup_purchase",
+    """
+    WITH c AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+    s AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t1
+          WHERE e.event_type = 'signup' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM s) AS n_signed_after_click,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_signup
+    """,
+)
+def funnel_click_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (click -> signup -> purchase): each stage is a keyed
+    min-timestamp aggregate joined to the next stage's candidate events —
+    k-row tables after the first aggregate, so stages 2 and 3 join small
+    sides. The MATCH_RECOGNIZE-free funnel shape every event warehouse
+    runs."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    c = e.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        c.agg(F.count("*").alias("n_clicked"))
+        .crossJoin(F.broadcast(s.agg(F.count("*").alias("n_signed_after_click"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count("*").alias("n_purchased_after_signup")))
+        )
+    )
+
+
+@q(
+    "cohort_weekly_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(cw AS VARCHAR) AS cohort_week,
+           CAST(floor(date_diff('day', cw,
+                                CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS INTEGER)
+               AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen USING (user_id)
+    GROUP BY cw, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen ISO week,
+    counted distinct per activity-week offset. The first-seen table is one
+    keyed aggregate (k rows) broadcast back onto the stream; the retention
+    count is one distinct-agg shuffle. Monday-start date_trunc('week')
+    agrees across engines."""
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .withColumn("cohort_week", F.col("cohort_week").cast("string"))
+    )
+
+
+@q(
+    "snapshot_diff_counts",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderdate < DATE '1996-01-01'
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderdate < DATE '1997-01-01'
+          AND NOT (o_orderkey % 13 = 0 AND o_orderdate < DATE '1996-01-01')
+    )
+    SELECT change_type, COUNT(*) AS n FROM (
+        SELECT CASE WHEN old.o_orderkey IS NULL THEN 'inserted'
+                    WHEN new.o_orderkey IS NULL THEN 'deleted'
+                    WHEN old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+                     AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS change_type
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+    ) GROUP BY change_type
+    """,
+)
+def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators.incremental.table_diff): two derived
+    order snapshots (later window adds rows; %13 keys dropped = deletes;
+    %97 keys repriced = changes) classified inserted/deleted/changed/
+    unchanged via ONE full-outer join with null-safe comparison — the diff
+    feed SCD2 and incremental MERGE consume."""
+    from unified_firmographic_data_pipeline_spark.operators.incremental import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        .filter(
+            ~(
+                (F.col("o_orderkey") % 13 == 0)
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return (
+        table_diff(old, new, ["o_orderkey"])
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
@@ -3219,6 +3575,14 @@ _VERIFY_FIRST = [
     "zorder_locality_buckets",
     "hash_topk_per_source",
     "train_eval_split_counts",
+    "join_full_outer_user_activity",
+    "bigram_condprob_topk",
+    "doc_bigram_logprob",
+    "value_histogram_width_bucket",
+    "mad_robust_outliers",
+    "funnel_click_signup_purchase",
+    "cohort_weekly_retention",
+    "snapshot_diff_counts",
 ]
 
 _VERIFY_LAST = [
