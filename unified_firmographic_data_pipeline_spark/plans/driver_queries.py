@@ -3496,6 +3496,199 @@ def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "window_distribution_ranks",
+    """
+    SELECT event_id,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist — the distribution-rank window family
+    (completes rank/dense_rank/ntile from window_rank_variants). Both are
+    ratios of exact integers, so no rounding is needed even cross-engine;
+    ties on value rank identically in both engines by SQL semantics."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return e.select(
+        "event_id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@q(
+    "set_ops_all_counts",
+    """
+    WITH a AS (SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 150000),
+         b AS (SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union_all' AS op, (SELECT COUNT(*) FROM (SELECT ck FROM a UNION ALL SELECT ck FROM b)) AS n
+    UNION ALL
+    SELECT 'intersect_all', (SELECT COUNT(*) FROM (SELECT ck FROM a INTERSECT ALL SELECT ck FROM b))
+    UNION ALL
+    SELECT 'except_all', (SELECT COUNT(*) FROM (SELECT ck FROM a EXCEPT ALL SELECT ck FROM b))
+    """,
+)
+def set_ops_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (UNION ALL / INTERSECT ALL / EXCEPT
+    ALL) — the multiplicity-preserving variants the round-1 set queries
+    didn't cover. intersectAll/exceptAll plan as a count-compare aggregate
+    per key, one shuffle each; no distinct-ing of the inputs."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("ck"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("ck")
+    )
+    def labeled(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        labeled("union_all", a.unionAll(b))
+        .unionByName(labeled("intersect_all", a.intersectAll(b)))
+        .unionByName(labeled("except_all", a.exceptAll(b)))
+    )
+
+
+@q(
+    "regexp_extract_all_number_stats",
+    r"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_runs,
+           CAST(SUM(list_sum(list_transform(regexp_extract_all(props, '[0-9]+'),
+                                            x -> CAST(x AS BIGINT)))) AS BIGINT) AS digit_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def regexp_extract_all_number_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` + array fold: every digit run in the raw JSON
+    props, counted and summed per event type — one projection, one groupBy
+    (the all-matches cousin of D2's single-path extraction)."""
+    e = _t(spark, sf_dir, "events")
+    runs = F.regexp_extract_all("props", F.lit("[0-9]+"), 0)
+    return (
+        e.select(
+            "event_type",
+            F.size(runs).alias("nr"),
+            F.aggregate(
+                F.transform(runs, lambda x: x.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("ds"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("nr").alias("n_runs"),
+            F.sum("ds").alias("digit_sum"),
+        )
+    )
+
+
+@q(
+    "daily_spine_zero_filled",
+    """
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                      INTERVAL 1 DAY))::DATE AS d
+    ), daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(spine.d AS VARCHAR) AS day, COALESCE(daily.n, 0) AS n_purchases
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def daily_spine_zero_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: generate the date range with
+    ``F.sequence`` + explode (a 31-row local relation — no data scan),
+    left-join the daily aggregate, zero-fill misses. The idiom that makes
+    time series dense for downstream window math; the daily aggregate is
+    the only shuffle."""
+    e = _t(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(daily, "d", "left").select(
+        F.col("d").cast("string").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_purchases"),
+    )
+
+
+@q(
+    "fuzzy_name_match_blocked",
+    """
+    WITH c AS (SELECT c_name, substr(c_name, 10, 9) AS sfx FROM customer),
+         s AS (SELECT s_name, substr(s_name, 10, 9) AS sfx FROM supplier)
+    SELECT c_name, s_name,
+           CAST(levenshtein(c.sfx, s.sfx) AS INTEGER) AS dist
+    FROM c JOIN s ON substr(c.sfx, 1, 7) = substr(s.sfx, 1, 7)
+    WHERE levenshtein(c.sfx, s.sfx) <= 1
+    """,
+)
+def fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching — the firmographic record-linkage
+    shape: block on a 7-char key prefix (equi-join, shuffled hash), then
+    Levenshtein <= 1 within blocks only. Never all-pairs: candidate count
+    is sum of block-size products, the standard blocking recall/cost
+    tradeoff, and the oracle mirrors the SAME blocking so the contract is
+    explicit."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_name", F.substring("c_name", 10, 9).alias("c_sfx")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_name", F.substring("s_name", 10, 9).alias("s_sfx")
+    )
+    return (
+        c.join(
+            s,
+            F.substring("c_sfx", 1, 7) == F.substring("s_sfx", 1, 7),
+        )
+        .filter(F.levenshtein("c_sfx", "s_sfx") <= 1)
+        .select(
+            "c_name", "s_name", F.levenshtein("c_sfx", "s_sfx").alias("dist")
+        )
+    )
+
+
+@q(
+    "grouped_median_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def grouped_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact quantiles via ``F.percentile`` — the right tier when
+    groups are numerous and individually small (each group's values fit one
+    aggregation buffer). The global-scope twin is exact_quantiles_pairs
+    (bounded memory, for when a single group IS the dataset) — stats_summary
+    uses that tier; this query documents the grouped one."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+        F.count("*").alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
@@ -3583,6 +3776,13 @@ _VERIFY_FIRST = [
     "funnel_click_signup_purchase",
     "cohort_weekly_retention",
     "snapshot_diff_counts",
+    # batch-12 additions (round 2): queue for the r03 verification window
+    "window_distribution_ranks",
+    "set_ops_all_counts",
+    "regexp_extract_all_number_stats",
+    "daily_spine_zero_filled",
+    "fuzzy_name_match_blocked",
+    "grouped_median_by_type",
 ]
 
 _VERIFY_LAST = [
