@@ -76,15 +76,19 @@ def q(name: str, sql: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
-        # read as long and truncate to micros — exactly what DuckDB does when
-        # it surfaces the column as its micros TIMESTAMP.
+        # events.parquet has stored ts as TIMESTAMP(NANOS) (surfacing as a
+        # long, or natively as TIMESTAMP_NTZ depending on writer/reader
+        # version). Normalize every variant to session-TZ TIMESTAMP (the
+        # session pins UTC) so all queries see one type: DuckDB's naive
+        # micros TIMESTAMP and our UTC instant carry identical wall times.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
