@@ -83,6 +83,12 @@ HEADLINE = [
     "incremental_agg_merge",
     "asof_forward_tolerance",
     "hash_sample_bernoulli",
+    # round-2 batch 13: basket pairs (map-side pair gen), Markov transitions,
+    # RFM quartiles (partitioned ntile), first-touch attribution
+    "market_basket_pairs",
+    "event_transition_probs",
+    "rfm_customer_segments",
+    "first_touch_attribution",
 ]
 
 

@@ -3694,6 +3694,536 @@ def grouped_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 13 (round 2): market-basket pairs, RFM segmentation, Markov event
+# transitions, daily distinct-user growth, first-touch attribution, Benford
+# digit audit, inter-order gap stats, partitioned equi-depth bins.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "market_basket_pairs",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY p1, p2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 30
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (association-rule support counts). The
+    oracle's self-join on l_orderkey is the textbook shape but shuffles
+    lineitem TWICE and explodes skewed orders; here baskets are aggregated
+    once (sorted part array per order) and pairs are generated MAP-SIDE from
+    each array (``posexplode`` + ``slice``) — one shuffle to build baskets,
+    one to count pairs, no self-join. Per-order fan-out is k(k-1)/2 with the
+    small per-order k, not data-size-dependent."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    left = baskets.select("parts", F.posexplode("parts").alias("i", "p1"))
+    pairs = left.select(
+        "p1", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(30)
+    )
+
+
+@q(
+    "rfm_customer_segments",
+    """
+    WITH m AS (
+      SELECT o_custkey, c_mktsegment,
+             MAX(o_orderdate) AS recency,
+             COUNT(*) AS freq,
+             SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS mon_micro
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_custkey, c_mktsegment
+    ), s AS (
+      SELECT c_mktsegment, mon_micro,
+             NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY recency, o_custkey) AS r_score,
+             NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY freq, o_custkey) AS f_score,
+             NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY mon_micro, o_custkey) AS m_score
+      FROM m
+    )
+    SELECT c_mktsegment, r_score, f_score, m_score, COUNT(*) AS n_customers,
+           (CAST(SUM(mon_micro) AS DOUBLE) / 1e6) / COUNT(*) AS avg_monetary
+    FROM s GROUP BY c_mktsegment, r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation. NTILE is
+    PARTITIONED by market segment so each quartile sort is a per-partition
+    window, not a global single-reducer sort — the shape that survives a
+    billion customers. Monetary stays in exact micro-units through both the
+    per-customer sum and the per-segment average (one final division).
+    Quartile assignment is made deterministic cross-engine by the
+    (metric, custkey) total order."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.max("o_orderdate").alias("recency"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).alias("mon_micro"),
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    s = m.select(
+        "c_mktsegment",
+        "mon_micro",
+        F.ntile(4).over(seg.orderBy("recency", "o_custkey")).cast("long").alias("r_score"),
+        F.ntile(4).over(seg.orderBy("freq", "o_custkey")).cast("long").alias("f_score"),
+        F.ntile(4).over(seg.orderBy("mon_micro", "o_custkey")).cast("long").alias("m_score"),
+    )
+    return s.groupBy("c_mktsegment", "r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        ((F.sum("mon_micro").cast("double") / F.lit(1e6)) / F.count("*")).alias(
+            "avg_monetary"
+        ),
+    )
+
+
+@q(
+    "event_transition_probs",
+    """
+    WITH o AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS prob
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next|prev) = c(prev,next) / c(prev,*). One window shuffle on user_id
+    (already the natural event partitioning), one |types|^2-bounded groupBy;
+    the row-count ratio of two exact integers is the identical double in
+    every engine."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+    g = (
+        o.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return g.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("prob"),
+    )
+
+
+@q(
+    "cumulative_distinct_users_daily",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+    dd AS (SELECT d, COUNT(*) AS new_users FROM f GROUP BY d)
+    SELECT CAST(d AS VARCHAR) AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM dd
+    """,
+)
+def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active-user growth: cumulative COUNT(DISTINCT user) over time
+    WITHOUT a distinct-per-day blowup — each user is attributed to their
+    first-seen day (one groupBy on the natural user key), then a running sum
+    over the calendar-bounded daily series. The only ordered window runs
+    over ~days rows, not events."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d"))
+    d = f.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        F.col("d").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@q(
+    "first_touch_attribution",
+    f"""
+    WITH fe AS (
+      SELECT user_id, event_type AS first_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events) t WHERE rn = 1
+    )
+    SELECT fe.first_type, COUNT(*) AS n_purchases,
+           {_S("e.value")} AS total_value
+    FROM events e JOIN fe ON e.user_id = fe.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY fe.first_type
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credits the user's first-ever
+    event type. First touch is a rank-1 window per user (same user_id
+    shuffle the purchase join then reuses); purchase value aggregates in
+    exact micro-units."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fe = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fe, "user_id")
+        .groupBy("first_type")
+        .agg(F.count("*").alias("n_purchases"), _dsum("value").alias("total_value"))
+    )
+
+
+@q(
+    "benford_first_digit",
+    """
+    SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share
+    FROM lineitem
+    GROUP BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: distribution of the first significant digit of
+    extended price. Digit extraction is pure string/int expression (JVM
+    codegen); the global share denominator is a 9-row window over the
+    aggregate, not over the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.substring(
+                F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    return g.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
+            "share"
+        ),
+    )
+
+
+@q(
+    "order_gap_stats_by_segment",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_gaps,
+           CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+           MAX(gap_days) AS max_gap_days
+    FROM g JOIN customer ON g.o_custkey = c_custkey
+    WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def order_gap_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence: day gaps between a customer's consecutive
+    orders (LAG over the per-customer order stream), aggregated to segment
+    level. Gaps are exact integers; the mean is one final division. The
+    customer dim is broadcast; the only big shuffle is the o_custkey window,
+    which the groupBy then consumes without a re-shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("gap_days"),
+    )
+    return (
+        g.filter(F.col("gap_days").isNotNull())
+        .join(F.broadcast(c), g.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (F.sum("gap_days").cast("double") / F.count("*")).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )
+
+
+@q(
+    "equi_depth_bins_value",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, decile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+    FROM r GROUP BY event_type, decile
+    """,
+)
+def equi_depth_bins_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-depth (equal-count) bins with exact boundaries — the
+    histogram complement of value_histogram_width_bucket's equi-width bins.
+    NTILE is partitioned by event_type so no global sort exists; min/max are
+    order-insensitive (no float accumulation). At corpus scale with few/huge
+    types, the bracketed exact-quantile operator (operators/stats.py) is the
+    boundary-only tier; this query keeps per-bin membership counts too."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = (
+        e.filter(F.col("value").isNotNull())
+        .select("event_type", "value", F.ntile(10).over(w).cast("long").alias("decile"))
+    )
+    return r.groupBy("event_type", "decile").agg(
+        F.count("*").alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch 14 (round 2): gaps-and-islands streaks, session conversion funnel,
+# FILTER-clause aggregates, closed-form A/B variance, dense-rank top-k.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "event_streaks",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+      FROM events
+    ), r AS (
+      SELECT user_id, event_type, COUNT(*) AS streak_len
+      FROM s GROUP BY user_id, event_type, grp
+    )
+    SELECT event_type, CAST(MAX(streak_len) AS BIGINT) AS max_streak,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(streak_len) AS DOUBLE) / COUNT(*) AS avg_streak
+    FROM r GROUP BY event_type
+    """,
+)
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of the same event type per user via
+    the classic row_number-difference trick — two windows over the SAME
+    user_id shuffle (Spark plans one Exchange; the second sort is
+    partition-local), then pure integer aggregation. No self-join, no
+    sequential scan dependency — the shape that finds streaks in a trillion
+    events."""
+    e = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    r = s.groupBy("user_id", "event_type", "grp").agg(F.count("*").alias("streak_len"))
+    return r.groupBy("event_type").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count("*").alias("n_streaks"),
+        (F.sum("streak_len").cast("double") / F.count("*")).alias("avg_streak"),
+    )
+
+
+@q(
+    "session_conversion_stats",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), y AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ), p AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+             date_diff('microseconds', MIN(ts), MAX(ts)) AS dur_us
+      FROM y GROUP BY user_id, session_id
+    )
+    SELECT converted, COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+           CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1e6 AS avg_dur_sec,
+           CAST(MAX(dur_us) AS DOUBLE) / 1e6 AS max_dur_sec
+    FROM p GROUP BY converted
+    """,
+)
+def session_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion funnel on top of the gap-based
+    ``sessionize`` operator (operators/temporal.py:114): 30-minute-gap
+    sessions, marked converted when they contain a purchase; compares
+    length/duration between converting and non-converting sessions.
+    Durations stay exact integer microseconds until one final division."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", "30 minutes", order_tiebreak="event_id")
+    p = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return p.groupBy("converted").agg(
+        F.count("*").alias("n_sessions"),
+        (F.sum("n_events").cast("double") / F.count("*")).alias("avg_events"),
+        (F.sum("dur_us").cast("double") / F.count("*") / F.lit(1e6)).alias(
+            "avg_dur_sec"
+        ),
+        (F.max("dur_us").cast("double") / F.lit(1e6)).alias("max_dur_sec"),
+    )
+
+
+@q(
+    "filtered_agg_order_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 1e6 AS finished_revenue,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / COUNT(*)
+               AS finished_share
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def filtered_agg_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation surface: SQL FILTER-clause semantics via
+    ``count_if`` / ``sum(when(...))`` — one scan, one shuffle, every branch
+    a JVM expression (the idiom that replaces N self-joins for N
+    conditions). Empty filter groups yield NULL sums in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    micro = F.round(F.col("o_totalprice") * 1e6).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(fin).alias("n_finished"),
+        (F.sum(F.when(fin, micro)).cast("double") / F.lit(1e6)).alias(
+            "finished_revenue"
+        ),
+        (F.count_if(fin).cast("double") / F.count("*")).alias("finished_share"),
+    )
+
+
+@q(
+    "ab_test_value_stats",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant,
+             CAST(round(value * 1e3) AS BIGINT) AS v_milli
+      FROM events WHERE value IS NOT NULL
+    ), a AS (
+      SELECT event_type, variant, COUNT(*) AS n,
+             CAST(SUM(v_milli) AS BIGINT) AS s1,
+             CAST(SUM(v_milli * v_milli) AS BIGINT) AS s2
+      FROM b GROUP BY event_type, variant
+    )
+    SELECT event_type, variant, n,
+           CAST(s1 AS DOUBLE) / n / 1e3 AS mean_value,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+               / (n - 1) / 1e6 AS var_value
+    FROM a
+    """,
+)
+def ab_test_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: hash-split variants with per-arm mean and
+    sample variance from EXACT integer moments (sum and sum-of-squares in
+    milli-units; the closed-form variance is then one fixed scalar double
+    expression — identical IEEE ops in every engine, unlike var_samp whose
+    accumulation order is engine-dependent). Range bound: |group sumsq|
+    < 2^63 milli² holds to ~sf10 for this value range; beyond that switch
+    the moments to DECIMAL(38,0)."""
+    e = _t(spark, sf_dir, "events")
+    b = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 1e3).cast("long").alias("v_milli"),
+    )
+    a = b.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n"),
+        F.sum("v_milli").alias("s1"),
+        F.sum(F.col("v_milli") * F.col("v_milli")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    return a.select(
+        "event_type",
+        "variant",
+        "n",
+        (s1 / n / F.lit(1e3)).alias("mean_value"),
+        ((s2 - s1 * s1 / n) / (n - 1) / F.lit(1e6)).alias("var_value"),
+    )
+
+
+@q(
+    "topk_with_ties_orders",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+    FROM r WHERE rk <= 3
+    """,
+)
+def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group (``dense_rank`` keeps all rows on a tied
+    boundary, unlike ``row_number`` top-n which drops ties arbitrarily) —
+    the correct semantics for leaderboards. Partitioned window, then a
+    rank predicate Spark pushes into the WindowGroupLimit optimization
+    (no full-partition materialization)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.dense_rank().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations). To rotate external
@@ -3787,6 +4317,21 @@ _VERIFY_FIRST = [
     "daily_spine_zero_filled",
     "fuzzy_name_match_blocked",
     "grouped_median_by_type",
+    # batch-13 additions (round 2): queue behind batch 12 for r03+
+    "market_basket_pairs",
+    "rfm_customer_segments",
+    "event_transition_probs",
+    "cumulative_distinct_users_daily",
+    "first_touch_attribution",
+    "benford_first_digit",
+    "order_gap_stats_by_segment",
+    "equi_depth_bins_value",
+    # batch-14 additions (round 2)
+    "event_streaks",
+    "session_conversion_stats",
+    "filtered_agg_order_status",
+    "ab_test_value_stats",
+    "topk_with_ties_orders",
 ]
 
 _VERIFY_LAST = [
