@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -152,3 +154,51 @@ def test_streaming_running_totals(spark, tmp_path):
     )
     by_key = {r["key"]: (r["n_events"], r["total"]) for r in got}
     assert by_key == {1: (2, 30), 2: (1, 5)}
+
+
+def test_tws_running_totals(spark, tmp_path):
+    from unified_firmographic_data_pipeline_spark.streaming.stateful import (
+        TWS_RUNTIME_AVAILABLE,
+        tws_running_totals,
+    )
+
+    if not TWS_RUNTIME_AVAILABLE:
+        pytest.skip("transformWithStateInPandas needs Spark >= 4.0 + protobuf")
+    t = datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t, 1, 10),
+        (2, t, 1, 20),
+        (3, t, 2, 5),
+    ]
+    got = _run_stream(
+        spark,
+        tmp_path,
+        [rows],
+        lambda s: tws_running_totals(s, "key", "value"),
+        "tws_totals_out",
+        "update",
+    )
+    by_key = {r["key"]: (r["n_events"], r["total"]) for r in got}
+    assert by_key == {1: (2, 30), 2: (1, 5)}
+
+
+def test_tws_dedup_by_key_across_batches(spark, tmp_path):
+    from unified_firmographic_data_pipeline_spark.streaming.stateful import (
+        TWS_RUNTIME_AVAILABLE,
+        tws_dedup_by_key,
+    )
+
+    if not TWS_RUNTIME_AVAILABLE:
+        pytest.skip("transformWithStateInPandas needs Spark >= 4.0 + protobuf")
+    t = datetime(2024, 1, 1, 10)
+    batch1 = [(1, t, 100, 1), (2, t, 100, 2), (3, t, 200, 3)]
+    batch2 = [(4, t, 100, 4), (5, t, 300, 5)]  # 100 replays -> dropped
+    got = _run_stream(
+        spark,
+        tmp_path,
+        [batch1, batch2],
+        lambda s: tws_dedup_by_key(s, "key"),
+        "tws_dedup_out",
+        "append",
+    )
+    assert sorted(r["key"] for r in got) == [100, 200, 300]

@@ -117,3 +117,115 @@ def streaming_running_totals(stream: DataFrame, key_col: str, value_col: str) ->
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's successor to applyInPandasWithState):
+# typed per-key state handles (ValueState/ListState/MapState), native state
+# TTL, timers, and schema evolution — the modern home for custom stateful
+# logic. Both per-key operators above are re-expressed here so users on
+# either API level have the same semantics.
+# ------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor
+
+    TWS_AVAILABLE = True
+except ImportError:  # pragma: no cover - older runtime
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    TWS_AVAILABLE = False
+
+# transformWithStateInPandas runs a dedicated Python "driver worker" that
+# speaks protobuf to the JVM; without a working google.protobuf the query
+# fails at initialization (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+# Standard Spark clusters ship protobuf with pyspark[connect]; this sandbox
+# does not, so runtime use is gated exactly like the media codecs.
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    TWS_RUNTIME_AVAILABLE = TWS_AVAILABLE
+except ImportError:
+    TWS_RUNTIME_AVAILABLE = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key running (count, sum) in a typed ValueState."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n LONG, total LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._totals.exists():
+            n, total = self._totals.get()
+        else:
+            n, total = 0, 0
+        for pdf in rows:
+            n += len(pdf)
+            total += int(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+class DedupByKeyProcessor:
+    """First row per key passes; replays drop. With ``ttl_ms`` the
+    seen-marker auto-evicts via native state TTL (no manual timer
+    choreography, unlike the GroupStateTimeout variant above) so state is
+    bounded by live keys x TTL window."""
+
+    def __new__(cls, ttl_ms: int | None = None):
+        # build the concrete StatefulProcessor lazily so importing this
+        # module never requires the Spark 4 API
+        class _P(StatefulProcessor):
+            def init(self, handle) -> None:
+                self._seen = handle.getValueState("seen", "seen LONG", ttl_ms)
+
+            def handleInputRows(self, key, rows, timerValues):
+                n_rows = sum(len(pdf) for pdf in rows)
+                if self._seen.exists():
+                    return
+                self._seen.update((1,))
+                yield pd.DataFrame(
+                    {"key": [key[0]], "first_seen_batch_rows": [n_rows]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return _P()
+
+
+def tws_running_totals(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """``streaming_running_totals`` on the transformWithStateInPandas API."""
+    return (
+        stream.selectExpr(
+            f"CAST({key_col} AS LONG) AS key", f"CAST({value_col} AS LONG) AS value"
+        )
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=TOTALS_OUT_SCHEMA_DDL,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def tws_dedup_by_key(
+    stream: DataFrame, key_col: str, ttl_hours: float | None = None
+) -> DataFrame:
+    """``streaming_dedup_by_key`` on the transformWithStateInPandas API;
+    TTL (when set) is enforced by the state store itself."""
+    ttl_ms = None if ttl_hours is None else int(ttl_hours * 3600_000)
+    return (
+        stream.selectExpr(f"CAST({key_col} AS LONG) AS key", "*")
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=DedupByKeyProcessor(ttl_ms),
+            outputStructType=DEDUP_OUT_SCHEMA_DDL,
+            outputMode="Append",
+            timeMode="None" if ttl_ms is None else "ProcessingTime",
+        )
+    )
