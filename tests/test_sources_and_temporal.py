@@ -277,3 +277,41 @@ def test_http_json_datasource_rejects_bad_json(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         df.collect()
     assert "JSONDecodeError" in str(ei.value) or "Expecting value" in str(ei.value)
+
+
+def test_http_json_stream_polls_and_resumes_from_checkpoint(spark, tmp_path):
+    """A1 streaming tier: the polling stream source checkpoints its poll
+    offset — a second availableNow run on the SAME checkpoint continues at
+    the next offset instead of re-emitting poll 0 (exactly-once offsets)."""
+    from unified_firmographic_data_pipeline_spark.sources.http_source import HttpJsonDataSource
+
+    doc = tmp_path / "feed.json"
+    doc.write_text(json.dumps({"rows": [1, 2]}))
+    spark.dataSource.register(HttpJsonDataSource)
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("http_json")
+            .option("url", f"file://{doc}")
+            .option("source", "poll_unit")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            spark.read.parquet(out).select("id", "payload").collect(),
+            key=lambda r: r["id"],
+        )
+
+    first = run_once()
+    assert [r["id"] for r in first] == [0]
+    assert json.loads(first[0]["payload"]) == {"rows": [1, 2]}
+
+    second = run_once()  # same checkpoint + sink: resumes at next offset
+    assert [r["id"] for r in second] == [0, 1]  # poll 0 NOT re-emitted

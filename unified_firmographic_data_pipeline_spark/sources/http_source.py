@@ -26,7 +26,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 RAW_SCHEMA = "id bigint, source string, ingested_at timestamp, payload string"
 
@@ -79,3 +84,59 @@ class HttpJsonDataSource(DataSource):
 
     def reader(self, schema) -> HttpJsonReader:
         return HttpJsonReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "HttpJsonStreamReader":
+        return HttpJsonStreamReader(self.options)
+
+
+class HttpJsonStreamReader(SimpleDataSourceStreamReader):
+    """Streaming poller for the same endpoint family: each micro-batch GETs
+    the URL once and emits one RAW-shaped row; the offset is the poll
+    counter, checkpointed by Spark, so a restarted query resumes exactly
+    where it stopped (exactly-once at the offset level). ``file://`` URLs
+    replay deterministically, which is also what ``readBetweenOffsets``
+    relies on for failure recovery; live HTTP recovery re-fetches (the
+    at-least-once caveat every non-replayable API source carries).
+    """
+
+    def __init__(self, options: dict):
+        url = options.get("url") or options.get("urls")
+        if not url:
+            raise ValueError("http_json stream requires option 'url'")
+        self.url = url.split(",")[0].strip()
+        self.source = options.get("source", "http_json")
+        self.timeout = float(options.get("timeout", "30"))
+        # bound for availableNow/backfill runs; 0 = unbounded polling
+        self.max_polls = int(options.get("maxPolls", "0"))
+
+    def _fetch_row(self, poll: int):
+        import json
+        from datetime import datetime, timezone
+        from urllib.request import urlopen
+
+        with urlopen(self.url, timeout=self.timeout) as resp:  # noqa: S310
+            text = resp.read().decode("utf-8")
+        json.loads(text)
+        return (
+            poll,
+            self.source,
+            datetime.now(timezone.utc).replace(tzinfo=None),
+            text,
+        )
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def read(self, start: dict):
+        n = start["poll"]
+        if self.max_polls and n >= self.max_polls:
+            return (iter([]), {"poll": n})
+        return (iter([self._fetch_row(n)]), {"poll": n + 1})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            self._fetch_row(i) for i in range(start["poll"], end["poll"])
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
