@@ -89,6 +89,8 @@ HEADLINE = [
     "event_transition_probs",
     "rfm_customer_segments",
     "first_touch_attribution",
+    # iterative graph op (2 joins + 2 aggs per round, lineage-checkpointed)
+    "pagerank_copurchase_top20",
 ]
 
 

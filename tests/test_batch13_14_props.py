@@ -113,3 +113,30 @@ def test_dense_rank_keeps_ties_row_number_drops_them(spark):
     )
     # dense_rank<=2 keeps BOTH score-10 rows and the score-9 row
     assert sorted(r.id for r in with_ties.collect()) == [1, 2, 3]
+
+
+def test_quantized_pagerank_matches_reference_power_iteration(spark):
+    from unified_firmographic_data_pipeline_spark.operators.pagerank import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]  # 4 -> 1 dangling-free chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=3, damping=0.85).collect()}
+
+    # reference: identical quantized recurrence in plain Python
+    from collections import defaultdict
+
+    out = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+    nodes = {n for e in edges for n in e}
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        contrib = defaultdict(int)
+        for s in out:
+            c = round(rank[s] / len(out[s]) * 1e6)
+            for d in out[s]:
+                contrib[d] += c
+        rank = {
+            n: (1.0 - 0.85) + 0.85 * (contrib[n] / 1e6) for n in nodes
+        }
+    assert got == rank  # bit-exact, including the dangling node 4

@@ -4223,6 +4223,58 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "pagerank_copurchase_top20",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), ed AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM ed GROUP BY src),
+    r0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+    c1 AS (SELECT dst, CAST(SUM(CAST(round(rank / deg * 1e6) AS BIGINT)) AS BIGINT) AS m
+           FROM ed JOIN r0 ON ed.src = r0.node GROUP BY dst),
+    r1 AS (SELECT node, deg,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                  + CAST(0.85 AS DOUBLE) * (CAST(COALESCE(m, 0) AS DOUBLE) / 1e6) AS rank
+           FROM r0 LEFT JOIN c1 ON r0.node = c1.dst),
+    c2 AS (SELECT dst, CAST(SUM(CAST(round(rank / deg * 1e6) AS BIGINT)) AS BIGINT) AS m
+           FROM ed JOIN r1 ON ed.src = r1.node GROUP BY dst),
+    r2 AS (SELECT node, deg,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                  + CAST(0.85 AS DOUBLE) * (CAST(COALESCE(m, 0) AS DOUBLE) / 1e6) AS rank
+           FROM r1 LEFT JOIN c2 ON r1.node = c2.dst)
+    SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of quantized PageRank (operators/pagerank.py) over the
+    symmetrized customer<->supplier co-order graph (customers at even node
+    ids, suppliers odd). Per-edge contributions quantize to integer micros
+    before the destination sum, making the iteration bit-stable across
+    partitionings and engines — the oracle unrolls the identical recurrence
+    in SQL."""
+    from unified_firmographic_data_pipeline_spark.operators.pagerank import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=2, damping=0.85)
+    return pr.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
@@ -4332,6 +4384,7 @@ _VERIFY_FIRST = [
     "filtered_agg_order_status",
     "ab_test_value_stats",
     "topk_with_ties_orders",
+    "pagerank_copurchase_top20",
 ]
 
 _VERIFY_LAST = [
