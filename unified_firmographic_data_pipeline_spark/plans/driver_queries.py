@@ -4275,6 +4275,69 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.col("rank").desc(), "node").limit(20)
 
 
+@q(
+    "doc_logistic_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             coalesce(CASE WHEN len({_TOKENS_SQL}) = 0 THEN NULL
+                  ELSE CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE)
+                       / CAST(len({_TOKENS_SQL}) AS DOUBLE) END, 0.0) AS stop_r,
+             coalesce(CASE WHEN length(text) = 0 THEN NULL
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END, 1.0) AS punct_r,
+             CAST(LEAST(length(text), 2000) AS DOUBLE) / CAST(2000.0 AS DOUBLE) AS len_norm
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                 CAST(-1.5 AS DOUBLE)
+                 + CAST(3.0 AS DOUBLE) * stop_r
+                 + CAST(-2.0 AS DOUBLE) * punct_r
+                 + CAST(1.0 AS DOUBLE) * len_norm))), 6) AS score
+      FROM f
+    )
+    SELECT CAST(floor(score * 10) AS INTEGER) AS bucket, COUNT(*) AS n,
+           (CAST(SUM(CAST(round(score * 1e6) AS BIGINT)) AS DOUBLE) / 1e6) / COUNT(*)
+               AS avg_score
+    FROM s GROUP BY bucket
+    """,
+)
+def doc_logistic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring surface: a fixed-weight logistic quality classifier
+    (fasttext-style linear model re-expressed as ONE JVM scalar expression —
+    no UDF, no inference service). Features are exact integer ratios; the
+    single transcendental (exp) is neutralized by 6-decimal rounding before
+    bucketing (the cosine-similarity precedent). Scoring a trillion docs is
+    a projection fused into the scan."""
+    from unified_firmographic_data_pipeline_spark.functions.scoring import logistic_score
+
+    d = _t(spark, sf_dir, "documents")
+    from unified_firmographic_data_pipeline_spark.functions.text import (
+        punct_ratio as _pr,
+        stopword_ratio as _sr,
+    )
+
+    # same 10-term stopword list as the quality_scores oracle
+    stop_r = F.coalesce(_sr("text", LANG_STOPWORDS["en"]), F.lit(0.0))
+    punct_r = F.coalesce(_pr("text"), F.lit(1.0))
+    len_norm = F.least(F.length("text"), F.lit(2000)).cast("double") / F.lit(2000.0)
+    score = F.round(
+        logistic_score(
+            [(stop_r, 3.0), (punct_r, -2.0), (len_norm, 1.0)], intercept=-1.5
+        ),
+        6,
+    )
+    s = d.select(score.alias("score"))
+    return s.groupBy(F.floor(F.col("score") * 10).cast("int").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        (
+            (F.sum(F.round(F.col("score") * 1e6).cast("long")).cast("double") / F.lit(1e6))
+            / F.count("*")
+        ).alias("avg_score"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
@@ -4385,6 +4448,7 @@ _VERIFY_FIRST = [
     "ab_test_value_stats",
     "topk_with_ties_orders",
     "pagerank_copurchase_top20",
+    "doc_logistic_quality",
 ]
 
 _VERIFY_LAST = [
