@@ -368,3 +368,23 @@ def test_table_diff_classifies_null_transitions(spark):
     # NULL -> value and value -> NULL are CHANGES (null-safe compare), not
     # unchanged; missing keys classify by side
     assert got == {1: "unchanged", 2: "changed", 3: "changed", 4: "deleted", 5: "inserted"}
+
+
+def test_incremental_join_delta_matches_full_recompute(spark):
+    from unified_firmographic_data_pipeline_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    a_old = spark.createDataFrame([(1, "x"), (2, "y")], "k long, a string")
+    a_new = spark.createDataFrame([(2, "y2"), (3, "z")], "k long, a string")
+    b_old = spark.createDataFrame([(1, 10), (3, 30)], "k long, b long")
+    b_new = spark.createDataFrame([(2, 20), (3, 31)], "k long, b long")
+
+    delta = incremental_join_delta(a_old, a_new, b_old, b_new, ["k"])
+    old_join = a_old.join(b_old, ["k"])
+    incremental = old_join.unionByName(delta)
+
+    full = a_old.unionByName(a_new).join(b_old.unionByName(b_new), ["k"])
+    got = sorted(map(tuple, incremental.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want

@@ -220,3 +220,31 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.withColumn("change_type", change).drop("__in_old", "__in_new")
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an inner join: the DELTA of
+    ``(a_old + a_delta) JOIN (b_old + b_delta)`` without recomputing the
+    full join, via the standard bilinearity rule
+
+        d(A >< B) = dA >< B  +  A >< dB  +  dA >< dB.
+
+    At 100 TB this is the difference between joining two deltas against the
+    (indexed/bucketed) history and re-joining two histories: each term
+    shuffles at most one full-size input, and when the stored tables are
+    bucketed on the join keys (sources/catalog.py:write_bucketed) the big
+    sides never shuffle at all. Appended to the prior join result this
+    yields exactly the refreshed view (append-only inputs; for updates,
+    compose with table_diff to retract changed rows first).
+    """
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )
