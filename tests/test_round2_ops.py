@@ -388,3 +388,20 @@ def test_incremental_join_delta_matches_full_recompute(spark):
     got = sorted(map(tuple, incremental.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want
+
+
+def test_versioned_catalog_time_travel_and_retention(spark, tmp_path):
+    from unified_firmographic_data_pipeline_spark.sources.catalog import VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path), retain=2)
+    for i in range(4):  # v0..v3; retain=2 keeps v2, v3
+        df = spark.range(i + 1).withColumnRenamed("id", "k")
+        assert cat.write_version(df, "core", "t") == i
+    assert cat.latest_version("core", "t") == 3
+    assert cat.read("core", "t").count() == 4          # latest
+    assert cat.read("core", "t", version=2).count() == 3  # time travel
+    assert cat._versions("core", "t") == [2, 3]        # pruned v0, v1
+    import pytest
+
+    with pytest.raises(Exception):
+        cat.read("core", "t", version=0).count()  # pruned -> unreadable

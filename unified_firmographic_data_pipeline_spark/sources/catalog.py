@@ -126,3 +126,62 @@ def compact_small_files(
         out = out.sortWithinPartitions(*sort_within_by)
     atomic_swap_write(out, path.rstrip("/"))
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+class VersionedCatalog(Catalog):
+    """Catalog with snapshot versioning (poor-man's time travel for plain
+    parquet — with Delta/Iceberg this delegates to native ``VERSION AS OF``).
+
+    Layout: ``<root>/<schema>/<table>/v=N`` directories plus a ``_latest``
+    pointer file written atomically AFTER the version directory is complete
+    (readers following the pointer never see a partial snapshot — same
+    crash-safety contract as ``atomic_swap_write``). ``retain`` bounds disk:
+    old versions beyond it are pruned on write, oldest first.
+
+    What it buys an incremental pipeline: ``read(version=...)`` replays any
+    retained state (debugging a bad backfill, diffing against yesterday via
+    ``table_diff``), and every write is an append of a new directory — no
+    swap window at all for versioned tables.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, retain: int = 3):
+        super().__init__(spark, root)
+        self.retain = retain
+
+    def _versions(self, schema: str, table: str) -> list[int]:
+        base = self.path(schema, table)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        )
+
+    def latest_version(self, schema: str, table: str) -> int | None:
+        ptr = os.path.join(self.path(schema, table), "_latest")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                return int(f.read().strip())
+        vs = self._versions(schema, table)
+        return vs[-1] if vs else None
+
+    def write_version(self, df: DataFrame, schema: str, table: str) -> int:
+        prior = self.latest_version(schema, table)
+        version = 0 if prior is None else prior + 1
+        base = self.path(schema, table)
+        df.write.mode("overwrite").parquet(os.path.join(base, f"v={version}"))
+        ptr_tmp = os.path.join(base, "_latest.tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, os.path.join(base, "_latest"))
+        for v in self._versions(schema, table)[: -self.retain or None]:
+            if v != version:
+                shutil.rmtree(os.path.join(base, f"v={v}"), ignore_errors=True)
+        return version
+
+    def read(self, schema: str, table: str, version: int | None = None) -> DataFrame:
+        v = self.latest_version(schema, table) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no versions of {schema}.{table}")
+        return self.spark.read.parquet(os.path.join(self.path(schema, table), f"v={v}"))
