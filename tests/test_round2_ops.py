@@ -405,3 +405,23 @@ def test_versioned_catalog_time_travel_and_retention(spark, tmp_path):
 
     with pytest.raises(Exception):
         cat.read("core", "t", version=0).count()  # pruned -> unreadable
+
+
+def test_profile_columns_single_pass_counts_nulls_and_extrema(spark):
+    from unified_firmographic_data_pipeline_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("b", None), (None, 3.5), ("a", 2.0)],
+        "s string, v double",
+    )
+    got = {r["col_name"]: r.asDict() for r in profile_columns(df, ["s", "v"]).collect()}
+    assert got["s"]["n"] == 4 and got["s"]["n_null"] == 1
+    assert got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["s"]["min_num"] is None
+    assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 3
+    assert got["v"]["min_num"] == 1.5 and got["v"]["max_num"] == 3.5
+    assert got["v"]["min_str"] is None
+    # one-pass: the plan contains exactly one scan of the input
+    plan = profile_columns(df, ["s", "v"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1

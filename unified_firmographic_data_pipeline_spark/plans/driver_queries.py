@@ -4339,6 +4339,212 @@ def doc_logistic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 15 (round 2): one-pass column profiling, interval concurrency,
+# discrete percentiles, deterministic mode.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "profile_orders_columns",
+    """
+    SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n,
+           COUNT(*) - COUNT(o_orderstatus) AS n_null,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           MIN(o_orderstatus) AS min_str, MAX(o_orderstatus) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling surface (operators/profile.py): per-column counts,
+    nulls, exact distincts and typed extrema in ONE scan (multi-distinct
+    Expand + stack melt — the oracle's UNION ALL of per-column scans is the
+    shape this operator exists to avoid)."""
+    from unified_firmographic_data_pipeline_spark.operators.profile import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    )
+
+
+@q(
+    "concurrent_sessions_peak_daily",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), y AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ), sess AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM y GROUP BY user_id, session_id
+    ), deltas AS (
+      SELECT CAST(s AS DATE) AS d, s AS t, 1 AS delta, user_id, session_id FROM sess
+      UNION ALL
+      SELECT CAST(s AS DATE) AS d, e AS t, -1 AS delta, user_id, session_id FROM sess
+    ), sweep AS (
+      SELECT d, CAST(SUM(delta) OVER (PARTITION BY d
+                 ORDER BY t, delta DESC, user_id, session_id
+                 ROWS UNBOUNDED PRECEDING) AS INTEGER) AS live
+      FROM deltas
+    )
+    SELECT CAST(d AS VARCHAR) AS day, CAST(MAX(live) AS INTEGER) AS peak_concurrent
+    FROM sweep GROUP BY d
+    """,
+)
+def concurrent_sessions_peak_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line trick: +1/-1
+    deltas at session start/end, running sum, max — NO interval self-join
+    (the naive overlap join is quadratic in concurrency). The sweep is
+    partitioned by day so no global ordered window exists; sessions are
+    attributed to their start day (30-min-gap sessions rarely cross
+    midnight; a cross-day split would explode each session into per-day
+    fragments first)."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", "30 minutes", order_tiebreak="event_id")
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = sess.select(
+        F.col("s").cast("date").alias("d"),
+        F.col("s").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_id",
+    ).unionByName(
+        sess.select(
+            F.col("s").cast("date").alias("d"),
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy(F.col("t"), F.col("delta").desc(), "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = deltas.select("d", F.sum("delta").over(w).cast("int").alias("live"))
+    return sweep.groupBy(F.col("d").cast("string").alias("day")).agg(
+        F.max("live").alias("peak_concurrent")
+    )
+
+
+@q(
+    "percentile_disc_by_type",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN value END) AS p50_disc,
+           MAX(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT) THEN value END) AS p90_disc
+    FROM r GROUP BY event_type
+    """,
+)
+def percentile_disc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC semantics (an actual data value at rank
+    ``ceil(p*n)`` — no interpolation, so bit-exactness is free): rank-select
+    via a partitioned window. The continuous twin is
+    ``grouped_median_by_type``. Both ceil operands are forced to DOUBLE on
+    both engines (DuckDB parses bare 0.9 as DECIMAL, whose exact 0.9*n can
+    land one rank away from double 0.9*n)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = (
+        e.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+    )
+    return r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("p50_disc"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("p90_disc"),
+    )
+
+
+@q(
+    "mode_event_type_daily",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+      FROM events GROUP BY d, event_type
+    ), r AS (
+      SELECT d, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT CAST(d AS VARCHAR) AS day, event_type AS modal_type, n
+    FROM r WHERE rk = 1
+    """,
+)
+def mode_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: count + rank with an explicit
+    lexicographic tiebreak (Spark's ``F.mode`` and DuckDB's ``mode()`` both
+    break ties arbitrarily — unusable for cross-engine or even cross-run
+    reproducibility)."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(F.col("ts").cast("date").alias("d"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("d").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.select("d", "event_type", "n", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("event_type").alias("modal_type"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations). To rotate external
@@ -4449,6 +4655,11 @@ _VERIFY_FIRST = [
     "topk_with_ties_orders",
     "pagerank_copurchase_top20",
     "doc_logistic_quality",
+    # batch-15 additions (round 2)
+    "profile_orders_columns",
+    "concurrent_sessions_peak_daily",
+    "percentile_disc_by_type",
+    "mode_event_type_daily",
 ]
 
 _VERIFY_LAST = [
