@@ -425,3 +425,24 @@ def test_profile_columns_single_pass_counts_nulls_and_extrema(spark):
     # one-pass: the plan contains exactly one scan of the input
     plan = profile_columns(df, ["s", "v"])._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("logicalrdd") == 1
+
+
+def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
+    from unified_firmographic_data_pipeline_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    full = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)], "d string, v long"
+    )
+    cat.overwrite_partitions(full, "core", "fact", ["d"])
+    # rewrite ONLY day 2 with different content
+    day2 = spark.createDataFrame([("2024-01-02", 99)], "d string, v long")
+    cat.overwrite_partitions(day2, "core", "fact", ["d"])
+    # partition-dir values are type-inferred on read -> cast back to string
+    got = sorted(
+        map(
+            tuple,
+            cat.read("core", "fact").selectExpr("CAST(d AS STRING) d", "v").collect(),
+        )
+    )
+    assert got == [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)]

@@ -77,6 +77,24 @@ class Catalog:
     def append(self, df: DataFrame, schema: str, table: str) -> None:
         df.write.mode("append").parquet(self.path(schema, table))
 
+    def overwrite_partitions(
+        self, df: DataFrame, schema: str, table: str, partition_by: list[str]
+    ) -> None:
+        """Dynamic partition overwrite: ONLY the partitions present in
+        ``df`` are replaced; untouched partitions stay as-is. The
+        incremental materializer for date-partitioned facts — a backfill of
+        3 days rewrites 3 directories, not the table. (Per-partition
+        replacement is not atomic on a plain filesystem — a crash
+        mid-write can leave the touched partitions partial. Delta/Iceberg
+        `replaceWhere`/`overwritePartitions` close that hole; the
+        full-table `overwrite` path here stays swap-atomic.)"""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self.path(schema, table))
+        )
+
 
 def write_bucketed(
     df: DataFrame,
