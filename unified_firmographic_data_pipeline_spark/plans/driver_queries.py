@@ -4545,6 +4545,104 @@ def mode_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 16 (round 2): GROUPING() subtotal markers, ordered LISTAGG,
+# error-safe arithmetic surface.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "rollup_grouping_id_markers",
+    f"""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS INTEGER) AS g_region,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS g_nation,
+           COUNT(*) AS n_customers, {_S("c.c_acctbal")} AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_grouping_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — the standard way to tell a real
+    NULL key from a subtotal row (a NULL nation name would otherwise be
+    indistinguishable from the per-region subtotal). Same single-shuffle
+    Expand plan as the plain rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count("*").alias("n_customers"),
+        _dsum("c_acctbal").alias("sum_acctbal"),
+    ).select(
+        "r_name", "n_name", "g_region", "g_nation", "n_customers", "sum_acctbal"
+    )
+
+
+@q(
+    "listagg_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def listagg_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG/STRING_AGG: ``collect_set`` -> ``array_sort`` ->
+    ``array_join`` — the deterministic form (an unordered listagg is
+    partition-order-dependent and non-reproducible by construction).
+    Distinct-set size is bounded by the status domain, so the collected
+    arrays stay tiny no matter the row count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@q(
+    "try_arithmetic_safety",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN c_acctbal = 0 THEN NULL
+                         ELSE CAST(round(o_totalprice / c_acctbal * 1e6) AS BIGINT)
+                    END) AS BIGINT) AS ratio_micro_sum,
+           COUNT(CASE WHEN c_acctbal = 0 THEN 1 END) AS n_zero_denom
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderstatus
+    """,
+)
+def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: ``try_divide`` yields NULL (not an
+    ANSI exception, not Inf) on zero denominators, and the NULLs are
+    countable as a quality signal. The oracle spells the CASE guard DuckDB
+    needs for the same semantics."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    ratio = F.try_divide(F.col("o_totalprice"), F.col("c_acctbal"))
+    # try_divide returns non-NULL for nonzero denominators; Inf never occurs
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("c_acctbal") != 0,
+                F.round(ratio * 1e6).cast("long"),
+            )
+        ).alias("ratio_micro_sum"),
+        F.count_if(F.col("c_acctbal") == 0).alias("n_zero_denom"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations). To rotate external
@@ -4660,6 +4758,10 @@ _VERIFY_FIRST = [
     "concurrent_sessions_peak_daily",
     "percentile_disc_by_type",
     "mode_event_type_daily",
+    # batch-16 additions (round 2)
+    "rollup_grouping_id_markers",
+    "listagg_status_by_priority",
+    "try_arithmetic_safety",
 ]
 
 _VERIFY_LAST = [
