@@ -91,6 +91,10 @@ HEADLINE = [
     "first_touch_attribution",
     # iterative graph op (2 joins + 2 aggs per round, lineage-checkpointed)
     "pagerank_copurchase_top20",
+    # batch 15-16: one-pass profiling, sweep-line concurrency, model scoring
+    "profile_orders_columns",
+    "concurrent_sessions_peak_daily",
+    "doc_logistic_quality",
 ]
 
 

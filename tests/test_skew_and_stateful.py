@@ -202,3 +202,12 @@ def test_tws_dedup_by_key_across_batches(spark, tmp_path):
         "append",
     )
     assert sorted(r["key"] for r in got) == [100, 200, 300]
+
+
+def test_diagnose_skew_surfaces_heavy_keys(spark):
+    from unified_firmographic_data_pipeline_spark.operators.skew import diagnose_skew
+
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    got = diagnose_skew(df, ["k"], top=2).collect()
+    assert [(r.k, r.n, r.permille) for r in got] == [("hot", 80, 800), ("warm", 15, 150)]

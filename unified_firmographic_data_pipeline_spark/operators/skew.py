@@ -66,3 +66,23 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return big_s.join(small_s, [key, "__salt"], how).drop("__salt")
+
+
+def diagnose_skew(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
+    """Skew report for a prospective join/groupBy key: top-N heaviest key
+    values with absolute counts and integer-exact permille share — the
+    decision input for ``salted_aggregate``/``salted_join`` (rule of thumb:
+    a key holding >1/num_partitions of the rows straggles its reducer).
+    One aggregation on the key; the total re-enters as a 1-row broadcast."""
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n",
+            (F.col("n") * 1000 / F.col("total")).cast("long").alias("permille"),
+        )
+        .orderBy(F.col("n").desc(), *keys)
+        .limit(top)
+    )
