@@ -24,6 +24,25 @@ import time
 from unified_firmographic_data_pipeline_spark.plans.driver_queries import QUERIES
 from unified_firmographic_data_pipeline_spark.session import get_spark
 
+#: The round-1 baseline set (BENCH_r01.json) — reported as its own subtotal
+#: so the "within 2x of baseline" comparison stays apples-to-apples while
+#: the headline set keeps widening with new operators each round.
+R01_SET = [
+    "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+    "q06_forecast_revenue", "q10_returned_items", "q14_promo_revenue_share",
+    "q18_large_volume_orders", "q19_disjunctive_filter", "join_outer_order_counts",
+    "grouping_sets_sql", "stats_summary", "window_topn_per_group",
+    "window_running_sum", "json_extract_props", "windowed_event_counts",
+    "dedup_exact_documents", "text_stats", "neardup_jaccard_unigram",
+    "ann_cosine_topk", "q07_nation_volume_pairs", "q09_product_profit",
+    "q13_order_count_distribution", "q17_below_avg_quantity",
+    "q21_sole_late_supplier", "range_join_clicks_before_purchase",
+    "asof_purchase_last_click", "sessionization_30m",
+    "rollup_events_time_hierarchy", "window_moving_avg_range",
+    "pivot_status_by_priority", "array_higher_order_stats",
+    "doc_fingerprint_clusters", "curation_pipeline",
+]
+
 #: The headline set: one per operator family (scan-agg, join-agg, top-k,
 #: window, semi-structured, dedup, near-dup, similarity, text, streaming-twin).
 HEADLINE = [
@@ -124,6 +143,7 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    r01_subtotal = round(sum(timings[n] for n in R01_SET if n in timings), 3)
     print(
         json.dumps(
             {
@@ -131,6 +151,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                # same-set comparable to BENCH_r01's value=18.8 (33 queries)
+                "r01_set_total_sec": r01_subtotal,
                 "sf": sf,
             }
         )
