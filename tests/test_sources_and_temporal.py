@@ -315,3 +315,28 @@ def test_http_json_stream_polls_and_resumes_from_checkpoint(spark, tmp_path):
 
     second = run_once()  # same checkpoint + sink: resumes at next offset
     assert [r["id"] for r in second] == [0, 1]  # poll 0 NOT re-emitted
+
+
+def test_overlap_join_matches_brute_force(spark):
+    from datetime import datetime
+
+    from unified_firmographic_data_pipeline_spark.operators.temporal import overlap_join
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)
+    a_rows = [(1, t(1), t(3)), (2, t(5), t(6)), (3, t(8), t(9))]
+    b_rows = [(10, t(2), t(4)), (11, t(5, 30), t(7)), (12, t(9), t(10))]
+    a = spark.createDataFrame(a_rows, "a_id long, a_s timestamp, a_e timestamp")
+    b = spark.createDataFrame(b_rows, "b_id long, b_s timestamp, b_e timestamp")
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width_s=1800)
+        .select("a_id", "b_id")
+        .collect()
+    )
+    brute = sorted(
+        (ai, bi)
+        for ai, as_, ae in a_rows
+        for bi, bs, be in b_rows
+        if as_ < be and bs < ae  # half-open overlap; (3,12) touch but no overlap
+    )
+    assert got == brute == [(1, 10), (2, 11)]

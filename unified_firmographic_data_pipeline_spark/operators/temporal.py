@@ -169,3 +169,44 @@ def range_join_binned(
         )
         .drop("__bin")
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width_s: int = 3600,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval x interval OVERLAPS join at scale: pairs where
+    ``[l_start, l_end)`` and ``[r_start, r_end)`` intersect.
+
+    Same binning rewrite as :func:`range_join_binned`, applied to BOTH
+    sides: each interval explodes to the buckets it covers, pairs meet on
+    an equi-join over (keys..., bucket), the exact overlap predicate
+    re-checks, and ``dropDuplicates`` collapses pairs that met in several
+    shared buckets. Work is linear in rows x (interval_len / bin_width)
+    per side — never the quadratic nested-loop the naive OVERLAPS predicate
+    plans. Callers pass id columns to make the post-join dedup meaningful.
+    """
+    def bins(s: str, e: str):
+        return F.sequence(
+            F.floor(F.unix_timestamp(F.col(s)) / bin_width_s),
+            F.floor(F.unix_timestamp(F.col(e)) / bin_width_s),
+        )
+
+    lb = left.withColumn("__bin", F.explode(bins(left_start, left_end)))
+    rb = right.withColumn("__bin", F.explode(bins(right_start, right_end)))
+    on = ["__bin"] + (keys or [])
+    joined = (
+        lb.join(rb, on)
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+        )
+        .drop("__bin")
+    )
+    return joined.dropDuplicates()

@@ -4643,6 +4643,87 @@ def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 17 (round 2): LOCF forward fill, hopping-window aggregation.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "locf_forward_fill",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ), f AS (
+      SELECT user_id,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM x
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket, COUNT(*) AS n,
+           SUM(CASE WHEN v_filled IS NULL THEN 1 ELSE 0 END) AS n_unfilled,
+           (CAST(SUM(CAST(round(v_filled * 1e6) AS BIGINT)) AS DOUBLE) / 1e6) AS filled_sum
+    FROM f GROUP BY user_bucket
+    """,
+)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap fill — the time-series
+    idiom for sensor dropouts: ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding frame carries the latest non-null reading forward
+    (error events stand in for dropped readings). One window over the
+    user_id shuffle; leading NULLs (no prior observation) stay NULL and are
+    counted."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = x.select(
+        "user_id", F.last("v", ignorenulls=True).over(w).alias("v_filled")
+    )
+    return f.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v_filled").isNull(), 1).otherwise(0)).alias("n_unfilled"),
+        _dsum("v_filled").alias("filled_sum"),
+    )
+
+
+@q(
+    "hopping_window_counts",
+    """
+    SELECT CAST(make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - g.k) * 900)
+                * 1000000) AS VARCHAR) AS window_start,
+           COUNT(*) AS n
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) g
+    WHERE event_type = 'purchase'
+    GROUP BY window_start
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation with the NATIVE ``F.window``
+    generator — 1-hour windows every 15 minutes, so each event lands in 4
+    overlapping windows (the oracle spells that fan-out as an explicit
+    0..3 unnest). Works identically in batch and Structured Streaming;
+    the fan-out is bounded by window/slide, not data size."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n")
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations). To rotate external
@@ -4762,6 +4843,9 @@ _VERIFY_FIRST = [
     "rollup_grouping_id_markers",
     "listagg_status_by_priority",
     "try_arithmetic_safety",
+    # batch-17 additions (round 2)
+    "locf_forward_fill",
+    "hopping_window_counts",
 ]
 
 _VERIFY_LAST = [
