@@ -201,3 +201,24 @@ def test_split_sentences_udtf(spark):
         (1, 2, "Three?"),
         (3, 0, "No boundary"),
     ]
+
+
+def test_token_count_three_tiers_agree(spark):
+    from unified_firmographic_data_pipeline_spark.functions.text import (
+        bpe_ish_token_count,
+        bpe_ish_token_count_pandas,
+        with_bpe_ish_token_count_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [("hello, world 42!",), ("",), ("a-b_c 3.14",)], "text string"
+    )
+    expr = [r.n for r in df.select(bpe_ish_token_count("text").alias("n")).collect()]
+    pand = [
+        r.n for r in df.select(bpe_ish_token_count_pandas("text").alias("n")).collect()
+    ]
+    arrow = [
+        r.n_tokens
+        for r in with_bpe_ish_token_count_arrow(df, "text").select("n_tokens").collect()
+    ]
+    assert expr == pand == arrow

@@ -197,3 +197,35 @@ def bpe_ish_token_count_pandas(c: Column | str) -> Column:
 
     _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_count, "int")(_col(c))
+
+
+def with_bpe_ish_token_count_arrow(
+    df, text_col: str = "text", out_col: str = "n_tokens"
+):
+    """Arrow-NATIVE tier of the token counter: ``mapInArrow`` with
+    ``pyarrow.compute.count_substring_regex`` — no pandas materialization at
+    all (RecordBatch in, RecordBatch out; the regex runs in Arrow's C++
+    kernels). The third rung of the UDF policy ladder (JVM expression >
+    pandas_udf > mapInArrow for batch-native libs); all three tiers are
+    pinned equal in the unit suite.
+
+    Returns ``df`` plus ``out_col`` (int64; 0 for empty, NULL for NULL).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.types import LongType, StructField
+
+    def _batches(it):
+        for batch in it:
+            counts = pc.count_substring_regex(
+                batch.column(text_col), pattern=BPE_ISH_PATTERN
+            ).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, counts], names=[*batch.schema.names, out_col]
+            )
+
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+    return df.mapInArrow(_batches, out_schema)
