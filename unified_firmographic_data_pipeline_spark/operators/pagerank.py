@@ -37,12 +37,19 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 2,
     damping: float = 0.85,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Run ``iterations`` rounds of quantized PageRank over the directed
     ``edges`` (duplicates are collapsed). Returns ``(node, rank)`` for every
-    node appearing as src or dst; initial rank 1.0."""
+    node appearing as src or dst; initial rank 1.0.
+
+    ``checkpoint_every`` bounds lineage: the rank frame localCheckpoints
+    every N rounds (plan depth grows ~linearly per round; materializing
+    every round pays an unnecessary exchange for shallow runs, while never
+    checkpointing re-derives the whole chain each action at high N)."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    if iterations > 1:
+        e = e.localCheckpoint(eager=True)  # edges re-enter every round
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -50,13 +57,12 @@ def pagerank(
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     # node -> (deg or null); rank starts at exactly 1.0
-    base = nodes.join(deg, "node", "left").select(
+    ranks = nodes.join(deg, "node", "left").select(
         "node", "deg", F.lit(1.0).alias("rank")
     )
-    ranks = base.localCheckpoint(eager=True)
 
     one_minus_d = 1.0 - damping
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .select(
@@ -79,5 +85,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
