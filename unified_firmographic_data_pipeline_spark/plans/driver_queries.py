@@ -4661,7 +4661,7 @@ def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x
     )
     SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket, COUNT(*) AS n,
-           SUM(CASE WHEN v_filled IS NULL THEN 1 ELSE 0 END) AS n_unfilled,
+           CAST(SUM(CASE WHEN v_filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfilled,
            (CAST(SUM(CAST(round(v_filled * 1e6) AS BIGINT)) AS DOUBLE) / 1e6) AS filled_sum
     FROM f GROUP BY user_bucket
     """,
