@@ -154,3 +154,40 @@ def test_scd2_multi_run_delete_reinsert_matches_bruteforce(spark, runs):
         # rebase the engine snapshot on materialized rows (the graph runner
         # persists between runs; also keeps the lineage bounded)
         snap = spark.createDataFrame(snap.collect(), snap.schema)
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 48), st.integers(1, 12)),  # (start-halfhour, len)
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(a_iv=intervals_strategy, b_iv=intervals_strategy)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_overlap_join_property_matches_brute_force(spark, a_iv, b_iv):
+    from datetime import datetime, timedelta
+
+    from unified_firmographic_data_pipeline_spark.operators.temporal import overlap_join
+
+    base = datetime(2024, 1, 1)
+    mk = lambda s, ln: (base + timedelta(minutes=30 * s), base + timedelta(minutes=30 * (s + ln)))
+    a_rows = [(i, *mk(s, ln)) for i, (s, ln) in enumerate(a_iv)]
+    b_rows = [(i, *mk(s, ln)) for i, (s, ln) in enumerate(b_iv)]
+    a = spark.createDataFrame(a_rows, "a_id long, a_s timestamp, a_e timestamp") \
+        if a_rows else spark.createDataFrame([], "a_id long, a_s timestamp, a_e timestamp")
+    b = spark.createDataFrame(b_rows, "b_id long, b_s timestamp, b_e timestamp") \
+        if b_rows else spark.createDataFrame([], "b_id long, b_s timestamp, b_e timestamp")
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width_s=3600)
+        .select("a_id", "b_id")
+        .collect()
+    )
+    brute = sorted(
+        (ai, bi)
+        for ai, as_, ae in a_rows
+        for bi, bs, be in b_rows
+        if as_ < be and bs < ae
+    )
+    assert got == brute
