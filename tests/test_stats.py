@@ -95,3 +95,30 @@ def test_exact_quantiles_pairs_same_column_twice(spark):
     assert lo == df.agg(F.percentile("x", F.lit(0.05))).first()[0]
     assert hi == df.agg(F.percentile("x", F.lit(0.95))).first()[0]
     assert med == df.agg(F.percentile("x", F.lit(0.5))).first()[0]
+
+
+def test_closed_form_slope_matches_numpy_reference(spark):
+    """The exact-moment OLS slope must agree with numpy's lstsq on the same
+    (x, y) integer data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    xs = [0, 1, 2, 3, 4, 10]
+    ys = [1.0, 3.0, 5.25, 6.75, 9.0, 21.5]  # ~2.05x + 1
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, value double")
+    b = df.select("x", F.round(F.col("value") * 1e3).cast("long").alias("y"))
+    mo = b.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col(c).cast("double") for c in ["n", "sx", "sy", "sxy", "sxx"]
+    )
+    got = mo.select(
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx) / F.lit(1e3), 6).alias("m")
+    ).collect()[0]["m"]
+    ref = np.polyfit(np.array(xs, dtype=float), np.array(ys), 1)[0]
+    assert abs(got - ref) < 1e-6

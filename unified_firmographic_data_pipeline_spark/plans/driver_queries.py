@@ -4788,6 +4788,163 @@ def gains_table_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 18 (round 2): closed-form statistics — OLS slope from exact
+# moments, Shannon entropy, chi-square independence. All three follow the
+# same determinism recipe: exact integer moments/counts, transcendentals
+# micro-rounded per distinct input, one fixed scalar expression at the end.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "regr_slope_value_by_type",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor((epoch(ts) - 1704067200) / 3600) AS BIGINT) AS x,
+             CAST(round(value * 1e3) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ), mo AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1e3, 6)
+               AS slope_per_hour
+    FROM mo
+    """,
+)
+def regr_slope_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression slope (value vs. hours since 2024-01-01) per event
+    type, from EXACT integer moments (n, Σx, Σy, Σxy, Σx²) — the closed
+    form ``(nΣxy − ΣxΣy)/(nΣxx − (Σx)²)`` is a fixed scalar expression, so
+    it is reproducible where ``regr_slope``'s streaming accumulation is
+    not. x is centered to the dataset epoch so every moment stays exactly
+    representable; the final 6-decimal round guards against
+    compiler-contracted FMA differences in the scalar arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    b = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor((F.unix_timestamp("ts") - F.lit(1704067200)) / 3600)
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 1e3).cast("long").alias("y"),
+    )
+    mo = b.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c).cast("double") for c in ["n", "sx", "sy", "sxy", "sxx"])
+    return mo.select(
+        "event_type",
+        "n",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx) / F.lit(1e3), 6).alias(
+            "slope_per_hour"
+        ),
+    )
+
+
+@q(
+    "event_type_entropy_by_bucket",
+    """
+    WITH c AS (
+      SELECT CAST(user_id % 10 AS BIGINT) AS bucket, event_type, COUNT(*) AS n
+      FROM events GROUP BY bucket, event_type
+    ), t AS (
+      SELECT bucket, event_type, n,
+             CAST(SUM(n) OVER (PARTITION BY bucket) AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT bucket,
+           CAST(SUM(CAST(round(-(CAST(n AS DOUBLE) / tot)
+                 * ln(CAST(n AS DOUBLE) / tot) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+               AS entropy_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM t GROUP BY bucket
+    """,
+)
+def event_type_entropy_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution per user bucket:
+    probabilities are exact count ratios, each ``-p·ln p`` term is
+    micro-rounded BEFORE the sum (the proven JVM-vs-libm neutralizer), and
+    the integer sum is order-independent. The behavioral-diversity metric
+    for segment comparison."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.col("user_id") % 10).alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    t = c.select(
+        "bucket",
+        "n",
+        F.sum("n").over(Window.partitionBy("bucket")).alias("tot"),
+    )
+    p = F.col("n").cast("double") / F.col("tot")
+    term = F.round(-p * F.log(p) * 1e6).cast("long")
+    return t.groupBy("bucket").agg(
+        (F.sum(term).cast("double") / F.lit(1e6)).alias("entropy_nats"),
+        F.count("*").alias("n_types"),
+    )
+
+
+@q(
+    "chi2_purchase_by_variant",
+    """
+    WITH cell AS (
+      SELECT event_type, CAST(user_id % 2 AS BIGINT) AS variant, COUNT(*) AS o
+      FROM events GROUP BY event_type, variant
+    ), m AS (
+      SELECT event_type, variant, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+             CAST(SUM(o) OVER (PARTITION BY variant) AS BIGINT) AS col_tot,
+             CAST(SUM(o) OVER () AS BIGINT) AS total
+      FROM cell
+    )
+    SELECT CAST(SUM(CAST(round(
+             (CAST(o AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / total)
+             * (CAST(o AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / total)
+             / (CAST(row_tot AS DOUBLE) * col_tot / total) * 1e6) AS BIGINT))
+           AS DOUBLE) / 1e6 AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT variant) - 1) AS BIGINT) AS dof
+    FROM m
+    """,
+)
+def chi2_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the event-type x variant
+    contingency table: expected counts are exact integer products divided
+    once; each cell's ``(o−e)²/e`` micro-rounds before the (tiny,
+    |types|·|variants|-bounded) sum. The A/B sanity check that hash-split
+    arms are balanced."""
+    e = _t(spark, sf_dir, "events")
+    cell = e.groupBy("event_type", (F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("o")
+    )
+    m = cell.select(
+        "event_type",
+        "variant",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("variant")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("total"),
+    )
+    ex = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    dev = F.col("o").cast("double") - ex
+    term = F.round(dev * dev / ex * 1e6).cast("long")
+    return m.agg(
+        (F.sum(term).cast("double") / F.lit(1e6)).alias("chi2"),
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("variant") - 1)
+        ).alias("dof"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations). To rotate external
@@ -4911,6 +5068,10 @@ _VERIFY_FIRST = [
     "locf_forward_fill",
     "hopping_window_counts",
     "gains_table_user_value",
+    # batch-18 additions (round 2)
+    "regr_slope_value_by_type",
+    "event_type_entropy_by_bucket",
+    "chi2_purchase_by_variant",
 ]
 
 _VERIFY_LAST = [
