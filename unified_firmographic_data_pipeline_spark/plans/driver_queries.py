@@ -4944,6 +4944,42 @@ def chi2_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "wau_sliding_7d",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    x AS (
+      SELECT DISTINCT user_id, d + CAST(g.k AS INTEGER) AS wd
+      FROM ud, (SELECT unnest(range(0, 7)) AS k) g
+    )
+    SELECT CAST(wd AS VARCHAR) AS day, COUNT(*) AS wau
+    FROM x GROUP BY wd
+    """,
+)
+def wau_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day — COUNT(DISTINCT) over a SLIDING
+    window, which no window frame supports directly: collapse to distinct
+    (user, day) pairs first (the only full-size shuffle), then fan each
+    pair out to the 7 window-end days it supports and count distinct
+    members per window. Fan-out is bounded by the window length, and the
+    exploded set is (users x active-days x 7), far smaller than the event
+    stream."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    x = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("k")).alias("wd"))
+        .distinct()
+    )
+    return x.groupBy(F.col("wd").cast("string").alias("day")).agg(
+        F.count("*").alias("wau")
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
@@ -5072,6 +5108,7 @@ _VERIFY_FIRST = [
     "regr_slope_value_by_type",
     "event_type_entropy_by_bucket",
     "chi2_purchase_by_variant",
+    "wau_sliding_7d",
 ]
 
 _VERIFY_LAST = [
