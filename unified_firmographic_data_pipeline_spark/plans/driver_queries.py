@@ -4981,6 +4981,209 @@ def wau_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 19 (round 2): Pareto concentration, weekday seasonality,
+# new-vs-returning split, end-to-end entity resolution.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "pareto_revenue_concentration",
+    """
+    WITH u AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT rev, o_custkey,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             COUNT(*) OVER () AS n_cust,
+             CAST(SUM(rev) OVER () AS BIGINT) AS tot
+      FROM u
+    ), cum AS (
+      SELECT rk, n_cust, tot,
+             CAST(SUM(rev) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev
+      FROM r
+    )
+    SELECT CAST(rk AS BIGINT) AS top20_customers,
+           CAST(cum_rev AS DOUBLE) / tot AS top20_rev_share
+    FROM cum WHERE rk = CAST(ceil(CAST(0.2 AS DOUBLE) * n_cust) AS BIGINT)
+    """,
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration: revenue share captured by the top 20%
+    of customers. Rank and cumulative sum run over the per-customer
+    AGGREGATE; revenue stays exact micro-longs until the one final share
+    division."""
+    o = _t(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).alias("rev")
+    )
+    r = u.select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n_cust"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+    )
+    cum = r.select(
+        "rk",
+        "n_cust",
+        "tot",
+        F.sum("rev")
+        .over(
+            Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum_rev"),
+    )
+    return cum.filter(
+        F.col("rk") == F.ceil(F.lit(0.2) * F.col("n_cust")).cast("long")
+    ).select(
+        F.col("rk").alias("top20_customers"),
+        (F.col("cum_rev").cast("double") / F.col("tot")).alias("top20_rev_share"),
+    )
+
+
+@q(
+    "seasonality_weekday_index",
+    """
+    WITH d AS (
+      SELECT CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS dow,
+             CAST(round(o_totalprice * 1e6) AS BIGINT) AS rev
+      FROM orders
+    ), g AS (
+      SELECT dow, COUNT(*) AS n_orders, CAST(SUM(rev) AS BIGINT) AS rev
+      FROM d GROUP BY dow
+    )
+    SELECT dow, n_orders,
+           (CAST(rev AS DOUBLE) / 1e6) AS revenue,
+           (CAST(rev AS DOUBLE) / n_orders)
+             / (CAST(CAST(SUM(rev) OVER () AS BIGINT) AS DOUBLE)
+                / CAST(SUM(n_orders) OVER () AS BIGINT)) AS dow_index
+    FROM g
+    """,
+)
+def seasonality_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: avg order value per weekday relative
+    to the overall average (index 1.0 = typical). Weekday uses the
+    Monday=0 convention both engines share (`weekday` / `isodow - 1`); all
+    inputs to the index are exact integers, divided in one fixed
+    expression."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.weekday("o_orderdate").alias("dow"),
+        F.round(F.col("o_totalprice") * 1e6).cast("long").alias("rev"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count("*").alias("n_orders"), F.sum("rev").alias("rev")
+    )
+    wall = Window.partitionBy()
+    return g.select(
+        "dow",
+        "n_orders",
+        (F.col("rev").cast("double") / F.lit(1e6)).alias("revenue"),
+        (
+            (F.col("rev").cast("double") / F.col("n_orders"))
+            / (
+                F.sum("rev").over(wall).cast("double")
+                / F.sum("n_orders").over(wall)
+            )
+        ).alias("dow_index"),
+    )
+
+
+@q(
+    "new_vs_returning_daily",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id),
+    e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(d AS VARCHAR) AS day,
+           COUNT(*) AS n_events,
+           CAST(COUNT(CASE WHEN d = first_d THEN 1 END) AS BIGINT) AS new_user_events,
+           CAST(COUNT(CASE WHEN d > first_d THEN 1 END) AS BIGINT) AS returning_events
+    FROM e JOIN f ON e.user_id = f.user_id
+    GROUP BY d
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event split between new users (first-seen that day) and
+    returning users — the standard growth-accounting readout. First-seen is
+    one keyed aggregate joined back on the same user_id partitioning."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_d"))
+    ev = e.select("user_id", F.col("ts").cast("date").alias("d"))
+    return (
+        ev.join(f, "user_id")
+        .groupBy(F.col("d").cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("d") == F.col("first_d")).alias("new_user_events"),
+            F.count_if(F.col("d") > F.col("first_d")).alias("returning_events"),
+        )
+    )
+
+
+@q(
+    "entity_resolution_clusters",
+    """
+    WITH RECURSIVE
+    c AS (SELECT c_custkey * 2 AS node, substr(c_name, 10, 9) AS sfx FROM customer),
+    s AS (SELECT s_suppkey * 2 + 1 AS node, substr(s_name, 10, 9) AS sfx FROM supplier),
+    e0 AS (
+      SELECT c.node AS src, s.node AS dst
+      FROM c JOIN s ON substr(c.sfx, 1, 7) = substr(s.sfx, 1, 7)
+      WHERE levenshtein(c.sfx, s.sfx) <= 1
+    ),
+    ed AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT node FROM c UNION ALL SELECT node FROM s),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT p.dst AS node, r.lbl FROM reach r JOIN ed p ON p.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching (the
+    fuzzy_name_match_blocked edges, across the customer/supplier
+    namespaces) -> connected components -> cluster-size histogram. The
+    record-linkage pipeline in one plan: blocking keeps candidate
+    generation sub-quadratic, min-label propagation resolves transitive
+    matches, and the histogram is the dedup-audit artifact. Labels are
+    deterministic (min reachable id), so the oracle recomputes them with a
+    recursive CTE."""
+    from unified_firmographic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 2).alias("node"),
+        F.substring("c_name", 10, 9).alias("c_sfx"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"),
+        F.substring("s_name", 10, 9).alias("s_sfx"),
+    )
+    edges = (
+        cust.alias("a")
+        .join(
+            supp.alias("b"),
+            F.substring("c_sfx", 1, 7) == F.substring("s_sfx", 1, 7),
+        )
+        .filter(F.levenshtein("c_sfx", "s_sfx") <= 1)
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+    )
+    nodes = cust.select("node").unionByName(supp.select("node"))
+    comp = connected_components(nodes, edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations). To rotate external
@@ -5109,6 +5312,11 @@ _VERIFY_FIRST = [
     "event_type_entropy_by_bucket",
     "chi2_purchase_by_variant",
     "wau_sliding_7d",
+    # batch-19 additions (round 2)
+    "pareto_revenue_concentration",
+    "seasonality_weekday_index",
+    "new_vs_returning_daily",
+    "entity_resolution_clusters",
 ]
 
 _VERIFY_LAST = [
