@@ -114,6 +114,9 @@ HEADLINE = [
     "profile_orders_columns",
     "concurrent_sessions_peak_daily",
     "doc_logistic_quality",
+    # batch 17-19: sliding distinct, blocked ER + components
+    "wau_sliding_7d",
+    "entity_resolution_clusters",
 ]
 
 
