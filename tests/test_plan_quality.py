@@ -39,6 +39,9 @@ BNLJ_ALLOWED = {
     "heavy_hitter_tokens",
     # three 1-row funnel-stage counts cross-joined into one summary row
     "funnel_click_signup_purchase",
+    # 1-row basket-total aggregate broadcast into the lift expression —
+    # same scalar-subquery shape as q11/heavy_hitter_tokens
+    "basket_rules_lift",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

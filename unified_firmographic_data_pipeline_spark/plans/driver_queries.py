@@ -5184,6 +5184,131 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 20 (round 2): association-rule metrics, readability scoring.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "basket_rules_lift",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM d),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM d GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+    )
+    SELECT p1, p2, n_pair,
+           CAST(n_pair AS DOUBLE) / i1.n_item AS confidence,
+           CAST(n_pair AS DOUBLE) * nb.n_baskets / (CAST(i1.n_item AS DOUBLE) * i2.n_item)
+               AS lift
+    FROM pair JOIN item i1 ON pair.p1 = i1.l_partkey
+              JOIN item i2 ON pair.p2 = i2.l_partkey
+              CROSS JOIN nb
+    ORDER BY n_pair DESC, lift DESC, p1, p2
+    LIMIT 25
+    """,
+)
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the basket pairs: support count,
+    confidence P(p2|p1) and lift (observed/independent co-occurrence) —
+    every ratio a fixed expression of exact integers. Pair generation uses
+    the map-side array shape from market_basket_pairs; the item-frequency
+    table is part-bounded and the basket total enters as a 1-row
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_baskets = li.select(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    left = baskets.select("parts", F.posexplode("parts").alias("i", "p1"))
+    pair = (
+        left.select(
+            "p1", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("p2")
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
+    return (
+        pair.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n1")).alias("confidence"),
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n1").cast("double") * F.col("n2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), F.col("lift").desc(), "p1", "p2")
+        .limit(25)
+    )
+
+
+@q(
+    "flesch_readability_buckets",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             GREATEST(len(string_split_regex(text, '[.!?]+')) - 1, 1) AS sentences,
+             GREATEST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')), 1) AS words,
+             GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syllables
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             round(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / sentences)
+                   - CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / words), 6)
+               AS flesch
+      FROM m
+    )
+    SELECT CAST(floor(flesch / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
+           round(MIN(flesch), 6) AS min_score, round(MAX(flesch), 6) AS max_score
+    FROM s GROUP BY bucket
+    """,
+)
+def flesch_readability_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (vowel-group syllable proxy) — the
+    classic readability gate in curation stacks, as ONE codegen'd
+    expression: sentence/word/syllable counts are regexp counts, the score
+    a fixed double formula over exact integers. Bucketed decades keep the
+    output bounded."""
+    d = _t(spark, sf_dir, "documents")
+    sentences = F.greatest(
+        F.size(F.split("text", r"[.!?]+")) - 1, F.lit(1)
+    )
+    words = F.greatest(token_count("text"), F.lit(1))
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words),
+        6,
+    )
+    s = d.select(flesch.alias("flesch"))
+    return s.groupBy(
+        F.floor(F.col("flesch") / 10).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("flesch"), 6).alias("min_score"),
+        F.round(F.max("flesch"), 6).alias("max_score"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations). To rotate external
@@ -5317,6 +5442,9 @@ _VERIFY_FIRST = [
     "seasonality_weekday_index",
     "new_vs_returning_daily",
     "entity_resolution_clusters",
+    # batch-20 additions (round 2)
+    "basket_rules_lift",
+    "flesch_readability_buckets",
 ]
 
 _VERIFY_LAST = [
