@@ -5039,7 +5039,7 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(
         F.col("rk") == F.ceil(F.lit(0.2) * F.col("n_cust")).cast("long")
     ).select(
-        F.col("rk").alias("top20_customers"),
+        F.col("rk").cast("long").alias("top20_customers"),
         (F.col("cum_rev").cast("double") / F.col("tot")).alias("top20_rev_share"),
     )
 
