@@ -5308,6 +5308,84 @@ def flesch_readability_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "rolling_7d_corr_events_revenue",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) AS x,
+             CAST(round(CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+                  AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY day
+    ), w AS (
+      SELECT day, x, y,
+             CAST(COUNT(*) OVER f AS BIGINT) AS nw,
+             CAST(SUM(x) OVER f AS BIGINT) AS sx,
+             CAST(SUM(y) OVER f AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER f AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER f AS BIGINT) AS syy
+      FROM d
+      WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day, x AS n_events, y AS revenue,
+           CASE WHEN nw < 2 THEN NULL ELSE
+             round((CAST(nw AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(nw AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(nw AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS corr_7d
+    FROM w
+    """,
+)
+def rolling_7d_corr_events_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between daily event count and
+    daily revenue — the rolling-stat recipe: keep EXACT integer moments
+    (sums, cross/square sums of whole-unit values) in the window frame,
+    then one closed-form scalar expression per row. The window runs over
+    the calendar-bounded daily series, not the event stream. Range bound:
+    |sum y²| < 2^63 holds while daily revenue < ~1.1e9 units."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("x"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double")
+                / F.lit(1e6)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    f = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w = d.select(
+        "day",
+        "x",
+        "y",
+        F.count("*").over(f).alias("nw"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+    )
+    nw, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ["nw", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+    corr = F.round(
+        (nw * sxy - sx * sy) / F.sqrt((nw * sxx - sx * sx) * (nw * syy - sy * sy)), 6
+    )
+    return w.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").alias("n_events"),
+        F.col("y").alias("revenue"),
+        F.when(F.col("nw") < 2, F.lit(None).cast("double")).otherwise(corr).alias(
+            "corr_7d"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
@@ -5445,6 +5523,7 @@ _VERIFY_FIRST = [
     # batch-20 additions (round 2)
     "basket_rules_lift",
     "flesch_readability_buckets",
+    "rolling_7d_corr_events_revenue",
 ]
 
 _VERIFY_LAST = [
