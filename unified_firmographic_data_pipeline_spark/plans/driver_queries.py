@@ -5386,6 +5386,60 @@ def rolling_7d_corr_events_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@q(
+    "scd2_point_in_time_lookup",
+    """
+    WITH dim AS (
+      SELECT o_custkey AS k, o_orderdate AS vf, o_orderpriority AS p,
+             o_orderkey AS dimkey
+      FROM orders
+    ), f AS (
+      SELECT o.o_custkey AS k, l.l_shipdate AS ts
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), fk AS (SELECT DISTINCT k, ts FROM f),
+    pick AS (
+      SELECT k, ts, p FROM (
+        SELECT fk.k, fk.ts, d.p,
+               ROW_NUMBER() OVER (PARTITION BY fk.k, fk.ts
+                                  ORDER BY d.vf DESC NULLS LAST, d.dimkey DESC NULLS LAST) AS rn
+        FROM fk LEFT JOIN dim d ON fk.k = d.k AND d.vf <= fk.ts) t
+      WHERE rn = 1
+    )
+    SELECT p AS priority_at_ship, COUNT(*) AS n
+    FROM f JOIN pick ON f.k = pick.k AND f.ts = pick.ts
+    GROUP BY p
+    """,
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball point-in-time dimension lookup: each shipment is attributed
+    to the customer's LATEST order state as of the ship date — the as-of
+    backward join every SCD2 star schema needs. Runs on the
+    ``asof_join`` operator (union + carry-forward over ONE key shuffle);
+    the oracle spells the inequality-join + rank-1 shape Spark must never
+    plan (it would be a nested loop at scale). Tie days resolve by highest
+    dim key on both sides."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import asof_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    facts = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", F.col("o_custkey").alias("k"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    dim = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderkey").alias("dimkey"),
+    )
+    j = asof_join(
+        facts, dim, key="k", ts="ts", right_cols=["p", "dimkey"], tiebreak="dimkey"
+    )
+    return j.groupBy(F.col("p_asof").alias("priority_at_ship")).agg(
+        F.count("*").alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (50 entries in round 1: CORRECTNESS_r01.json is
@@ -5524,6 +5578,7 @@ _VERIFY_FIRST = [
     "basket_rules_lift",
     "flesch_readability_buckets",
     "rolling_7d_corr_events_revenue",
+    "scd2_point_in_time_lookup",
 ]
 
 _VERIFY_LAST = [
