@@ -117,6 +117,11 @@ HEADLINE = [
     # batch 17-19: sliding distinct, blocked ER + components
     "wau_sliding_7d",
     "entity_resolution_clusters",
+    # batch 20-21: association rules, readability, rolling corr, PIT lookup
+    "basket_rules_lift",
+    "flesch_readability_buckets",
+    "rolling_7d_corr_events_revenue",
+    "scd2_point_in_time_lookup",
 ]
 
 
