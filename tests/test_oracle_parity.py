@@ -120,47 +120,39 @@ def test_all_oracles_have_queries():
 
 def test_driver_registration_order():
     """The driver verifies queries() in registration order with a ~50-entry
-    per-round cap (CORRECTNESS_r01.json == the first 50 r01 registrations).
-    Pin the round-2 rotation: every oracle-backed query that lacked a green
-    r01 row sits inside the first-50 window; rows-only (no-oracle) entries
-    sit dead last so they never surface as `no_oracle` rows."""
+    per-round cap. The rotation is now self-maintaining: `driver_queries`
+    reads every CORRECTNESS_r*.json in the repo root at import time and
+    front-loads oracle-backed queries without a green row, so each round's
+    window automatically covers the longest-waiting entries and no manual
+    `_VERIFY_FIRST` refresh is needed. Pin the three invariants."""
+    from unified_firmographic_data_pipeline_spark.plans import driver_queries as dq
+
     names = list(QUERIES)
-    first50 = set(names[:50])
-    r01_verified = {
-        # the 48 queries with all-green rows in CORRECTNESS_r01.json
-        "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
-        "q06_forecast_revenue", "q10_returned_items", "join_semi_active_customers",
-        "join_anti_inactive_customers", "join_outer_order_counts",
-        "fk_violations_lineitem_orders", "json_extract_props", "explode_token_counts",
-        "scalar_string_kitchen_sink", "scalar_money_roundtrip",
-        "scalar_conditional_buckets", "surrogate_keys_f1", "window_dedup_first",
-        "window_dedup_latest", "window_topn_per_group", "window_lag_delta",
-        "window_running_sum", "agg_high_watermark", "agg_rollup_region_nation",
-        "agg_cube_flags", "agg_distinct_customers", "orderby_limit_topk",
-        "set_intersect_buyers", "set_except_nonbuyers", "incremental_delta_filter",
-        "scd2_intervals", "windowed_event_counts", "dedup_exact_documents",
-        "text_stats", "lang_id_confusion", "quality_scores", "minhash_signatures_md5",
-        "neardup_jaccard_unigram", "ann_cosine_topk", "multimodal_binary_meta",
-        "quality_violation_counts", "q04_priority_exists", "q12_priority_classes",
-        "q14_promo_revenue_share", "q18_large_volume_orders", "q19_disjunctive_filter",
-        "q22_idle_rich_customers", "date_parts_revenue", "window_rank_variants",
-        "grouping_sets_sql",
-    }
-    unverified_oracled = [n for n in names if n in ORACLES and n not in r01_verified]
-    # more unverified queries exist than window slots (round-2 additions):
-    # the invariant is that NO window slot is wasted on an already-verified
-    # query, and the overflow queues contiguously right after the window so
-    # the r03 rotation picks it up first
-    assert set(names[:50]) <= set(unverified_oracled), (
-        f"driver window slots wasted on already-verified queries: "
-        f"{sorted(first50 - set(unverified_oracled))}"
-    )
-    n_unv = len(unverified_oracled)
-    assert names[:n_unv] == unverified_oracled, (
+    green = dq._externally_verified()
+    # sanity: the driver has produced at least the r01+r02 files with ~100
+    # green rows; a parse regression would silently break the rotation
+    assert len(green) >= 90, f"expected >=90 green CORRECTNESS rows, got {len(green)}"
+
+    unverified = [n for n in names if n in ORACLES and n not in green]
+    verified = [n for n in names if n in ORACLES and n in green]
+    rows_only = [n for n in names if n not in ORACLES]
+
+    # 1. unverified oracle-backed queries occupy the front of the window,
+    #    contiguously — no window slot is wasted on an already-green query
+    #    while any unverified one waits
+    assert names[: len(unverified)] == unverified, (
         "unverified oracle-backed queries must be registered contiguously first"
     )
-    rows_only = [n for n in names if n not in ORACLES]
-    assert names[-len(rows_only):] == sorted(rows_only, key=names.index), (
-        "rows-only entries must be registered last"
+    # 2. previously-verified queries come next
+    assert names[len(unverified) : len(unverified) + len(verified)] == verified
+    # 3. rows-only (no-oracle) entries sit dead last so they never surface
+    #    as `no_oracle` rows inside the window
+    assert names[-len(rows_only) :] == rows_only
+    window = set(names[:50])
+    assert not (set(rows_only) & window) or len(unverified) + len(verified) < 50
+    # the unverified backlog must shrink round over round: with a ~50-slot
+    # window, everything beyond the window is at most (backlog - 50)
+    assert len(unverified) <= 50 + 10, (
+        f"unverified backlog {len(unverified)} cannot clear in ~1 round; "
+        "stop adding queries faster than the driver verifies them"
     )
-    assert not (set(rows_only) & first50)
