@@ -1,0 +1,128 @@
+"""Round-3 hardening pins: ADVICE items (mmr_rerank schema, overlap_join
+dup preservation, VersionedCatalog crash fallback, keyed-projection name
+collision, diagnose_skew integer permille) and the judge's
+cosine_topk_numpy bounded-collect guard."""
+
+import os
+
+import pytest
+
+
+def test_mmr_rerank_nondefault_column_names(spark):
+    """mmr_rerank must honor query_col/doc_col/rel_col: with non-default
+    names the output schema and pandas columns must still line up (this
+    previously threw a PythonException at runtime)."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, 1, [1.0, 0.0], 0.9),
+        (1, 2, [0.999, 0.01], 0.88),
+        (1, 3, [0.0, 1.0], 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "qid long, did long, embedding array<double>, rel double"
+    )
+    got = (
+        mmr_rerank(df, k=2, lambda_mult=0.5, query_col="qid", doc_col="did", rel_col="rel")
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    assert got[0].asDict().keys() == {"qid", "did", "rank", "rel", "mmr_score"}
+    # same selection as the default-name twin test: pick 1 then the
+    # orthogonal 3, not the near-duplicate 2
+    assert [(r.qid, r.rank, r.did) for r in got] == [(1, 1, 1), (1, 2, 3)]
+
+
+def test_overlap_join_preserves_duplicate_input_rows(spark):
+    """A genuinely duplicated input row must yield one output pair per
+    duplicate (the old full-row dropDuplicates silently collapsed them);
+    multi-bucket re-matches must still be emitted exactly once."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import overlap_join
+
+    # left interval spans 3 one-hour buckets and appears TWICE verbatim;
+    # right interval overlaps it across 2 of those buckets
+    a = spark.createDataFrame(
+        [
+            ("2024-01-01 00:30:00", "2024-01-01 03:30:00"),
+            ("2024-01-01 00:30:00", "2024-01-01 03:30:00"),
+        ],
+        "a_s string, a_e string",
+    ).selectExpr("CAST(a_s AS TIMESTAMP) a_s", "CAST(a_e AS TIMESTAMP) a_e")
+    b = spark.createDataFrame(
+        [("2024-01-01 01:15:00", "2024-01-01 02:45:00")],
+        "b_s string, b_e string",
+    ).selectExpr("CAST(b_s AS TIMESTAMP) b_s", "CAST(b_e AS TIMESTAMP) b_e")
+
+    out = overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width_s=3600)
+    # 2 duplicate left rows x 1 right row = 2 pairs, despite each pair
+    # co-occurring in 2 shared buckets
+    assert out.count() == 2
+
+
+def test_cosine_topk_numpy_oversized_query_set_raises(spark):
+    """The numpy tier collects the query side to the driver by contract;
+    the max_queries guard makes that contract enforceable."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk_numpy,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_numpy(vecs, vecs, k=2, max_queries=10)
+    # within the cap it runs
+    assert cosine_topk_numpy(vecs.limit(5), vecs.limit(3), k=2, max_queries=10).count() > 0
+
+
+def test_versioned_catalog_fallback_skips_uncommitted_dirs(spark, tmp_path):
+    """With the _latest pointer missing (crash during first write), the
+    directory-scan fallback must only surface versions bearing Spark's
+    _SUCCESS commit marker — never a partially written v=N."""
+    from unified_firmographic_data_pipeline_spark.sources.catalog import VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path), retain=3)
+    df = spark.range(3).withColumnRenamed("id", "k")
+    assert cat.write_version(df, "core", "t") == 0
+    # simulate a crashed second write: v=1 exists but has no _SUCCESS and
+    # the pointer was never updated
+    base = cat.path("core", "t")
+    os.makedirs(os.path.join(base, "v=1"))
+    with open(os.path.join(base, "v=1", "part-00000.parquet"), "wb") as f:
+        f.write(b"partial garbage")
+    os.remove(os.path.join(base, "_latest"))
+
+    assert cat.latest_version("core", "t") == 0
+    assert cat.read("core", "t").count() == 3
+    # and a subsequent write claims v=1 again (overwrite of the wreck)
+    assert cat.write_version(df, "core", "t") == 1
+
+
+def test_keyed_projection_handles_existing_key_column(spark):
+    """Casting the grouping column to an internal `key` name must not
+    produce a duplicate column when the input already has one."""
+    from unified_firmographic_data_pipeline_spark.streaming.stateful import (
+        _keyed_projection,
+    )
+
+    df = spark.createDataFrame([(1, 7, "x")], "key long, user_id long, v string")
+    out = _keyed_projection(df, "user_id")
+    assert out.columns == ["key", "user_id", "v"]
+    # groupBy("key") is unambiguous and groups by the cast user_id
+    assert out.groupBy("key").count().collect()[0]["key"] == 7
+    # key_col == "key" round-trips too
+    out2 = _keyed_projection(df, "key")
+    assert out2.columns == ["key", "user_id", "v"]
+
+
+def test_diagnose_skew_permille_integer_exact(spark):
+    """Permille uses integer DIV (not double division + cast) so the
+    truncated value is exact at any count magnitude."""
+    from unified_firmographic_data_pipeline_spark.operators.skew import diagnose_skew
+
+    df = spark.createDataFrame(
+        [("hot",)] * 999 + [("cold",)],
+        "k string",
+    )
+    got = {r.k: r.permille for r in diagnose_skew(df, ["k"], top=2).collect()}
+    assert got == {"hot": 999, "cold": 1}

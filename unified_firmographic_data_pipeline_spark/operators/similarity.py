@@ -181,6 +181,7 @@ def cosine_topk_numpy(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Brute-force cosine top-k on the designated Python tier: Arrow-batched
     ``mapInPandas`` with one numpy matmul per batch instead of a per-pair
@@ -193,10 +194,25 @@ def cosine_topk_numpy(
     ~an order of magnitude faster than the expression fold at wide batch
     sizes, at the cost of leaving whole-stage codegen; the expression twin
     (cosine_topk) stays the oracle-checked reference.
+
+    The query set is collected to the driver by design (it is the small
+    side of the broadcast); ``max_queries`` makes that contract enforceable
+    — a query frame larger than the cap raises instead of silently pulling
+    an unbounded result to the driver. Raise the cap explicitly if a larger
+    (still memory-bounded) query set is intended.
     """
     import numpy as np
     import pandas as pd
 
+    # cheap bounded probe: scans at most max_queries+1 rows of the id column
+    probe = queries.select(id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"cosine_topk_numpy: query set exceeds max_queries={max_queries}; "
+            "this tier collects the query side to the driver — use the "
+            "expression tier (cosine_topk) or LSH tier (cosine_topk_lsh) for "
+            "large query sets, or raise max_queries explicitly"
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
@@ -233,9 +249,18 @@ def cosine_topk_numpy(
     )
 
 
-MMR_SCHEMA = (
-    "query_id long, doc_id long, rank int, relevance double, mmr_score double"
-)
+def _mmr_schema(query_col: str, doc_col: str, rel_col: str) -> str:
+    """Output schema for mmr_rerank, built from the caller's column names so
+    non-default names round-trip (the pandas frame below uses the same
+    names)."""
+    return (
+        f"{query_col} long, {doc_col} long, rank int, "
+        f"{rel_col} double, mmr_score double"
+    )
+
+
+# default-name schema kept as a public constant for callers/tests
+MMR_SCHEMA = _mmr_schema("query_id", "doc_id", "relevance")
 
 
 def mmr_rerank(
@@ -291,4 +316,6 @@ def mmr_rerank(
             out, columns=[query_col, doc_col, "rank", rel_col, "mmr_score"]
         )
 
-    return candidates.groupBy(query_col).applyInPandas(_rerank, MMR_SCHEMA)
+    return candidates.groupBy(query_col).applyInPandas(
+        _rerank, _mmr_schema(query_col, doc_col, rel_col)
+    )

@@ -81,7 +81,10 @@ def diagnose_skew(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
         .select(
             *keys,
             "n",
-            (F.col("n") * 1000 / F.col("total")).cast("long").alias("permille"),
+            # integer DIV keeps the permille exact at any count magnitude
+            # (double division + cast can perturb the truncated value once
+            # n*1000 exceeds 2^53)
+            F.expr("n * 1000L DIV total").alias("permille"),
         )
         .orderBy(F.col("n").desc(), *keys)
         .limit(top)

@@ -186,11 +186,14 @@ def overlap_join(
 
     Same binning rewrite as :func:`range_join_binned`, applied to BOTH
     sides: each interval explodes to the buckets it covers, pairs meet on
-    an equi-join over (keys..., bucket), the exact overlap predicate
-    re-checks, and ``dropDuplicates`` collapses pairs that met in several
-    shared buckets. Work is linear in rows x (interval_len / bin_width)
-    per side — never the quadratic nested-loop the naive OVERLAPS predicate
-    plans. Callers pass id columns to make the post-join dedup meaningful.
+    an equi-join over (keys..., bucket), and the exact overlap predicate
+    re-checks. A pair that shares several buckets is emitted exactly once —
+    only from the bucket where the overlap *starts*
+    (``floor(max(l_start, r_start) / bin_width)``), so no post-join
+    dedup is needed and genuinely duplicate input rows are preserved
+    (a full-row ``dropDuplicates`` would silently collapse them).
+    Work is linear in rows x (interval_len / bin_width) per side — never
+    the quadratic nested-loop the naive OVERLAPS predicate plans.
     """
     def bins(s: str, e: str):
         return F.sequence(
@@ -201,12 +204,17 @@ def overlap_join(
     lb = left.withColumn("__bin", F.explode(bins(left_start, left_end)))
     rb = right.withColumn("__bin", F.explode(bins(right_start, right_end)))
     on = ["__bin"] + (keys or [])
-    joined = (
+    overlap_start_bin = F.floor(
+        F.unix_timestamp(F.greatest(F.col(left_start), F.col(right_start)))
+        / bin_width_s
+    )
+    return (
         lb.join(rb, on)
         .filter(
             (F.col(left_start) < F.col(right_end))
             & (F.col(right_start) < F.col(left_end))
+            # emit each overlapping pair from exactly one bucket
+            & (F.col("__bin") == overlap_start_bin)
         )
         .drop("__bin")
     )
-    return joined.dropDuplicates()

@@ -160,20 +160,33 @@ class VersionedCatalog(Catalog):
     retained state (debugging a bad backfill, diffing against yesterday via
     ``table_diff``), and every write is an append of a new directory — no
     swap window at all for versioned tables.
+
+    Concurrency contract: SINGLE WRITER. ``write_version``'s read-modify-
+    write of the version counter is not atomic across processes — concurrent
+    writers need an external lock or a real table format (Delta/Iceberg
+    optimistic commit). Readers are safe at all times: they follow the
+    ``_latest`` pointer (written atomically after the data), and the
+    no-pointer fallback only admits version directories bearing Spark's
+    ``_SUCCESS`` commit marker, so a crashed first write is never surfaced.
     """
 
     def __init__(self, spark: SparkSession, root: str, retain: int = 3):
         super().__init__(spark, root)
         self.retain = retain
 
-    def _versions(self, schema: str, table: str) -> list[int]:
+    def _versions(self, schema: str, table: str, committed_only: bool = False) -> list[int]:
         base = self.path(schema, table)
         if not os.path.isdir(base):
             return []
         return sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(base)
-            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+            if d.startswith("v=")
+            and d.split("=", 1)[1].isdigit()
+            and (
+                not committed_only
+                or os.path.exists(os.path.join(base, d, "_SUCCESS"))
+            )
         )
 
     def latest_version(self, schema: str, table: str) -> int | None:
@@ -181,7 +194,10 @@ class VersionedCatalog(Catalog):
         if os.path.exists(ptr):
             with open(ptr) as f:
                 return int(f.read().strip())
-        vs = self._versions(schema, table)
+        # pointer missing (e.g. crash during the very first write): only
+        # trust fully-committed snapshots, else a reader could pick a
+        # partially written v=N directory
+        vs = self._versions(schema, table, committed_only=True)
         return vs[-1] if vs else None
 
     def write_version(self, df: DataFrame, schema: str, table: str) -> int:

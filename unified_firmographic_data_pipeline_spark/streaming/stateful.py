@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -197,6 +198,15 @@ class DedupByKeyProcessor:
         return _P()
 
 
+def _keyed_projection(stream: DataFrame, key_col: str) -> DataFrame:
+    """Project ``key = CAST(key_col AS LONG)`` plus the remaining payload
+    columns. The cast alias plus every OTHER column is selected explicitly —
+    a bare ``"*"`` would duplicate the name when the input already has a
+    ``key`` column, making the downstream ``groupBy("key")`` ambiguous."""
+    rest = [F.col(c) for c in stream.columns if c != "key"]
+    return stream.select(F.col(key_col).cast("long").alias("key"), *rest)
+
+
 def tws_running_totals(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """``streaming_running_totals`` on the transformWithStateInPandas API."""
     return (
@@ -220,7 +230,7 @@ def tws_dedup_by_key(
     TTL (when set) is enforced by the state store itself."""
     ttl_ms = None if ttl_hours is None else int(ttl_hours * 3600_000)
     return (
-        stream.selectExpr(f"CAST({key_col} AS LONG) AS key", "*")
+        _keyed_projection(stream, key_col)
         .groupBy("key")
         .transformWithStateInPandas(
             statefulProcessor=DedupByKeyProcessor(ttl_ms),
