@@ -63,6 +63,16 @@ def delta_merge_available() -> bool:
     return True
 
 
+def merge_condition(keys: list[str], target: str = "t", source: str = "s") -> str:
+    """The MERGE ON condition for the Delta path: null-safe equality
+    (``<=>``) on every unique-key column, matching the upsert() anti-join
+    contract. Kept as a pure function so the statement the Delta branch
+    would run is testable without a Delta runtime on the classpath."""
+    if not keys:
+        raise ValueError("merge_condition: at least one key column required")
+    return " AND ".join(f"{target}.{k} <=> {source}.{k}" for k in keys)
+
+
 def _merge_with_delta(spark, delta_df: DataFrame, keys: list[str], table_path: str) -> str:
     """Transactional path: Delta ``MERGE INTO`` on the unique key — ACID,
     no full-table rewrite; at 100 TB only touched files rewrite. Null-safe
@@ -72,7 +82,7 @@ def _merge_with_delta(spark, delta_df: DataFrame, keys: list[str], table_path: s
     if not DeltaTable.isDeltaTable(spark, table_path):
         delta_df.write.format("delta").mode("overwrite").save(table_path)
         return "delta-create"
-    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    cond = merge_condition(keys)
     (
         DeltaTable.forPath(spark, table_path)
         .alias("t")

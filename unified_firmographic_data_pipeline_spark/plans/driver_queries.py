@@ -5440,6 +5440,89 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "scd2_check_intervals",
+    f"""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM customer
+    ), run2 AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+      FROM base WHERE c_nationkey < 20
+    ), chg AS (
+      SELECT r.c_custkey FROM run2 r JOIN base b USING (c_custkey)
+      WHERE r.c_acctbal <> b.c_acctbal
+    )
+    -- run-1 versions still open: key resurveyed in run 2 with equal values
+    SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal,
+           md5(concat_ws('-', coalesce(CAST(b.c_custkey AS VARCHAR), '{NULL_SENTINEL}'),
+               coalesce(CAST(TIMESTAMP '2024-01-01 00:00:00' AS VARCHAR), '{NULL_SENTINEL}'))) AS dbt_scd_id,
+           TIMESTAMP '2024-01-01 00:00:00' AS dbt_valid_from,
+           CAST(NULL AS TIMESTAMP) AS dbt_valid_to, TRUE AS is_current
+    FROM base b
+    WHERE b.c_custkey IN (SELECT c_custkey FROM run2)
+      AND b.c_custkey NOT IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    -- run-1 versions closed at run 2: value changed or key hard-deleted
+    SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal,
+           md5(concat_ws('-', coalesce(CAST(b.c_custkey AS VARCHAR), '{NULL_SENTINEL}'),
+               coalesce(CAST(TIMESTAMP '2024-01-01 00:00:00' AS VARCHAR), '{NULL_SENTINEL}'))) AS dbt_scd_id,
+           TIMESTAMP '2024-01-01 00:00:00' AS dbt_valid_from,
+           TIMESTAMP '2024-02-01 00:00:00' AS dbt_valid_to, FALSE AS is_current
+    FROM base b
+    WHERE b.c_custkey IN (SELECT c_custkey FROM chg)
+       OR b.c_custkey NOT IN (SELECT c_custkey FROM run2)
+    UNION ALL
+    -- new open versions for changed keys
+    SELECT r.c_custkey, r.c_mktsegment, r.c_acctbal,
+           md5(concat_ws('-', coalesce(CAST(r.c_custkey AS VARCHAR), '{NULL_SENTINEL}'),
+               coalesce(CAST(TIMESTAMP '2024-02-01 00:00:00' AS VARCHAR), '{NULL_SENTINEL}'))) AS dbt_scd_id,
+           TIMESTAMP '2024-02-01 00:00:00' AS dbt_valid_from,
+           CAST(NULL AS TIMESTAMP) AS dbt_valid_to, TRUE AS is_current
+    FROM run2 r WHERE r.c_custkey IN (SELECT c_custkey FROM chg)
+    """,
+)
+def scd2_check_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's sibling snapshot mode, dbt ``strategy='check'``
+    (``scd2.scd2_apply_check``): a deterministic two-run fold over
+    ``customer``. Run 1 snapshots every customer; run 2 re-surveys only
+    nations < 20 (the rest hard-delete-invalidate) with ``c_acctbal``
+    doubled for every third key (the ``check_cols`` change signal). The
+    oracle spells out the resulting interval algebra — open survivors,
+    closed-at-run-2 rows, and new open versions — including the byte-exact
+    dbt_scd_id surrogate hashes. Reference:
+    firmographics_dbt/snapshots/company_location_snapshot.sql:4-11 (the
+    timestamp twin); dbt `check` semantics are public dbt-core behavior."""
+    from unified_firmographic_data_pipeline_spark.operators.scd2 import (
+        scd2_apply_check,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    run2 = c.filter(F.col("c_nationkey") < 20).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") * 2).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    snap1 = scd2_apply_check(
+        None, c, "c_custkey", ["c_acctbal", "c_mktsegment"], "2024-01-01 00:00:00"
+    )
+    snap2 = scd2_apply_check(
+        snap1, run2, "c_custkey", ["c_acctbal", "c_mktsegment"], "2024-02-01 00:00:00"
+    )
+    return snap2.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "dbt_scd_id",
+        "dbt_valid_from",
+        "dbt_valid_to",
+        F.col("dbt_valid_to").isNull().alias("is_current"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
