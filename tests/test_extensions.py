@@ -152,16 +152,20 @@ def test_multimodal_decode_meta(docs):
 
 
 def test_multimodal_stubs_raise(spark, docs):
+    """Video decoding stays stubbed (no codec possible in-container);
+    image resizing now always has a codec tier (PIL or the vendored PNG
+    codec) but rejects undecodable payloads at execution, like PIL would."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
     from unified_firmographic_data_pipeline_spark.sources.multimodal import (
-        IMAGE_CODEC_AVAILABLE,
         frame_sample,
         resize_images,
     )
 
-    media = media_from_text(docs, "doc_id", "text")
-    if not IMAGE_CODEC_AVAILABLE:
-        with pytest.raises(NotImplementedError):
-            resize_images(media)
+    media = media_from_text(docs, "doc_id", "text")  # text bytes != PNG
+    with pytest.raises((PythonException, Py4JJavaError)):
+        resize_images(media).collect()
     with pytest.raises(NotImplementedError):
         frame_sample(media)
 

@@ -4,11 +4,13 @@ SURVEY.md §2.M: media are opaque ``binary`` columns plus a typed metadata
 struct; decode / feature-extraction runs as Arrow-batched pandas functions
 over ``mapInPandas`` so bytes never round-trip through Python row-by-row.
 
-The decode step itself is STUBBED (``DECODERS_AVAILABLE = False``) because
-image/audio codecs aren't in this container — ``decode_stub`` produces a
-deterministic fake (shape/duration derived from a stable hash of the bytes)
-so the Spark-side plumbing (schema, batching, partition behavior) is real
-and testable; swapping in PIL/ffmpeg is a one-function change.
+Codec tiers: PIL when installed; else a vendored pure-Python PNG codec
+(``functions/png.py``, stdlib zlib + numpy) so the image decode/resize/
+encode path runs FOR REAL even in codec-less containers. Non-PNG image
+formats and audio/video decoding still fall back to ``_fake_decode`` — a
+deterministic stand-in (shape/duration derived from a stable hash of the
+bytes) keeping the Spark-side plumbing (schema, batching, partition
+behavior) testable; swapping in turbojpeg/ffmpeg is a one-function change.
 
 Scale notes: binary payloads make wide rows — the functions here always
 project metadata *out* of the binary early (so downstream shuffles move
@@ -33,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # real image codec if the environment provides it; fake-decode otherwise
+try:  # preferred image codec when the environment provides it
     from PIL import Image as _PILImage  # noqa: N812
 
     IMAGE_CODEC_AVAILABLE = True
@@ -41,7 +43,14 @@ except ImportError:  # pragma: no cover - container has no PIL
     _PILImage = None
     IMAGE_CODEC_AVAILABLE = False
 
-DECODERS_AVAILABLE = IMAGE_CODEC_AVAILABLE  # ffmpeg/torchaudio never in-container
+# codec of last resort: the vendored pure-Python PNG codec (stdlib zlib +
+# numpy) — always importable, so the image decode/resize/encode path runs
+# for real even in codec-less containers (PNG inputs only)
+from unified_firmographic_data_pipeline_spark.functions import png as _png
+
+PNG_CODEC_AVAILABLE = True
+DECODERS_AVAILABLE = IMAGE_CODEC_AVAILABLE or PNG_CODEC_AVAILABLE
+VIDEO_CODEC_AVAILABLE = False  # ffmpeg/av never in-container
 
 #: Canonical media-row schema: payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -99,6 +108,15 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
     column-wise 0.11 s — ~17x per batch.)
     """
 
+    def _real_or_fake(b, digest, kind):
+        # real header probe for PNG payloads (no decompression — IHDR only);
+        # deterministic fake for everything else so the plumbing stays
+        # testable without codecs
+        if kind == "image" and _png.is_png(b):
+            w, h = _png.read_dims(b)
+            return w, h, None
+        return _fake_decode(digest, kind)
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payload = pdf["payload"]
@@ -106,7 +124,10 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
                 lambda b: hashlib.sha256(b).digest() if b is not None else None
             )
             dims = pd.DataFrame(
-                (_fake_decode(d, k) for d, k in zip(digest, pdf["kind"])),
+                (
+                    _real_or_fake(b, d, k)
+                    for b, d, k in zip(payload, digest, pdf["kind"])
+                ),
                 columns=["width", "height", "duration_ms"],
                 index=pdf.index,
             )
@@ -137,33 +158,38 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize image payloads so the longer side is <= ``max_side``.
+    """Resize image payloads so the longer side is <= ``max_side``,
+    re-encoding to PNG.
 
-    Runs through the real PIL codec when the environment provides it
-    (``IMAGE_CODEC_AVAILABLE``); raises otherwise — the Spark-side plumbing
-    (schema, Arrow batching, per-partition memory bound) is identical either
-    way. Decode/re-encode is intrinsically per-value; batch assembly is
-    column-wise."""
-    if not IMAGE_CODEC_AVAILABLE:
-        raise NotImplementedError(
-            "image codecs not available in this container; "
-            "resize_images is plumbing-complete but decode-stubbed"
-        )
-
+    Codec tiers: PIL when the environment provides it
+    (``IMAGE_CODEC_AVAILABLE``), else the vendored pure-Python PNG codec
+    (``functions/png.py`` — PNG inputs only, nearest-neighbor resample), so
+    the real decode->resize->encode branch executes even in this
+    codec-less container. The Spark-side plumbing (schema, Arrow batching,
+    per-partition memory bound) is identical on every tier. Decode/
+    re-encode is intrinsically per-value; batch assembly is column-wise."""
     import io
 
     def _resize_one(b: bytes | None) -> tuple[int | None, int | None, bytes | None]:
         if b is None:
             return None, None, None
-        img = _PILImage.open(io.BytesIO(b))
-        if max(img.size) > max_side:
-            scale = max_side / max(img.size)
-            img = img.resize(
-                (max(1, round(img.width * scale)), max(1, round(img.height * scale)))
-            )
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return img.width, img.height, buf.getvalue()
+        if IMAGE_CODEC_AVAILABLE:
+            img = _PILImage.open(io.BytesIO(b))
+            if max(img.size) > max_side:
+                scale = max_side / max(img.size)
+                img = img.resize(
+                    (max(1, round(img.width * scale)), max(1, round(img.height * scale)))
+                )
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return img.width, img.height, buf.getvalue()
+        arr = _png.decode(b)  # raises on non-PNG, like PIL on garbage
+        h, w = arr.shape[:2]
+        if max(w, h) > max_side:
+            scale = max_side / max(w, h)
+            w, h = max(1, round(w * scale)), max(1, round(h * scale))
+            arr = _png.resize_nearest(arr, w, h)
+        return w, h, _png.encode(arr)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
