@@ -122,6 +122,14 @@ HEADLINE = [
     "flesch_readability_buckets",
     "rolling_7d_corr_events_revenue",
     "scd2_point_in_time_lookup",
+    # round 3 batch 22: retrieval scoring, interval algebra, inequality,
+    # skyline, exact correlation matrix, check-strategy SCD2
+    "bm25_query_scores",
+    "interval_merge_coverage",
+    "gini_acctbal_by_nation",
+    "skyline_orders_price_date",
+    "corr_matrix_lineitem",
+    "scd2_check_intervals",
 ]
 
 

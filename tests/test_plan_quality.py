@@ -42,6 +42,9 @@ BNLJ_ALLOWED = {
     # 1-row basket-total aggregate broadcast into the lift expression —
     # same scalar-subquery shape as q11/heavy_hitter_tokens
     "basket_rules_lift",
+    # 1-row corpus scalars (N, avgdl) broadcast into the idf table —
+    # same scalar-subquery shape as tfidf_top_terms
+    "bm25_query_scores",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

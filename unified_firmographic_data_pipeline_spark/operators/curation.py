@@ -178,6 +178,79 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def bm25_scores(
+    docs: DataFrame, query_terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed term set — the
+    standard retrieval scorer (Robertson & Walker, TREC-3; the Lucene
+    ``(N - df + 0.5)/(df + 0.5) + 1`` idf variant, always positive).
+
+    Shape mirrors ``tfidf_top_terms``: one (doc, term) shuffle for tf, a
+    term-keyed df aggregation whose output is bounded by |query_terms| and
+    broadcasts back, and the corpus scalars (N, avgdl) ride a 1-row
+    broadcast. Per-term scores are micro-rounded and summed as BIGINT so
+    the total is order-independent and bit-exact cross-engine. Documents
+    matching no term are kept with score 0 (left join) — the filter
+    decision belongs to the caller.
+    """
+    terms = [t.lower() for t in query_terms]
+    docs_n = docs.select("doc_id", token_count("text").alias("dl"))
+    corpus = docs_n.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # idf in micro units, fixed expression order (ln after the division)
+    idf = df_.crossJoin(F.broadcast(corpus)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+                + 1.0
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("idf_micro"),
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    term_score_micro = F.round(
+        F.col("idf_micro").cast("double")
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    ).cast("long")
+    per_doc = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(docs_n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.sum(term_score_micro).alias("__s_micro"),
+        )
+    )
+    return (
+        docs_n.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_terms_matched", F.lit(0)).cast("int").alias("n_terms_matched"),
+            F.round(
+                F.coalesce(F.col("__s_micro"), F.lit(0)).cast("double") / 1e6, 6
+            ).alias("bm25"),
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame) -> DataFrame:
     """Per-document top TF-IDF term (classic content-keyword extraction):
     tf = in-doc count, idf = ln(N/df) over distinct-document frequency,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -179,3 +179,77 @@ def zscore_normalize(df: DataFrame, col: str, by: list[str]) -> DataFrame:
             F.col("__sd") > 0, F.round((c - F.col("__mean")) / F.col("__sd"), 6)
         ),
     ).drop("__s", "__n", "__mean", "__ss", "__sd")
+
+
+def gini_by_group(df: DataFrame, group: str, value, tiebreak: str) -> DataFrame:
+    """Gini coefficient of ``value`` within each group — the standard
+    inequality/concentration measure (Pareto-front sibling of the
+    cumulative-share report). Uses the rank formulation over ascending
+    values
+
+        G = (2 * Σ i·x_i − (n+1) · Σ x_i) / (n · Σ x_i),   i = 1..n
+
+    with ``value`` quantized to exact micro-unit BIGINTs so both the rank
+    products and the sums are order-independent integers; the single final
+    division is the only double op. One sort-window shuffle on the group
+    plus the group aggregation — no self-join, no n² pair scan. ``tiebreak``
+    makes ranks (and hence G under ties) deterministic. Range bound:
+    n · max|x| · 1e6 must stay under 2^63 — holds to ~1e6 rows per group of
+    1e6-unit values; beyond that, pre-scale to coarser units.
+    """
+    v_micro = F.round(F.col(value).cast("double") * 1e6).cast("long")
+    w = Window.partitionBy(group).orderBy(v_micro.asc(), F.col(tiebreak).asc())
+    ranked = df.select(
+        F.col(group),
+        v_micro.alias("__v"),
+        F.row_number().over(w).alias("__i"),
+    )
+    agg = ranked.groupBy(group).agg(
+        F.count("*").alias("n"),
+        F.sum("__v").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__v")).alias("__six"),
+    )
+    gini = (
+        (2.0 * F.col("__six").cast("double") - (F.col("n") + 1).cast("double") * F.col("__sx").cast("double"))
+        / (F.col("n").cast("double") * F.col("__sx").cast("double"))
+    )
+    return agg.select(
+        group,
+        "n",
+        F.round(F.col("__sx").cast("double") / 1e6, 6).alias("total_value"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    tiebreak: str,
+) -> DataFrame:
+    """2-D skyline (Pareto front): rows not dominated under (minimize ↓,
+    maximize ↑). A dominates B iff A.min <= B.min, A.max >= B.max, and one
+    is strict; equal points are mutually non-dominating and all kept.
+
+    The window rewrite avoids the quadratic dominance self-join entirely:
+    (1) within each ``minimize`` value keep only rows tied for the best
+    ``maximize`` (same-coordinate dominance), then (2) keep rows whose
+    ``maximize`` strictly exceeds the running max over all strictly smaller
+    ``minimize`` values (a RANGE window, so ties in ``minimize`` never see
+    each other). Two window passes over one sort order — linear after the
+    sort shuffle, and Catalyst plans both windows in a single exchange.
+    """
+    w_same = Window.partitionBy(minimize)
+    w_prev = (
+        Window.orderBy(F.col(minimize).asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    best_same = F.max(maximize).over(w_same)
+    prev_best = F.max(maximize).over(w_prev)
+    return (
+        df.withColumn("__best_same", best_same)
+        .filter(F.col(maximize) == F.col("__best_same"))
+        .withColumn("__prev_best", prev_best)
+        .filter(F.col("__prev_best").isNull() | (F.col(maximize) > F.col("__prev_best")))
+        .drop("__best_same", "__prev_best")
+    )

@@ -171,6 +171,42 @@ def range_join_binned(
     )
 
 
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching ``[start, end)`` intervals per key into
+    maximal merged intervals — the classic gaps-and-islands rewrite, and the
+    primitive behind uptime/coverage/sessionized-duration reporting.
+
+    One shuffle (the per-key sort window): an interval starts a new island
+    when its start exceeds the running max of all previous ends; the island
+    id is the running count of such breaks; a second aggregation per
+    (key, island) emits the merged bounds. No self-join, no explode — cost
+    is the sort, linear in rows. Ties/adjacency (`start == prev_end`) merge,
+    matching half-open interval semantics.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(start), F.col(end))
+    prev_max_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    breaks = F.when(
+        prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+    ).otherwise(0)
+    islands = df.withColumn(
+        "__island", F.sum(breaks).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(key, "__island")
+        .agg(
+            F.min(start).alias("merged_start"),
+            F.max(end).alias("merged_end"),
+            F.count("*").alias("n_source_intervals"),
+        )
+        .drop("__island")
+    )
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -5524,6 +5524,266 @@ def scd2_check_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 22 (round 3): retrieval scoring, interval algebra, inequality,
+# skyline, exact correlation matrix
+# --------------------------------------------------------------------------
+
+@q(
+    "bm25_query_scores",
+    f"""
+    WITH d AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+    corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+    tk AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+           WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    idf AS (SELECT tok,
+                   CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT)
+                       AS idf_micro,
+                   CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+            FROM dfq, corpus),
+    per AS (SELECT tf.doc_id, count(*) AS n_terms_matched,
+                   sum(CAST(round(CAST(idf_micro AS DOUBLE)
+                                  * (tf * 2.2)
+                                  / (tf + 1.2 * (1.0 - 0.75
+                                     + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))
+                       AS BIGINT)) AS s_micro
+            FROM tf JOIN idf USING (tok) JOIN d USING (doc_id) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_terms_matched, 0) AS INTEGER) AS n_terms_matched,
+           round(CAST(coalesce(per.s_micro, 0) AS DOUBLE) / 1e6, 6) AS bm25
+    FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query-term set
+    (``operators.curation.bm25_scores``, Lucene idf variant, k1=1.2
+    b=0.75). Per-term scores micro-round and sum as BIGINT so the total is
+    addition-order-free; corpus scalars (N, avgdl) ride a 1-row broadcast;
+    zero-match docs survive the left join with score 0."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, ["spark", "join", "window"])
+
+
+@q(
+    "interval_merge_coverage",
+    """
+    WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events),
+    mk AS (SELECT user_id, s, e,
+                  CASE WHEN max(e) OVER prevw IS NULL OR s > max(e) OVER prevw
+                       THEN 1 ELSE 0 END AS brk
+           FROM iv
+           WINDOW prevw AS (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (SELECT user_id, s, e,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM mk),
+    m AS (SELECT user_id, island, min(s) AS ms, max(e) AS me, count(*) AS n_src
+          FROM isl GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_merged, CAST(sum(n_src) AS BIGINT) AS n_events,
+           CAST(sum(epoch_us(me) - epoch_us(ms)) AS BIGINT) AS coverage_us
+    FROM m GROUP BY user_id
+    """,
+)
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce each user's 10-minute activity intervals into maximal
+    merged spans (``operators.temporal.merge_intervals`` — gaps-and-islands
+    via one sort window, no self-join) and report per-user span count and
+    exact microsecond coverage (BIGINT epoch arithmetic: a double-seconds
+    sum would be addition-order-dependent)."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    m = merge_intervals(iv, "user_id", "s", "e")
+    return m.groupBy("user_id").agg(
+        F.count("*").alias("n_merged"),
+        F.sum("n_source_intervals").alias("n_events"),
+        F.sum(
+            F.unix_micros(F.col("merged_end")) - F.unix_micros(F.col("merged_start"))
+        ).alias("coverage_us"),
+    )
+
+
+@q(
+    "gini_acctbal_by_nation",
+    """
+    WITH r AS (SELECT c_nationkey,
+                      CAST(round(c_acctbal * 1e6) AS BIGINT) AS v,
+                      row_number() OVER (PARTITION BY c_nationkey
+                          ORDER BY CAST(round(c_acctbal * 1e6) AS BIGINT), c_custkey)
+                          AS i
+               FROM customer)
+    SELECT c_nationkey, count(*) AS n,
+           round(CAST(sum(v) AS DOUBLE) / 1e6, 6) AS total_value,
+           round((2.0 * CAST(sum(i * v) AS DOUBLE)
+                  - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(v) AS DOUBLE))
+                 / (CAST(count(*) AS DOUBLE) * CAST(sum(v) AS DOUBLE)), 6) AS gini
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def gini_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality of customer account balances per nation
+    (``operators.stats.gini_by_group``): rank formulation over ascending
+    micro-unit integers — rank products and sums are exact BIGINTs, one
+    final double division. One sort window + one aggregation; no pair
+    join. (TPC-H balances go negative, so G is unbounded here — the
+    parity target is the deterministic formula, not [0,1].)"""
+    from unified_firmographic_data_pipeline_spark.operators.stats import gini_by_group
+
+    c = _t(spark, sf_dir, "customer")
+    return gini_by_group(c, "c_nationkey", "c_acctbal", "c_custkey")
+
+
+@q(
+    "skyline_orders_price_date",
+    """
+    WITH o2 AS (SELECT o_orderkey, o_orderdate, o_totalprice,
+                       max(o_totalprice) OVER (PARTITION BY o_orderdate) AS best_same,
+                       datediff('day', DATE '1970-01-01', o_orderdate) AS dd
+                FROM orders),
+    f1 AS (SELECT * FROM o2 WHERE o_totalprice = best_same),
+    f2 AS (SELECT o_orderkey, o_orderdate, o_totalprice,
+                  max(o_totalprice) OVER (ORDER BY dd
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+           FROM f1)
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM f2 WHERE prev_best IS NULL OR o_totalprice > prev_best
+    """,
+)
+def skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto front over orders: earliest-date,
+    highest-price non-dominated set (``operators.stats.skyline_2d``). The
+    window rewrite (per-date max, then running max over strictly earlier
+    dates via a RANGE frame) avoids the quadratic dominance self-join; the
+    global second window runs on the per-date-max survivors only —
+    bounded by distinct dates, not rows."""
+    from unified_firmographic_data_pipeline_spark.operators.stats import skyline_2d
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("__dd"),
+    )
+    return skyline_2d(o, "__dd", "o_totalprice", "o_orderkey").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@q(
+    "corr_matrix_lineitem",
+    """
+    WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                      CAST(round(l_discount * 100) AS BIGINT) AS d
+               FROM lineitem),
+    m AS (SELECT count(*) AS n,
+                 sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+                 sum(CAST(q AS HUGEINT) * q) AS sqq,
+                 sum(CAST(p AS HUGEINT) * p) AS spp,
+                 sum(CAST(d AS HUGEINT) * d) AS sdd,
+                 sum(CAST(q AS HUGEINT) * p) AS sqp,
+                 sum(CAST(q AS HUGEINT) * d) AS sqd,
+                 sum(CAST(p AS HUGEINT) * d) AS spd
+          FROM b)
+    SELECT 'quantity' AS var_x, 'extendedprice' AS var_y,
+           round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'quantity', 'discount',
+           round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+    FROM m
+    UNION ALL
+    SELECT 'extendedprice', 'discount',
+           round((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                  - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+    FROM m
+    """,
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over (quantity, extendedprice,
+    discount) in ONE scan: all ten moments accumulate as exact integers
+    (cent-quantized values, DECIMAL(38,0) product sums — the p² moment
+    tops 2^63 at sf0.1) and each correlation is one closed-form double
+    expression, identical on both engines. No corr()/covar() builtin:
+    their accumulation order is engine-defined and never bit-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = b.agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(dec("q") * dec("q")).alias("sqq"),
+        F.sum(dec("p") * dec("p")).alias("spp"),
+        F.sum(dec("d") * dec("d")).alias("sdd"),
+        F.sum(dec("q") * dec("p")).alias("sqp"),
+        F.sum(dec("q") * dec("d")).alias("sqd"),
+        F.sum(dec("p") * dec("d")).alias("spd"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        n = F.col("n").cast("double")
+        dv = lambda c: F.col(c).cast("double")  # noqa: E731
+        return F.round(
+            (n * dv(sxy) - dv(sx) * dv(sy))
+            / F.sqrt(
+                (n * dv(sxx) - dv(sx) * dv(sx)) * (n * dv(syy) - dv(sy) * dv(sy))
+            ),
+            6,
+        )
+
+    pairs = [
+        ("quantity", "extendedprice", "sqp", "sq", "sp", "sqq", "spp"),
+        ("quantity", "discount", "sqd", "sq", "sd", "sqq", "sdd"),
+        ("extendedprice", "discount", "spd", "sp", "sd", "spp", "sdd"),
+    ]
+    rows = [
+        m.select(
+            F.lit(vx).alias("var_x"),
+            F.lit(vy).alias("var_y"),
+            corr(sxy, sx, sy, sxx, syy).alias("corr"),
+        )
+        for vx, vy, sxy, sx, sy, sxx, syy in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
