@@ -130,6 +130,13 @@ HEADLINE = [
     "skyline_orders_price_date",
     "corr_matrix_lineitem",
     "scd2_check_intervals",
+    # round 3 batch 23: degree-oriented triangles, IVF ANN, path mining,
+    # EWMA smoothing, weekday anomaly scores
+    "triangle_stats_copurchase",
+    "ann_cosine_topk_ivf",
+    "session_path_trigrams",
+    "ewma_daily_event_counts",
+    "weekday_anomaly_daily",
 ]
 
 

@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     # 1-row corpus scalars (N, avgdl) broadcast into the idf table —
     # same scalar-subquery shape as tfidf_top_terms
     "bm25_query_scores",
+    # 1-row wedge/degree totals x 1-row triangle count -> one summary row
+    "triangle_stats_copurchase",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

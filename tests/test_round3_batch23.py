@@ -1,0 +1,163 @@
+"""Round-3 batch-23 operators: degree-oriented triangle counting, IVF ANN,
+session path n-grams, truncated EWMA, weekday z-scores. Each is also
+oracle-parity-checked; these tests pin semantics against brute-force
+references on adversarial micro-inputs the parity hash can't isolate."""
+
+import itertools
+import math
+
+from pyspark.sql import functions as F
+
+
+def _brute_triangles(edges: set[tuple[int, int]]) -> int:
+    nodes = sorted({n for e in edges for n in e})
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in und and (a, c) in und and (b, c) in und
+    )
+
+
+def test_triangle_stats_vs_brute_force(spark):
+    from unified_firmographic_data_pipeline_spark.operators.triangles import (
+        triangle_stats,
+    )
+
+    # K4 (4 triangles) + a pendant + a square (0 triangles) + a self-loop
+    # + a duplicated/reversed edge
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),                                          # pendant
+        (10, 11), (11, 12), (12, 13), (13, 10),          # C4
+        (7, 7),                                          # self-loop (dropped)
+        (2, 1), (1, 2),                                  # dup + reversed
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_stats(df).collect()[0]
+    expect_tri = _brute_triangles(set(edges))
+    assert row["n_triangles"] == expect_tri == 4
+    # nodes: K4(4) + pendant(1) + C4(4) = 9 (self-loop-only node 7 drops)
+    assert row["n_nodes"] == 9
+    assert row["n_edges"] == 11
+    # wedges: K4 degrees (3,3,3,4 w/ pendant on 4) -> C(3,2)*3 + C(4,2)
+    # + pendant node 5 deg1 -> 0 + C4 degrees all 2 -> 4*C(2,2)=4
+    assert row["n_wedges"] == 3 * 3 + 6 + 4
+    assert row["global_clustering"] == round(3.0 * 4 / 19, 6)
+
+
+def test_ivf_probes_restrict_candidates_and_match_exact_when_probed(spark):
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    # 3 well-separated clusters in 4-d; ids 0,1,2 are one vector per cluster
+    # so the id-ordered coarse centroids are exactly the cluster centers;
+    # the query (vec 0) sits inside cluster 0
+    centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 0.0)]
+    base, members = [], {0: [], 1: [], 2: []}
+    for ci, c in enumerate(centers):
+        base.append((ci, [c[0], c[1], c[2], 0.0]))
+        members[ci].append(ci)
+        for j in range(5):
+            vid = 3 + ci * 5 + j
+            base.append((vid, [c[0] + 0.1 * j, c[1], c[2], float(j % 2)]))
+            members[ci].append(vid)
+    df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+
+    ivf = cosine_topk_ivf(df, q, k=3, n_lists=3, n_probe=1).collect()
+    # with n_probe=1 the query probes its own (cluster-0) list; every
+    # returned neighbor must be a cluster-0 member: the unprobed lists
+    # are invisible
+    assert ivf, "ivf returned no rows"
+    assert all(r["neighbor_id"] in members[0] for r in ivf)
+
+    # probing ALL lists makes IVF == exact brute force
+    ivf_all = cosine_topk_ivf(df, q, k=3, n_lists=3, n_probe=3).collect()
+    exact = cosine_topk(df, q, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in ivf_all]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in exact]
+    )
+
+
+def test_session_ngrams_respects_session_boundaries(spark):
+    from unified_firmographic_data_pipeline_spark.operators.temporal import (
+        session_ngrams,
+    )
+
+    rows = [
+        # user 1, session 1: a b c d  -> trigrams a>b>c, b>c>d
+        (1, 1, 0, "a"), (1, 2, 60, "b"), (1, 3, 120, "c"), (1, 4, 180, "d"),
+        # user 1, session 2 (2h later): a b c -> trigram a>b>c
+        (1, 5, 7400, "a"), (1, 6, 7460, "b"), (1, 7, 7520, "c"),
+        # user 2: only two events -> no trigram
+        (2, 8, 0, "a"), (2, 9, 60, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, t long, event_type string").select(
+        "user_id", "event_id", F.timestamp_seconds("t").alias("ts"), "event_type"
+    )
+    out = {
+        r["path"]: r["n_occurrences"]
+        for r in session_ngrams(df, key="user_id", ts="ts", n=3).collect()
+    }
+    # the cross-boundary trigrams (c>d>a, d>a>b) must NOT appear
+    assert out == {"a>b>c": 2, "b>c>d": 1}
+
+
+def test_ewma_halflife1_exact_dyadic_weights(spark):
+    from unified_firmographic_data_pipeline_spark.operators.timeseries import (
+        ewma_halflife1,
+    )
+    import datetime
+
+    counts = [4, 8, 2, 16]
+    rows = [
+        (datetime.date(2024, 1, d + 1), c) for d, c in enumerate(counts)
+    ]
+    df = spark.createDataFrame(rows, "day date, cnt long")
+    got = {
+        str(r["day"]): r["ewma"]
+        for r in ewma_halflife1(df, window=3).collect()
+    }
+
+    def ref(t):  # brute force over the 3-term window
+        lo = max(0, t - 2)
+        num = sum(counts[j] * 2.0 ** (j - t) for j in range(lo, t + 1))
+        den = sum(2.0 ** (j - t) for j in range(lo, t + 1))
+        return num / den
+
+    for t in range(4):
+        assert got[f"2024-01-0{t + 1}"] == ref(t)  # EXACT equality by design
+
+
+def test_weekday_zscore_integer_moment_formula(spark):
+    from unified_firmographic_data_pipeline_spark.operators.timeseries import (
+        weekday_zscore,
+    )
+    import datetime
+
+    # three Mondays with counts 10, 20, 30: mean 20, std_pop sqrt(200/3)
+    days = [datetime.date(2024, 1, 1), datetime.date(2024, 1, 8),
+            datetime.date(2024, 1, 15)]
+    rows = list(zip(days, [10, 20, 30]))
+    df = spark.createDataFrame(rows, "day date, cnt long")
+    out = {str(r["day"]): r for r in weekday_zscore(df).collect()}
+    n, s, ss = 3, 60, 1400
+    for d, x in rows:
+        expect = round((n * x - s) / math.sqrt(n * ss - s * s), 6)
+        assert out[str(d)]["z"] == expect
+        assert out[str(d)]["is_anomaly"] == (abs(expect) > 2.0)
+        assert out[str(d)]["weekday"] == 2  # Spark dayofweek: Monday == 2
+
+    # zero-variance weekday -> NULL z, NULL flag
+    flat = spark.createDataFrame(
+        [(datetime.date(2024, 1, 2), 5), (datetime.date(2024, 1, 9), 5)],
+        "day date, cnt long",
+    )
+    r = weekday_zscore(flat).collect()[0]
+    assert r["z"] is None and r["is_anomaly"] is None

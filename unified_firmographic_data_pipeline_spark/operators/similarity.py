@@ -175,6 +175,85 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine — the coarse-quantizer
+    scale path next to the hyperplane-LSH tier.
+
+    Index build: ``n_lists`` deterministic coarse centroids (smallest-id
+    vectors — reuses ``clustering.init_centroids_by_id``) enter the plan as
+    broadcast literals; every corpus vector is assigned to its nearest list
+    by the same integer-micro argmin as k-means assignment (one codegen'd
+    projection fused into the scan, no shuffle).
+
+    Probe: each query scores the same ``n_lists`` literal centroids and
+    keeps its ``n_probe`` nearest lists; candidates are fetched with an
+    equi-join on the list id — the shuffle carries only list-id keys, the
+    corpus is scanned once and never cross-joined. Exact cosine + window
+    top-k within the probed lists. Recall < 1 by construction (vectors in
+    unprobed lists are invisible), the standard IVF trade; the exact twin
+    ``cosine_topk`` is the oracle baseline.
+
+    Deterministic end-to-end: centroids are id-ordered, distances integer,
+    list assignment argmin has an id tiebreak — so the DuckDB oracle can
+    replay the identical index + probe in SQL.
+    """
+    from unified_firmographic_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        init_centroids_by_id,
+        _sq_dist_micro,
+    )
+
+    centroids = init_centroids_by_id(corpus, n_lists, vec_col, id_col)
+    c = (
+        assign_clusters(corpus, centroids, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col("cluster_id").alias("__list"),
+        )
+    )
+    # per-query probe list: argsort the same literal centroid distances,
+    # keep the first n_probe (struct sort = (distance, centroid id) lex)
+    cand = F.array(
+        *[
+            F.struct(
+                _sq_dist_micro(F.col(vec_col), ce).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, ce in centroids
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(cand), 1, n_probe), lambda s: s["cid"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("__list"),
+    )
+    scored = (
+        c.join(q, "__list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("__qv", "__cv"), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_numpy(
     corpus: DataFrame,
     queries: DataFrame,

@@ -254,3 +254,43 @@ def overlap_join(
         )
         .drop("__bin")
     )
+
+
+def session_ngrams(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    step_col: str = "event_type",
+    n: int = 3,
+    gap: str = "30 minutes",
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Sequential pattern mining, n-gram tier: every length-``n`` run of
+    consecutive steps within a session, as ``(path, n_occurrences)``.
+
+    The standard "what do users do next" / clickstream-path rollup: far
+    cheaper than full sequence mining (PrefixSpan) and usually what the
+    product question needs. Composes :func:`sessionize` (gap rule) with
+    ``lead`` window steps — ONE shuffle on the session key partitions both
+    the sessionization and the leads; the n-gram rollup partial-aggregates
+    map-side. Paths that would cross a session boundary are suppressed by
+    leading the session_id alongside the step column.
+    """
+    s = sessionize(df, key=key, ts=ts, gap=gap, order_tiebreak=order_tiebreak)
+    order = [F.col(ts).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    steps = [F.col(step_col)] + [F.lead(step_col, i).over(w) for i in range(1, n)]
+    same_session = [
+        F.lead("session_id", i).over(w) == F.col("session_id") for i in range(1, n)
+    ]
+    ok = same_session[0]
+    for c in same_session[1:]:
+        ok = ok & c
+    return (
+        s.withColumn("__path", F.when(ok, F.concat_ws(">", *steps)))
+        .filter(F.col("__path").isNotNull())
+        .groupBy(F.col("__path").alias("path"))
+        .agg(F.count("*").alias("n_occurrences"))
+    )

@@ -5784,6 +5784,229 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 23 (round 3): graph cohesion (degree-oriented triangle
+# counting), IVF coarse-quantizer ANN, sequential path mining, bit-exact
+# EWMA smoothing, weekday-seasonal anomaly z-scores
+# --------------------------------------------------------------------------
+
+
+@q(
+    "triangle_stats_copurchase",
+    """
+    WITH und AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node),
+    base AS (
+        SELECT COUNT(*) AS n_nodes,
+               CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+               CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+        FROM deg),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS global_clustering
+    FROM base, tri
+    """,
+)
+def triangle_stats_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph cohesion summary of the part co-purchase graph (parts ordered
+    together in the same order = an edge): node/edge/wedge counts, exact
+    triangle count, global clustering coefficient. The Spark plan counts
+    each triangle ONCE from its lowest-(degree,id) vertex (degree-oriented
+    wedges — operators/triangles.py), the MapReduce-era fix for hub blowup;
+    the oracle verifies via the orientation-invariant id-ordered 3-way
+    join. All-integer counts make the single division bit-exact."""
+    from unified_firmographic_data_pipeline_spark.operators.triangles import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_stats(edges)
+
+
+@q(
+    "ann_cosine_topk_ivf",
+    """
+    WITH c AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dist AS (
+        SELECT b.vec_id, c.cid,
+               list_sum(list_transform(list_zip(b.v, c.ce),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 1e6) AS BIGINT))) AS dm
+        FROM base b CROSS JOIN c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+            FROM dist) WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS qid, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+            FROM dist WHERE vec_id < 10) WHERE rn <= 2),
+    scored AS (
+        SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(qv.v, cv.v) /
+                     (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))),
+                     6) AS cosine_sim
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+        JOIN base qv ON qv.vec_id = p.qid
+        JOIN base cv ON cv.vec_id = a.vec_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-tier ANN (operators/similarity.py:cosine_topk_ivf): 8
+    deterministic coarse centroids, every corpus vector files under its
+    nearest list (integer-micro argmin, no shuffle), 10 queries probe their
+    2 nearest lists via a list-id equi-join, exact cosine within. The third
+    point of the ANN design space next to the exact (ann_cosine_topk) and
+    hyperplane-LSH (ann_cosine_topk_lsh) tiers; the oracle replays the
+    identical index build + probe in SQL."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=2
+    )
+
+
+@q(
+    "session_path_trigrams",
+    """
+    WITH s AS (
+        SELECT user_id, event_id, event_type, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                     + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events)),
+    g AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER w
+                          || '>' || lead(event_type, 2) OVER w AS path,
+               session_id,
+               lead(session_id, 1) OVER w AS s1,
+               lead(session_id, 2) OVER w AS s2
+        FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT path, COUNT(*) AS n_occurrences
+    FROM g WHERE s1 = session_id AND s2 = session_id
+    GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 20 most common 3-step event sequences
+    that stay inside one 30-min session (operators/temporal.py:
+    session_ngrams). Sessionization and the lead windows share ONE shuffle
+    on user_id; the trigram rollup partial-aggregates map-side. Total
+    order: count desc, path asc."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import (
+        session_ngrams,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = session_ngrams(e, key="user_id", ts="ts", step_col="event_type", n=3)
+    return out.orderBy(F.col("n_occurrences").desc(), F.col("path").asc()).limit(20)
+
+
+@q(
+    "ewma_daily_event_counts",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY day),
+    i AS (SELECT day, cnt, row_number() OVER (ORDER BY day) AS t FROM d)
+    SELECT CAST(a.day AS VARCHAR) AS day, a.cnt,
+           SUM(b.cnt * power(0.5, a.t - b.t)) / SUM(power(0.5, a.t - b.t)) AS ewma
+    FROM i a JOIN i b ON b.t <= a.t AND b.t > a.t - 14
+    GROUP BY a.day, a.cnt
+    """,
+)
+def ewma_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA trend smoothing of daily event counts, half-life one day over a
+    14-day memory (operators/timeseries.py:ewma_halflife1). alpha = 1/2
+    makes every weight an exact power of two, so each term and the 14-term
+    sum are exact dyadic doubles — NO rounding guard needed; the quotient
+    is bit-identical cross-engine. The weight depends on the (current,
+    contributing) index pair, so it is a bounded 14-way fan-out self-join
+    on the tiny daily axis, not a window frame."""
+    from unified_firmographic_data_pipeline_spark.operators.timeseries import (
+        daily_counts,
+        ewma_halflife1,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = ewma_halflife1(daily_counts(e), value="cnt", day="day", window=14)
+    return out.select(F.col("day").cast("string").alias("day"), "cnt", "ewma")
+
+
+@q(
+    "weekday_anomaly_daily",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY day),
+    w AS (SELECT day, cnt, CAST(dayofweek(day) + 1 AS INTEGER) AS weekday FROM d),
+    m AS (SELECT weekday, COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s,
+                 CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+          FROM w GROUP BY weekday),
+    z AS (
+        SELECT w.day, w.weekday, w.cnt,
+               CASE WHEN m.n * m.ss - m.s * m.s > 0
+                    THEN round(CAST(m.n * w.cnt - m.s AS DOUBLE)
+                               / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)), 6)
+               END AS z
+        FROM w JOIN m USING (weekday))
+    SELECT CAST(day AS VARCHAR) AS day, weekday, cnt, z,
+           abs(z) > 2.0 AS is_anomaly
+    FROM z
+    """,
+)
+def weekday_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly flags: each day's event count vs its weekday's
+    whole-history mean/std (operators/timeseries.py:weekday_zscore). The
+    z-score reduces to (n*x - s) / sqrt(n*ss - s^2) on exact integer
+    moments — one integer-radicand sqrt + one division, bit-identical
+    cross-engine. Weekday numbering pinned to Spark's dayofweek (Sun=1);
+    the oracle shifts DuckDB's Sun=0 to match."""
+    from unified_firmographic_data_pipeline_spark.operators.timeseries import (
+        daily_counts,
+        weekday_zscore,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = weekday_zscore(daily_counts(e), value="cnt", day="day", flag_at=2.0)
+    return out.select(
+        F.col("day").cast("string").alias("day"), "weekday", "cnt", "z", "is_anomaly"
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
