@@ -137,6 +137,12 @@ HEADLINE = [
     "session_path_trigrams",
     "ewma_daily_event_counts",
     "weekday_anomaly_daily",
+    # round 3 batch 24: sketch calibration, keep-best dedup retention,
+    # item-item similarity, per-source quality quota
+    "minhash_est_vs_exact",
+    "neardup_cluster_keep_best",
+    "item_cosim_jaccard_topk",
+    "source_quota_best_docs",
 ]
 
 

@@ -161,3 +161,59 @@ def test_weekday_zscore_integer_moment_formula(spark):
     )
     r = weekday_zscore(flat).collect()[0]
     assert r["z"] is None and r["is_anomaly"] is None
+
+
+def test_minhash_estimate_statistics_and_exact_match_case(spark):
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        minhash_estimate_vs_exact,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),          # identical to 1 -> J = 1
+        (3, "alpha beta gamma epsilon zeta"),   # J(1,3) = 3/6 = 0.5
+        (4, "totally different words here"),    # J ~ 0 vs others
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_estimate_vs_exact(df, threshold=0.3).collect()
+    }
+    # identical docs: exact J = 1 and the estimate MUST be 1 (all mins equal)
+    assert out[(1, 2)]["jaccard"] == 1.0
+    assert out[(1, 2)]["mh_est"] == 1.0
+    assert out[(1, 2)]["err"] == 0.0
+    # the 0.5 pair is present; estimate is k/16 and error is their difference
+    r = out[(1, 3)]
+    assert r["jaccard"] == 0.5
+    assert r["mh_est"] * 16 == int(r["mh_est"] * 16)  # exact rational
+    assert r["err"] == round(r["mh_est"] - r["jaccard"], 6)
+    # sub-threshold pairs are excluded
+    assert not any(4 in k for k in out)
+
+
+def test_component_representatives_picks_best_quality_member(spark):
+    from unified_firmographic_data_pipeline_spark.operators.components import (
+        component_representatives,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            # component 1: node 11 has top score; tie between 12/13 -> lower id
+            (11, 1, 0.9), (12, 1, 0.5), (13, 1, 0.5),
+            # component 2: singleton
+            (20, 2, 0.1),
+        ],
+        "node long, component long, quality double",
+    )
+    out = {
+        r["component"]: r
+        for r in component_representatives(labeled, "quality").collect()
+    }
+    assert out[1]["rep_id"] == 11 and out[1]["n_members"] == 3
+    assert out[2]["rep_id"] == 20 and out[2]["n_members"] == 1
+
+    tie = spark.createDataFrame(
+        [(5, 9, 0.7), (3, 9, 0.7)], "node long, component long, quality double"
+    )
+    assert component_representatives(tie, "quality").collect()[0]["rep_id"] == 3

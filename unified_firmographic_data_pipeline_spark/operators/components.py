@@ -79,3 +79,36 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds "
         "(graph diameter exceeds the bound)"
     )
+
+
+def component_representatives(
+    labeled: DataFrame,
+    score_col: str,
+    id_col: str = "node",
+) -> DataFrame:
+    """Keep-one-per-cluster retention: for each component pick the member
+    with the highest ``score_col`` (id asc tiebreak) — the step that turns
+    near-dup clusters into a deduplicated corpus while keeping the BEST
+    copy (highest quality score), not an arbitrary one.
+
+    Input is the (node, component[, score...]) frame from
+    :func:`connected_components` joined with per-node scores. One window
+    shuffle on the component key. Returns ``(component, rep_id, rep_score,
+    n_members)``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("rep_id"),
+            F.col(score_col).alias("rep_score"),
+            "n_members",
+        )
+    )

@@ -227,6 +227,73 @@ def simhash_near_pairs(
     )
 
 
+def minhash_signature_md5(
+    text_col: Column | str, num_hashes: int = 16, shingle_n: int = 1
+) -> Column:
+    """ArrayType(StringType) MinHash signature with md5 permutations
+    (``md5(i || ':' || shingle)``, lexicographic min over the shingle set) —
+    the cross-engine-reproducible twin of :func:`minhash_signature`, shared
+    by the LSH banding and the estimator-quality query."""
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+
+    def perm_min(i: int):
+        # closure over a ready-made literal — a 2-arg lambda would make
+        # F.transform pass the array index as the second parameter
+        prefix = F.lit(f"{i}:")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
+
+
+def minhash_estimate_vs_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 1,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Sketch-quality audit: for every pair with exact shingle-Jaccard >=
+    ``threshold``, the MinHash estimate (matching signature positions /
+    num_hashes) next to the exact value and the signed error.
+
+    This is the measurement every LSH deployment needs before picking
+    (num_hashes, bands): E[estimate] = J, stddev = sqrt(J(1-J)/k). The
+    estimate is an exact small rational (int/num_hashes) and the exact
+    Jaccard a single correctly-rounded division, so the comparison is
+    bit-reproducible cross-engine. Returns ``(id_a, id_b, jaccard,
+    mh_est, err)``; err = round(mh_est - jaccard, 6).
+    """
+    pairs = jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature_md5(text_col, num_hashes, shingle_n).alias("__sig"),
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("__sa"), F.col("__sb"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "jaccard",
+            est.alias("mh_est"),
+            F.round(est - F.col("jaccard"), 6).alias("err"),
+        )
+    )
+
+
 def minhash_lsh_candidates_md5(
     df: DataFrame,
     id_col: str = "doc_id",

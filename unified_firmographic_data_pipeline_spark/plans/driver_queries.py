@@ -6007,6 +6007,236 @@ def weekday_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 24 (round 3): sketch-quality audit (MinHash estimate vs
+# exact), keep-best-per-cluster dedup retention, item-item Jaccard
+# similarity, per-source quality quota
+# --------------------------------------------------------------------------
+
+#: 16-permutation md5 MinHash signature as a DuckDB LIST (unigram shingles)
+_MH16_SQL = (
+    "["
+    + ", ".join(
+        f"list_aggregate(list_transform(list_distinct({_TOKENS_SQL}), t -> md5('{j}:' || t)), 'min')"
+        for j in range(16)
+    )
+    + "]"
+)
+
+#: the quality_scores heuristic as a scalar SQL expression (reused by the
+#: retention queries below — keep in sync with functions.text.quality_score)
+_QUALITY_SQL = f"""round((
+    (CASE WHEN len({_TOKENS_SQL}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN coalesce(
+        CASE WHEN len({_TOKENS_SQL}) = 0 THEN NULL
+             ELSE CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE)
+                  / CAST(len({_TOKENS_SQL}) AS DOUBLE) END, 0.0) > 0.01
+     THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN coalesce(
+        CASE WHEN length(text) = 0 THEN NULL
+             ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) END, 1.0) < 0.3
+     THEN 1.0 ELSE 0.0 END)) / 3.0, 6)"""
+
+
+@q(
+    "minhash_est_vs_exact",
+    f"""
+    WITH sets_ AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL}) AS sh
+        FROM documents WHERE doc_id < 100),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets_),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM sets_),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    exact AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.3),
+    sig AS (SELECT doc_id, {_MH16_SQL} AS s FROM documents WHERE doc_id < 100),
+    est AS (
+        SELECT e.id_a, e.id_b, e.jaccard,
+               CAST(list_sum(list_transform(list_zip(sa.s, sb.s),
+                    x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS mh_est
+        FROM exact e
+        JOIN sig sa ON sa.doc_id = e.id_a
+        JOIN sig sb ON sb.doc_id = e.id_b)
+    SELECT id_a, id_b, jaccard, mh_est, round(mh_est - jaccard, 6) AS err
+    FROM est
+    """,
+)
+def minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit (operators/neardup.py:minhash_estimate_vs_exact):
+    MinHash Jaccard estimate (16 md5 permutations, matching positions / 16)
+    against the exact unigram Jaccard for every pair >= 0.3, plus the
+    signed error — the calibration readout that justifies a chosen
+    (num_hashes, bands) before running LSH dedup at scale. Estimate is an
+    exact rational, exact Jaccard one correctly-rounded division: bit-exact
+    cross-engine."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        minhash_estimate_vs_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return minhash_estimate_vs_exact(
+        d, num_hashes=16, shingle_n=1, threshold=0.3
+    )
+
+
+@q(
+    "neardup_cluster_keep_best",
+    rf"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(t[(i*10+1):least((i+1)*10, len(t))], ' ')) AS chunk_fp
+        FROM toks,
+             UNNEST(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)) AS u(i)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM chunks a JOIN chunks b
+          ON a.chunk_fp = b.chunk_fp AND a.doc_id <> b.doc_id),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT p.dst AS node, r.lbl FROM reach r JOIN pairs p ON p.src = r.node),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents),
+    ranked AS (
+        SELECT c.component, s.doc_id, s.quality,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY s.quality DESC, s.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN scored s ON s.doc_id = c.node)
+    SELECT component, doc_id AS rep_id, quality AS rep_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def neardup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup retention: chunk-fingerprint candidate pairs ->
+    connected components -> keep the HIGHEST-QUALITY member per cluster
+    (operators/components.py:component_representatives). The full 'cluster
+    then keep the best copy' pipeline every pretraining-corpus dedup ends
+    with, not just the cluster labels. Deterministic: min-label components,
+    6-dec quality, id tiebreak."""
+    from unified_firmographic_data_pipeline_spark.functions.text import quality_score
+    from unified_firmographic_data_pipeline_spark.operators.components import (
+        component_representatives,
+        connected_components,
+    )
+    from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", F.explode(token_chunks("text", 10)).alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(d.select(F.col("doc_id").alias("node")), pairs)
+    scored = d.select(
+        F.col("doc_id").alias("node"), F.round(quality_score("text"), 6).alias("quality")
+    )
+    labeled = comp.join(scored, "node")
+    return component_representatives(labeled, score_col="quality", id_col="node")
+
+
+@q(
+    "item_cosim_jaccard_topk",
+    """
+    WITH bsk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT pk, COUNT(*) AS n_orders FROM bsk GROUP BY pk),
+    co AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_co
+        FROM bsk a JOIN bsk b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2),
+    sim AS (
+        SELECT part_a, part_b, n_co, na.n_orders AS n_a, nb.n_orders AS n_b,
+               CAST(n_co AS DOUBLE) / CAST(na.n_orders + nb.n_orders - n_co AS DOUBLE) AS jaccard
+        FROM co JOIN n na ON na.pk = part_a JOIN n nb ON nb.pk = part_b)
+    SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, jaccard
+    FROM sim
+    ORDER BY jaccard DESC, part_a, part_b LIMIT 20
+    """,
+)
+def item_cosim_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative similarity: the 20 part pairs with the
+    highest co-order Jaccard (co-baskets / union of baskets). The
+    Jaccard-normalized sibling of basket_rules_lift: pair generation is the
+    same bounded within-order fan-out (C(items-per-order, 2) — never a
+    part×part cross join); the per-part order counts broadcast back onto
+    the pair table. Total order: jaccard desc, part ids."""
+    li = _t(spark, sf_dir, "lineitem")
+    bsk = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    n = bsk.groupBy("pk").agg(F.count("*").alias("n_orders"))
+    a = bsk.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = bsk.select(F.col("ok"), F.col("pk").alias("part_b"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_co"))
+    )
+    sim = (
+        co.join(n.select(F.col("pk").alias("part_a"), F.col("n_orders").alias("n_a")), "part_a")
+        .join(n.select(F.col("pk").alias("part_b"), F.col("n_orders").alias("n_b")), "part_b")
+        .select(
+            "part_a", "part_b",
+            F.col("n_co").cast("long").alias("n_co"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_co").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_co")).cast("double")).alias("jaccard"),
+        )
+    )
+    return sim.orderBy(F.col("jaccard").desc(), "part_a", "part_b").limit(20)
+
+
+@q(
+    "source_quota_best_docs",
+    f"""
+    WITH scored AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents),
+    ranked AS (
+        SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM scored)
+    SELECT source, doc_id, quality, CAST(rn AS INTEGER) AS rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def source_quota_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota retention: keep the 3 highest-quality documents per
+    source (quality desc, id tiebreak) — the domain-balancing counterpart
+    of hash_topk_per_source (which samples uniformly; this keeps the BEST).
+    One window shuffle on the source key; the quality heuristic is a
+    codegen'd scalar fused into the scan."""
+    from unified_firmographic_data_pipeline_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "source", F.round(quality_score("text"), 6).alias("quality"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "doc_id", "quality", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
