@@ -9,18 +9,28 @@ Scale design (Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
 Curse of the Last Reducer"): orient every undirected edge from its
 lower-(degree, id) endpoint to the higher one. Every triangle then has
 exactly ONE vertex with two outgoing oriented edges, so it is counted once
-as a wedge (a->b, a->c) closed by oriented edge (b->c). Because out-degree
-under degree-orientation is bounded by O(sqrt(edges)), the wedge fan-out
-join never suffers the hub blowup a naive (all wedges at high-degree
-nodes) plan hits — THE difference between feasible and impossible on a
-power-law graph at 100 TB.
+as a wedge (a->b, a->c) closed by edge (b->c), and out-degree under
+degree-orientation is bounded by O(sqrt(edges)) — no hub blowup on a
+power-law graph.
 
-Everything is equi-joins + aggregations: degree (one groupBy), orientation
-(two broadcast-able degree lookups), wedge generation (self-join on the
-low vertex), closure (equi-join on the (b, c) pair). Counts are exact
-integers — bit-identical on any engine, so the DuckDB oracle can verify
-via the simpler id-ordered 3-way join (triangle COUNT is orientation-
-invariant).
+Plan shape (the part that decides whether this survives a dense graph):
+
+- the canonicalized edge set and the degree table are ``localCheckpoint``ed
+  once — every downstream branch (wedge sides, closure probe, degree
+  moments) reads the materialized 2-column frame instead of replaying the
+  raw-pair distinct (the naive composition recomputes it six times);
+- the degree lookups broadcast onto the edge frame (degree table is
+  |V| rows — tiny relative to |E|), so orientation adds NO edge shuffle;
+- with ``broadcast_closure=True`` (default) the closing-edge probe is a
+  broadcast hash join, so the wedge stream — the one quadratic-ish
+  intermediate, Σ C(outdeg,2) rows — is generated, probed, and partially
+  COUNTED inside a single stage and never hits a shuffle. For graphs whose
+  edge set itself is beyond broadcast (the true 100 TB regime) set it
+  False to fall back to a shuffled equi-join on the (x, y) pair key.
+
+Counts are exact integers — bit-identical on any engine — so the DuckDB
+oracle verifies via the simpler id-ordered 3-way join (triangle COUNT is
+orientation-invariant).
 """
 
 from __future__ import annotations
@@ -29,28 +39,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Degree-orient an undirected edge set: returns ``(lo, hi)`` rows with
-    each undirected edge appearing once, directed from the endpoint with
-    smaller (degree, id) to the larger. Input may contain (a,b) either way
-    or both ways; self-loops are dropped."""
-    und = (
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(a, b) with a < b, deduped; self-loops dropped."""
+    return (
         edges.filter(F.col(src) != F.col(dst))
-        .select(
-            F.least(src, dst).alias("a"),
-            F.greatest(src, dst).alias("b"),
-        )
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .distinct()
     )
-    deg = (
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def _orient(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Direct each canonical edge from lower-(deg, id) to higher; the degree
+    lookups broadcast (|V| rows) so no edge-side shuffle is added."""
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    j = und.join(da, "a").join(db, "b")
+    j = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
     lo_is_a = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
@@ -60,41 +72,55 @@ def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
     )
 
 
-def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree-orient an undirected edge set: returns ``(lo, hi)`` rows with
+    each undirected edge appearing once, directed from the endpoint with
+    smaller (degree, id) to the larger. Input may contain (a,b) either way
+    or both ways; self-loops are dropped."""
+    und = _canonical_undirected(edges, src, dst)
+    return _orient(und, _degrees(und))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+    broadcast_closure: bool = True,
+) -> DataFrame:
     """One-row global graph cohesion summary: ``n_nodes, n_edges, n_wedges,
     n_triangles, global_clustering`` (= 3*triangles / wedges, the fraction
     of open wedges that close; 0.0 when the graph has no wedges).
 
     ``n_wedges`` counts unordered wedges (paths of length 2) in the
     UNDIRECTED graph: sum over nodes of C(deg, 2) — an integer expression
-    off the degree table, no join."""
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
+    off the degree table, no join. ``materialize=False`` keeps the plan
+    fully lazy (unit-test / tiny-graph mode)."""
+    und = _canonical_undirected(edges, src, dst)
+    if materialize:
+        # one computation of the (join + distinct) edge derivation for the
+        # FIVE downstream reads (degree union x2, orientation, closure)
+        und = und.localCheckpoint(eager=True)
+    deg = _degrees(und)
+    if materialize:
+        deg = deg.localCheckpoint(eager=True)
     base = deg.agg(
         F.count("*").alias("n_nodes"),
         (F.sum("deg") / F.lit(2)).cast("long").alias("n_edges"),
-        F.sum(F.col("deg") * (F.col("deg") - 1) / F.lit(2)).cast("long").alias(
+        F.sum((F.col("deg") * (F.col("deg") - 1) / F.lit(2)).cast("long")).alias(
             "n_wedges"
         ),
     )
-    ori = orient_edges(und, "a", "b")
+    ori = _orient(und, deg)
     w1 = ori.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
     w2 = ori.select(F.col("lo").alias("pivot"), F.col("hi").alias("y"))
     wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
-    # closure: is (x, y) an (undirected) edge? id-ordered canonical form
+    # closure: is (x, y) an (undirected) edge? id-ordered canonical form.
+    # Broadcasting the edge set keeps the wedge stream inside one stage:
+    # generated, probed, and partially counted without ever shuffling.
     canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    tri = wedges.join(canon, ["x", "y"]).agg(
-        F.count("*").alias("n_triangles")
-    )
+    probe = F.broadcast(canon) if broadcast_closure else canon
+    tri = wedges.join(probe, ["x", "y"]).agg(F.count("*").alias("n_triangles"))
     out = base.crossJoin(F.broadcast(tri))  # 1-row x 1-row
     return out.select(
         "n_nodes",

@@ -6178,7 +6178,14 @@ def item_cosim_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     part×part cross join); the per-part order counts broadcast back onto
     the pair table. Total order: jaccard desc, part ids."""
     li = _t(spark, sf_dir, "lineitem")
-    bsk = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    bsk = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        # one distinct computation for the three downstream reads (pair
+        # fan-out both sides + per-part counts) — same reuse pattern as
+        # triangle_stats' edge frame
+        .localCheckpoint(eager=True)
+    )
     n = bsk.groupBy("pk").agg(F.count("*").alias("n_orders"))
     a = bsk.select(F.col("ok"), F.col("pk").alias("part_a"))
     b = bsk.select(F.col("ok"), F.col("pk").alias("part_b"))

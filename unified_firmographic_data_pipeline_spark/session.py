@@ -37,6 +37,14 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     # UI off in the harness: faster session startup, no port contention.
     "spark.ui.enabled": "false",
+    # local[N] runs the whole cluster in ONE JVM whose default heap is ~1g —
+    # 32 concurrent tasks each sorting a shuffle partition OOM long before
+    # the machine (128 GiB) is near full. 8g measured fastest across the
+    # bench (1g OOMs on multi-million-row shuffles; 48g is ~35% SLOWER on
+    # GC-heavy iterative jobs — bigger heaps hurt G1 locality). Ignored
+    # when a JVM already exists (getOrCreate) or under spark-submit with an
+    # explicit --driver-memory.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
