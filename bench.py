@@ -143,6 +143,12 @@ HEADLINE = [
     "neardup_cluster_keep_best",
     "item_cosim_jaccard_topk",
     "source_quota_best_docs",
+    # round 3 batch 25: frequent triples, lag autocorrelation, CUSUM
+    # change-point, funnel latency
+    "basket_triples_support",
+    "autocorr_lag7_daily",
+    "cusum_changepoint_daily",
+    "funnel_time_to_convert",
 ]
 
 

@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     "bm25_query_scores",
     # 1-row wedge/degree totals x 1-row triangle count -> one summary row
     "triangle_stats_copurchase",
+    # 1-row (n_days, total) broadcast into the per-day deviation expression
+    "cusum_changepoint_daily",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -6244,6 +6244,218 @@ def source_quota_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 25 (round 3): frequent triples, lag-k autocorrelation,
+# CUSUM change-point detection, funnel time-to-convert
+# --------------------------------------------------------------------------
+
+
+@q(
+    "basket_triples_support",
+    """
+    WITH bsk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    tri AS (
+        SELECT a.pk AS pk1, b.pk AS pk2, c.pk AS pk3, COUNT(*) AS support
+        FROM bsk a
+        JOIN bsk b ON a.ok = b.ok AND a.pk < b.pk
+        JOIN bsk c ON b.ok = c.ok AND b.pk < c.pk
+        GROUP BY 1, 2, 3)
+    SELECT pk1, pk2, pk3, CAST(support AS BIGINT) AS support
+    FROM tri ORDER BY support DESC, pk1, pk2, pk3 LIMIT 20
+    """,
+)
+def basket_triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets: support counts for part triples co-ordered in
+    one order — the size-3 extension of market_basket_pairs. Fan-out is
+    C(items-per-order, 3) per order (baskets are small by contract), never
+    a 3-way part cross join; the rollup partial-aggregates map-side. Total
+    order: support desc, part ids."""
+    li = _t(spark, sf_dir, "lineitem")
+    bsk = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = bsk.select("ok", F.col("pk").alias("pk1"))
+    b = bsk.select("ok", F.col("pk").alias("pk2"))
+    c = bsk.select("ok", F.col("pk").alias("pk3"))
+    tri = (
+        a.join(b, "ok").filter(F.col("pk1") < F.col("pk2"))
+        .join(c, "ok").filter(F.col("pk2") < F.col("pk3"))
+        .groupBy("pk1", "pk2", "pk3")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return tri.orderBy(F.col("support").desc(), "pk1", "pk2", "pk3").limit(20)
+
+
+@q(
+    "autocorr_lag7_daily",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY day),
+    i AS (SELECT cnt, row_number() OVER (ORDER BY day) AS t FROM d),
+    p AS (SELECT a.cnt AS x, b.cnt AS y
+          FROM i a JOIN i b ON b.t = a.t - 7),
+    m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM p)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr_lag7
+    FROM m
+    """,
+)
+def autocorr_lag7_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength: Pearson correlation between the daily
+    event-count series and itself shifted 7 observed days. The lag pairing
+    is an equi-join on the day index (lag over a window would also work —
+    the join form is the shape that generalizes to cross-series lags); the
+    correlation is the closed form over exact integer moments, each sqrt/
+    division correctly rounded, bit-exact cross-engine."""
+    from unified_firmographic_data_pipeline_spark.operators.timeseries import (
+        daily_counts,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    idx = daily_counts(e).select(
+        "cnt", F.row_number().over(Window.orderBy(F.col("day").asc())).alias("t")
+    )
+    a = idx.select(F.col("cnt").alias("x"), F.col("t").alias("ta"))
+    b = idx.select(F.col("cnt").alias("y"), (F.col("t") + 7).alias("ta"))
+    p = a.join(b, "ta")
+    m = p.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = F.round(
+        (n * F.col("sxy") - sx * sy).cast("double")
+        / F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        / F.sqrt((n * F.col("syy") - sy * sy).cast("double")),
+        6,
+    )
+    return m.select(n.cast("long").alias("n_pairs"), r.alias("autocorr_lag7"))
+
+
+@q(
+    "cusum_changepoint_daily",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY day),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s FROM d),
+    c AS (
+        SELECT day,
+               CAST(SUM(cnt) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM d),
+    dev AS (
+        SELECT day, n.n AS n_days,
+               n.n * c.pre - c.t * n.s AS num
+        FROM c, tot n),
+    best AS (
+        SELECT day, n_days, num,
+               row_number() OVER (ORDER BY abs(num) DESC, day) AS rn
+        FROM dev)
+    SELECT CAST(day AS VARCHAR) AS change_day,
+           round(CAST(num AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS cusum_peak,
+           n_days
+    FROM best WHERE rn = 1
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event counts: the day where
+    the cumulative deviation from the global mean peaks (the classic
+    level-shift locator). CUSUM_t = prefix_t - t*mean scales to the
+    INTEGER n*prefix_t - t*total, so the argmax (abs desc, day tiebreak)
+    is decided in exact integer arithmetic; the displayed peak divides
+    once at the end. One window pass + a 1-row broadcast total."""
+    e = _t(spark, sf_dir, "events")
+    from unified_firmographic_data_pipeline_spark.operators.timeseries import (
+        daily_counts,
+    )
+
+    d = daily_counts(e)
+    tot = d.agg(F.count("*").alias("n_days"), F.sum("cnt").alias("s"))
+    w = Window.orderBy(F.col("day").asc())
+    c = d.select(
+        "day",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("pre"),
+        F.row_number().over(w).cast("long").alias("t"),
+    )
+    dev = c.crossJoin(F.broadcast(tot)).select(
+        "day", "n_days",
+        (F.col("n_days") * F.col("pre") - F.col("t") * F.col("s")).alias("num"),
+    )
+    wb = Window.orderBy(F.abs(F.col("num")).desc(), F.col("day").asc())
+    return (
+        dev.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").cast("string").alias("change_day"),
+            F.round(F.col("num").cast("double") / F.col("n_days").cast("double"), 6).alias("cusum_peak"),
+            F.col("n_days"),
+        )
+    )
+
+
+@q(
+    "funnel_time_to_convert",
+    """
+    WITH clk AS (SELECT user_id, MIN(ts) AS c FROM events
+                 WHERE event_type = 'click' GROUP BY user_id),
+    pur AS (
+        SELECT e.user_id, MIN(e.ts) AS p
+        FROM events e JOIN clk ON e.user_id = clk.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= clk.c
+        GROUP BY e.user_id),
+    delta AS (
+        SELECT clk.user_id, date_diff('second', clk.c, pur.p) AS sec
+        FROM clk JOIN pur ON clk.user_id = pur.user_id)
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(sec) AS BIGINT) AS min_sec,
+           CAST(quantile_disc(sec, 0.5) AS BIGINT) AS median_sec,
+           CAST(MAX(sec) AS BIGINT) AS max_sec
+    FROM delta
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, seconds from first click to the first
+    purchase at-or-after it; corpus rollup with a DISCRETE median
+    (percentile_disc picks an actual data value — no interpolation, hence
+    bit-exact; quantile_cont would be the interpolated twin). Two keyed
+    aggregates share the user_id shuffle; deltas are exact integer
+    seconds."""
+    e = _t(spark, sf_dir, "events")
+    clk = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.min("ts").alias("c"))
+    )
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clk, "user_id")
+        .filter(F.col("ts") >= F.col("c"))
+        .groupBy("user_id").agg(F.min("ts").alias("p"))
+    )
+    delta = clk.join(pur, "user_id").select(
+        (F.unix_timestamp("p") - F.unix_timestamp("c")).alias("sec")
+    )
+    return delta.agg(
+        F.count("*").alias("n_converted"),
+        F.min("sec").cast("long").alias("min_sec"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY sec)").cast("long").alias("median_sec"),
+        F.max("sec").cast("long").alias("max_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
