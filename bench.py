@@ -149,6 +149,13 @@ HEADLINE = [
     "autocorr_lag7_daily",
     "cusum_changepoint_daily",
     "funnel_time_to_convert",
+    # round 3 batch 26: rank-sum testing, boolean aggregates, weighted
+    # sampling, index series, 2-hop reach
+    "mannwhitney_value_by_variant",
+    "bool_aggregates_orders",
+    "weighted_sample_es_topk",
+    "indexed_daily_revenue",
+    "two_hop_reach_counts",
 ]
 
 

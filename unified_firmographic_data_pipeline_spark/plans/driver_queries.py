@@ -6456,6 +6456,234 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 26 (round 3): rank-based nonparametric testing, boolean
+# aggregates, weighted reservoir sampling, rebased index series, 2-hop
+# graph reach
+# --------------------------------------------------------------------------
+
+
+@q(
+    "mannwhitney_value_by_variant",
+    """
+    WITH b AS (
+        SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(round(value * 1e3) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    g AS (
+        SELECT event_type, v, COUNT(*) AS cnt,
+               CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS cnt0
+        FROM b GROUP BY event_type, v),
+    r AS (
+        SELECT event_type, v, cnt, cnt0,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS BIGINT) AS c_before
+        FROM g),
+    m AS (
+        SELECT event_type,
+               CAST(SUM(cnt0) AS BIGINT) AS n1,
+               CAST(SUM(cnt) - SUM(cnt0) AS BIGINT) AS n2,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               SUM(CAST(cnt0 AS DOUBLE) * (CAST(c_before AS DOUBLE)
+                   + (CAST(cnt AS DOUBLE) + 1.0) / 2.0)) AS r1,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+        FROM r GROUP BY event_type)
+    SELECT event_type, n1, n2,
+           round(r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 6) AS u1,
+           round((
+               (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
+           ) / sqrt(
+               CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+               * ((CAST(n AS DOUBLE) + 1.0)
+                  - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+           ), 6) AS z
+    FROM m
+    """,
+)
+def mannwhitney_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test per event_type between hash-split
+    variants — the nonparametric sibling of ab_test_value_stats for when
+    value distributions are skewed. Average ranks for ties come from exact
+    integer cumulative counts (so R1 is a sum of exact .5-rationals); the
+    tie-corrected variance uses the integer Σ(t³-t); both engines evaluate
+    the IDENTICAL IEEE expression tree, then round to 6. One shuffle on
+    (event_type, value) + one window per event_type."""
+    e = _t(spark, sf_dir, "events")
+    b = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 1e3).cast("long").alias("v"),
+    )
+    g = b.groupBy("event_type", "v").agg(
+        F.count("*").alias("cnt"),
+        F.count(F.when(F.col("variant") == 0, 1)).alias("cnt0"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.withColumn("c_before", (F.sum("cnt").over(w) - F.col("cnt")).cast("long"))
+    m = r.groupBy("event_type").agg(
+        F.sum("cnt0").cast("long").alias("n1"),
+        (F.sum("cnt") - F.sum("cnt0")).cast("long").alias("n2"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt0").cast("double")
+            * (F.col("c_before").cast("double") + (F.col("cnt").cast("double") + F.lit(1.0)) / F.lit(2.0))
+        ).alias("r1"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).cast("long").alias("tie3"),
+    )
+    n1d, n2d, nd = (F.col(c).cast("double") for c in ("n1", "n2", "n"))
+    u1 = F.col("r1") - n1d * (n1d + F.lit(1.0)) / F.lit(2.0)
+    z = (u1 - n1d * n2d / F.lit(2.0)) / F.sqrt(
+        n1d * n2d / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie3").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    return m.select(
+        "event_type", "n1", "n2",
+        F.round(u1, 6).alias("u1"), F.round(z, 6).alias("z"),
+    )
+
+
+@q(
+    "bool_aggregates_orders",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_filled,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bool_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: BOOL_AND / BOOL_OR / COUNT_IF per group —
+    the assertion-style rollup (``every order over $1k?``, ``any pending?``)
+    dbt-style quality checks compile to. Single scan, map-side partials."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_filled"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "weighted_sample_es_topk",
+    f"""
+    WITH k AS (
+        SELECT doc_id, source, n_chars,
+               round(ln({_U_DOC}) / CAST(n_chars AS DOUBLE), 9) AS es_key
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars, es_key
+    FROM k ORDER BY es_key DESC, doc_id LIMIT 20
+    """,
+)
+def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    top-k by ``ln(u) / weight`` (monotone twin of u^(1/w)) with u the
+    md5-derived uniform — longer documents proportionally likelier, yet
+    the whole sample is a deterministic pure function of doc_id. The
+    ranking key is a narrow projection; top-k is TakeOrdered (no global
+    sort). 9-digit rounding + id tiebreak absorbs the sub-ulp libm
+    variance of ln across engines."""
+    from unified_firmographic_data_pipeline_spark.operators.sampling import hash_uniform
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key = F.round(
+        F.log(hash_uniform(F.col("doc_id"))) / F.col("n_chars").cast("double"), 9
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "indexed_daily_revenue",
+    f"""
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               {_S('o_totalprice')} AS rev
+        FROM orders GROUP BY o_orderdate),
+    f AS (SELECT day, rev,
+                 first_value(rev) OVER (ORDER BY day) AS rev0
+          FROM d)
+    SELECT CAST(day AS VARCHAR) AS day, rev,
+           round(100.0 * rev / rev0, 6) AS idx100
+    FROM f
+    """,
+)
+def indexed_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebased index series: daily order revenue expressed as index points
+    vs the first day (= 100) — the normalization every BI trend chart
+    applies. Revenue sums are integer-micro exact; the rebase is one
+    division + one multiply, rounded to 6. first_value needs the ordered
+    frame, but the day axis is tiny post-aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(_dsum("o_totalprice").alias("rev"))
+    w = Window.orderBy(F.col("day").asc())
+    return d.select(
+        F.col("day").cast("string").alias("day"),
+        "rev",
+        F.round(F.lit(100.0) * F.col("rev") / F.first("rev").over(w), 6).alias("idx100"),
+    )
+
+
+@q(
+    "two_hop_reach_counts",
+    """
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    seeds AS (SELECT DISTINCT c FROM e ORDER BY c LIMIT 10),
+    hop1 AS (SELECT seeds.c AS seed, e.s FROM seeds JOIN e ON e.c = seeds.c),
+    hop2 AS (
+        SELECT DISTINCT h.seed, e2.c AS c2
+        FROM (SELECT DISTINCT seed, s FROM hop1) h
+        JOIN e e2 ON e2.s = h.s
+        WHERE e2.c <> h.seed)
+    SELECT seed AS custkey,
+           (SELECT COUNT(DISTINCT s) FROM hop1 WHERE hop1.seed = o.seed) AS n_suppliers,
+           COUNT(*) AS n_two_hop_customers
+    FROM hop2 o GROUP BY seed
+    """,
+)
+def two_hop_reach_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood size from a seed set: for the 10 smallest
+    custkeys, how many distinct suppliers they buy from (hop 1) and how
+    many OTHER customers share at least one of those suppliers (hop 2) —
+    the blast-radius readout for influence/contagion questions. The seed
+    set broadcasts into a semi-join, so the full bipartite edge list is
+    scanned once per hop and never self-joined unseeded."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = e.select("c").distinct().orderBy("c").limit(10)
+    hop1 = e.join(F.broadcast(seeds.select(F.col("c"))), "c").select(
+        F.col("c").alias("seed"), "s"
+    ).distinct()
+    n_supp = hop1.groupBy("seed").agg(F.countDistinct("s").alias("n_suppliers"))
+    hop2 = (
+        hop1.join(e.select(F.col("s"), F.col("c").alias("c2")), "s")
+        .filter(F.col("c2") != F.col("seed"))
+        .select("seed", "c2")
+        .distinct()
+    )
+    n2 = hop2.groupBy("seed").agg(F.count("*").alias("n_two_hop_customers"))
+    return (
+        n_supp.join(n2, "seed")
+        .select(F.col("seed").alias("custkey"), "n_suppliers", "n_two_hop_customers")
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
