@@ -151,10 +151,11 @@ def test_multimodal_decode_meta(docs):
     assert again[0]["width"] == meta[0]["width"]
 
 
-def test_multimodal_stubs_raise(spark, docs):
-    """Video decoding stays stubbed (no codec possible in-container);
-    image resizing now always has a codec tier (PIL or the vendored PNG
-    codec) but rejects undecodable payloads at execution, like PIL would."""
+def test_multimodal_garbage_payloads_raise(spark, docs):
+    """Undecodable payloads fail at execution like real codecs: resize on
+    non-PNG bytes raises (PIL-style), frame_sample on non-RAWV video
+    raises (demuxer-style). The happy paths are exercised for real in
+    test_png_codec.py and test_round3_batch23.py's RAWV test."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import PythonException
 
@@ -166,8 +167,9 @@ def test_multimodal_stubs_raise(spark, docs):
     media = media_from_text(docs, "doc_id", "text")  # text bytes != PNG
     with pytest.raises((PythonException, Py4JJavaError)):
         resize_images(media).collect()
-    with pytest.raises(NotImplementedError):
-        frame_sample(media)
+    vid = media_from_text(docs, "doc_id", "text", kind="video")
+    with pytest.raises((PythonException, Py4JJavaError)):
+        frame_sample(vid).collect()
 
 
 def test_multimodal_null_payload(spark):

@@ -217,3 +217,46 @@ def test_component_representatives_picks_best_quality_member(spark):
         [(5, 9, 0.7), (3, 9, 0.7)], "node long, component long, quality double"
     )
     assert component_representatives(tie, "quality").collect()[0]["rep_id"] == 3
+
+
+def test_frame_sample_rawv_container_real_decode(spark):
+    import numpy as np
+
+    from unified_firmographic_data_pipeline_spark.functions import png
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        frame_sample,
+        rawv_encode,
+    )
+
+    # 10 distinguishable 4x3 frames at 40ms intervals (25 fps)
+    frames = [
+        png.encode(np.full((3, 4, 3), i * 20, dtype=np.uint8)) for i in range(10)
+    ]
+    vid = rawv_encode(frames, frame_interval_ms=40)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(vid), "video/x-rawv"),
+         (2, "image", bytearray(b"not a video"), "application/octet-stream")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    # every_ms=120 at 40ms/frame -> stride 3 -> frames 0,3,6,9
+    out = sorted(
+        frame_sample(df, every_ms=120).collect(), key=lambda r: r["frame_index"]
+    )
+    assert [r["frame_index"] for r in out] == [0, 3, 6, 9]
+    assert [r["t_ms"] for r in out] == [0, 120, 240, 360]
+    assert all(r["width"] == 4 and r["height"] == 3 for r in out)
+    # the sampled payloads are REAL decodable PNGs of the original frames
+    for r in out:
+        arr = png.decode(bytes(r["payload"]))
+        assert arr.shape == (3, 4, 3)
+        assert int(arr[0, 0, 0]) == r["frame_index"] * 20
+
+    # non-RAWV video payloads raise like a real demuxer on garbage
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(3, "video", bytearray(b"garbage"), "video/mp4")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    with _pytest.raises(Exception):
+        frame_sample(bad).collect()

@@ -6,11 +6,13 @@ over ``mapInPandas`` so bytes never round-trip through Python row-by-row.
 
 Codec tiers: PIL when installed; else a vendored pure-Python PNG codec
 (``functions/png.py``, stdlib zlib + numpy) so the image decode/resize/
-encode path runs FOR REAL even in codec-less containers. Non-PNG image
-formats and audio/video decoding still fall back to ``_fake_decode`` — a
-deterministic stand-in (shape/duration derived from a stable hash of the
-bytes) keeping the Spark-side plumbing (schema, batching, partition
-behavior) testable; swapping in turbojpeg/ffmpeg is a one-function change.
+encode path runs FOR REAL even in codec-less containers. Video runs for
+real over the deterministic RAWV container (length-prefixed PNG frames —
+``rawv_encode``/``frame_sample``); an ffmpeg/av tier would replace one
+demuxer function. Non-PNG image formats and audio still fall back to
+``_fake_decode`` — a deterministic stand-in (shape/duration derived from
+a stable hash of the bytes) keeping the Spark-side plumbing (schema,
+batching, partition behavior) testable.
 
 Scale notes: binary payloads make wide rows — the functions here always
 project metadata *out* of the binary early (so downstream shuffles move
@@ -50,7 +52,7 @@ from unified_firmographic_data_pipeline_spark.functions import png as _png
 
 PNG_CODEC_AVAILABLE = True
 DECODERS_AVAILABLE = IMAGE_CODEC_AVAILABLE or PNG_CODEC_AVAILABLE
-VIDEO_CODEC_AVAILABLE = False  # ffmpeg/av never in-container
+VIDEO_CODEC_AVAILABLE = True  # RAWV tier (PNG-frame container); ffmpeg/av never in-container
 
 #: Canonical media-row schema: payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -211,13 +213,96 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
     return df.filter(F.col("kind") == "image").mapInPandas(_resize, RESIZED_SCHEMA)
 
 
+#: Minimal deterministic video container ("RAWV"): a length-prefixed PNG
+#: frame sequence. This is the documented stand-in tier for real video
+#: codecs (ffmpeg/av are never in-container): the format is trivial but
+#: the Spark-side pipeline — binary parse, per-frame explode, Arrow
+#: batching, metadata projection — is exactly what an ffmpeg-backed tier
+#: would run, with only ``_rawv_frames`` swapped out.
+#:
+#: Layout (all integers big-endian u32):
+#:   b"RAWV0001" | frame_interval_ms | n_frames | (len | png_bytes) * n
+RAWV_MAGIC = b"RAWV0001"
+
+
+def rawv_encode(frames_png: list[bytes], frame_interval_ms: int = 40) -> bytes:
+    """Pack PNG frames into a RAWV payload (test/ingest helper)."""
+    import struct
+
+    out = [RAWV_MAGIC, struct.pack(">II", frame_interval_ms, len(frames_png))]
+    for f in frames_png:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def _rawv_frames(b: bytes) -> tuple[int, list[bytes]]:
+    """Parse a RAWV payload -> (frame_interval_ms, frames). Raises
+    ValueError on anything else — the garbage-in behavior of a real
+    demuxer."""
+    import struct
+
+    if b is None or len(b) < 16 or b[:8] != RAWV_MAGIC:
+        raise ValueError(
+            "not a RAWV container (real video codecs unavailable in-container; "
+            "swap _rawv_frames for an av/ffmpeg demuxer to accept mp4/webm)"
+        )
+    interval_ms, n = struct.unpack(">II", b[8:16])
+    off, frames = 16, []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", b[off : off + 4])
+        off += 4
+        frames.append(b[off : off + ln])
+        off += ln
+    return interval_ms, frames
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("t_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),  # PNG frame
+        StructField("mime", StringType()),
+    ]
+)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: real signature/schema, stubbed codec
-    (no ffmpeg/av in any supported container tier yet)."""
-    raise NotImplementedError(
-        "video codecs not available in this container; "
-        "frame_sample is plumbing-complete but decode-stubbed"
-    )
+    """Sample one frame roughly every ``every_ms`` from video payloads:
+    each video row explodes into its kept frames ``(media_id, frame_index,
+    t_ms, width, height, payload)``.
+
+    Codec tier: the deterministic RAWV container (length-prefixed PNG
+    frames — see ``rawv_encode``); an ffmpeg/av tier would replace only
+    ``_rawv_frames``. Frame selection keeps index 0 and then every
+    ``max(1, every_ms // interval_ms)``-th frame — the constant-stride
+    policy real samplers use for fixed-fps input. Runs as ``mapInPandas``
+    so a long video never materializes per-row Python lists outside one
+    Arrow batch; downstream ops should project metadata out of the payload
+    before any shuffle (same rule as decode_media_meta)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                interval_ms, frames = _rawv_frames(b)
+                stride = max(1, every_ms // max(1, interval_ms))
+                for i in range(0, len(frames), stride):
+                    fb = frames[i]
+                    w, h = _png.read_dims(fb) if _png.is_png(fb) else (None, None)
+                    rows.append((mid, i, i * interval_ms, w, h, fb, "image/png"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "t_ms",
+                    "width", "height", "payload", "mime",
+                ],
+            ).astype({"frame_index": "Int32", "width": "Int32", "height": "Int32"})
+
+    return df.filter(F.col("kind") == "video").mapInPandas(_sample, FRAME_SCHEMA)
 
 
 def media_from_text(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
