@@ -260,3 +260,23 @@ def test_frame_sample_rawv_container_real_decode(spark):
     )
     with _pytest.raises(Exception):
         frame_sample(bad).collect()
+
+
+def test_wav_header_probe_real_duration(spark):
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        decode_media_meta,
+        wav_duration_ms,
+        wav_encode_silence,
+    )
+
+    wav = wav_encode_silence(1500, sample_rate=8000)
+    assert wav_duration_ms(wav) == 1500
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav"),
+         (2, "audio", bytearray(b"not audio"), "application/octet-stream")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    meta = {r["media_id"]: r for r in decode_media_meta(df).collect()}
+    # RIFF payload: REAL parsed duration; garbage: deterministic fake
+    assert meta[1]["duration_ms"] == 1500
+    assert meta[2]["duration_ms"] is not None  # fake tier still fills it

@@ -94,6 +94,43 @@ def _fake_decode(digest: bytes | None, kind: str) -> tuple[int | None, int | Non
     return None, None, None
 
 
+def is_wav(b: bytes | None) -> bool:
+    return b is not None and len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
+def wav_duration_ms(b: bytes) -> int | None:
+    """Duration of a PCM RIFF/WAVE payload from the fmt + data chunk
+    headers alone (no sample decode): data_bytes / byte_rate. Returns None
+    when the chunks are malformed — callers fall back to ``_fake_decode``'s
+    stand-in path semantics (NULL duration would mean 'unparseable')."""
+    import struct
+
+    off, byte_rate, data_len = 12, None, None
+    while off + 8 <= len(b):
+        cid, ln = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
+        if cid == b"fmt " and off + 16 <= len(b):
+            byte_rate = struct.unpack("<I", b[off + 16 : off + 20])[0]
+        elif cid == b"data":
+            data_len = ln
+        off += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if not byte_rate or data_len is None:
+        return None
+    return data_len * 1000 // byte_rate
+
+
+def wav_encode_silence(ms: int, sample_rate: int = 8000) -> bytes:
+    """Test/ingest helper: a minimal valid mono 8-bit PCM WAV of ``ms``
+    milliseconds of silence."""
+    import struct
+
+    n = sample_rate * ms // 1000
+    data = bytes(n)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def decode_media_meta(df: DataFrame) -> DataFrame:
     """Extract typed metadata from binary payloads via ``mapInPandas``.
 
@@ -111,12 +148,15 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
     """
 
     def _real_or_fake(b, digest, kind):
-        # real header probe for PNG payloads (no decompression — IHDR only);
-        # deterministic fake for everything else so the plumbing stays
-        # testable without codecs
+        # real header probes where the format allows it without a codec:
+        # PNG IHDR for images, RIFF/WAVE fmt+data chunks for audio (no
+        # decompression either way); deterministic fake for everything
+        # else so the plumbing stays testable without codecs
         if kind == "image" and _png.is_png(b):
             w, h = _png.read_dims(b)
             return w, h, None
+        if kind == "audio" and is_wav(b):
+            return None, None, wav_duration_ms(b)
         return _fake_decode(digest, kind)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
