@@ -162,6 +162,12 @@ HEADLINE = [
     "dup_overlap_sources_matrix",
     "mutual_info_type_variant",
     "asof_nearest_tolerance",
+    # round 3 batch 28: corpus/graph statistics
+    "degree_distribution_copurchase",
+    "interevent_burstiness_buckets",
+    "heaps_law_vocab_growth",
+    "zipf_slope_tokens",
+    "neardup_threshold_sweep",
 ]
 
 

@@ -51,6 +51,8 @@ BNLJ_ALLOWED = {
     "cusum_changepoint_daily",
     # 1-row key-count total broadcast into the permille expression
     "skew_report_custkey",
+    # fixed 5-row checkpoint axis broadcast onto the first-seen table
+    "heaps_law_vocab_growth",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -6868,6 +6868,266 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 28 (round 3): graph degree distribution, inter-event
+# burstiness, Heaps'-law vocabulary growth, Zipf slope, near-dup
+# threshold sweep
+# --------------------------------------------------------------------------
+
+
+@q(
+    "degree_distribution_copurchase",
+    """
+    WITH und AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node)
+    SELECT CAST(floor(ln(CAST(deg AS DOUBLE)) / ln(2.0)) AS INTEGER) AS log2_bucket,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM deg GROUP BY log2_bucket
+    """,
+)
+def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in log2 buckets — the
+    first thing to look at before choosing a graph algorithm's skew
+    strategy (a power-law tail says salt/orient; a flat histogram says
+    don't bother). floor(ln d/ln 2) on exact integer degrees is decided
+    identically in both engines away from exact powers of two, and AT
+    powers of two ln(2^k)/ln(2) rounds to the same double on both sides
+    (same libm-free division of the same two doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionAll(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    bucket = F.floor(F.log(F.col("deg").cast("double")) / F.log(F.lit(2.0))).cast("int")
+    return deg.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )
+
+
+@q(
+    "interevent_burstiness_buckets",
+    """
+    WITH g AS (
+        SELECT user_id,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap
+        FROM events),
+    m AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(gap) AS BIGINT) AS s,
+               CAST(SUM(gap * gap) AS BIGINT) AS ss
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id HAVING COUNT(*) >= 2),
+    b AS (
+        SELECT user_id,
+               round((sqrt(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+                     / (sqrt(CAST(n * ss - s * s AS DOUBLE)) + CAST(s AS DOUBLE)), 6)
+                   AS burstiness
+        FROM m)
+    SELECT CAST(floor(burstiness * 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_users
+    FROM b GROUP BY bucket
+    """,
+)
+def interevent_burstiness_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral burstiness (Goh & Barabási): B = (σ−μ)/(σ+μ) of each
+    user's inter-event gaps — B→-1 periodic, 0 Poisson, →1 bursty. With
+    integer-second gaps, σ/μ scale to sqrt(n·ss−s²) and s (both exact
+    integers), so B is two correctly-rounded IEEE ops — bit-exact — then
+    bucketed for the population histogram. One user_id window + one keyed
+    aggregate on the same shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = e.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap").alias("s"),
+            F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    sigma_scaled = F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+    bness = F.round(
+        (sigma_scaled - F.col("s").cast("double"))
+        / (sigma_scaled + F.col("s").cast("double")),
+        6,
+    )
+    return (
+        m.select(F.floor(bness * 10).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@q(
+    "heaps_law_vocab_growth",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS t FROM documents),
+    first_seen AS (SELECT t, MIN(doc_id) AS fd FROM tok GROUP BY t),
+    checkpoints AS (SELECT unnest([100, 200, 300, 400, 500]) AS n_docs)
+    SELECT c.n_docs,
+           CAST(COUNT(CASE WHEN f.fd < c.n_docs THEN 1 END) AS BIGINT) AS vocab_size
+    FROM checkpoints c CROSS JOIN first_seen f
+    GROUP BY c.n_docs
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: distinct-vocabulary size after the first N
+    documents, at fixed checkpoints — the sublinearity check that predicts
+    vocabulary (and hash-table) growth at 100 TB corpus scale. One
+    first-occurrence aggregate per token; the 5-row checkpoint axis
+    broadcasts onto it (conditional count per checkpoint), so the token
+    table is scanned once, never once-per-checkpoint."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t"))
+    first_seen = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    cps = [100, 200, 300, 400, 500]
+    checkpoints = F.explode(F.array(*[F.lit(c) for c in cps])).alias("n_docs")
+    cp_df = d.sparkSession.range(1).select(checkpoints)
+    return (
+        first_seen.crossJoin(F.broadcast(cp_df))
+        .groupBy("n_docs")
+        .agg(
+            F.count(F.when(F.col("fd") < F.col("n_docs"), 1)).alias("vocab_size")
+        )
+    )
+
+
+@q(
+    "zipf_slope_tokens",
+    r"""
+    WITH t AS (
+        SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+            FROM documents) WHERE token <> ''
+        GROUP BY token),
+    r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+        FROM t ORDER BY n DESC, token LIMIT 50),
+    p AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+               CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        FROM r),
+    m AS (
+        SELECT COUNT(*) AS k, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM p)
+    SELECT CAST(k AS BIGINT) AS n_points,
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM m
+    """,
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the token frequency distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-50 tokens (≈ -1 for natural text —
+    the sanity probe for synthetic/corrupted corpora). Each ln
+    micro-rounds to an exact integer BEFORE the moment sums (the entropy
+    precedent), so the closed-form slope is one correctly-rounded division
+    — bit-exact. Rank ties break lexicographically."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token")).filter(F.col("token") != "")
+    t = toks.groupBy("token").agg(F.count("*").alias("n"))
+    r = (
+        t.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+        .select(
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("token").asc()))
+            .alias("rnk"),
+        )
+    )
+    p = r.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1e6).cast("long").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    m = p.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    k = F.col("k")
+    slope = F.round(
+        (k * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (k * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        6,
+    )
+    return m.select(k.cast("long").alias("n_points"), slope.alias("zipf_slope"))
+
+
+@q(
+    "neardup_threshold_sweep",
+    f"""
+    WITH sets_ AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL}) AS sh
+        FROM documents WHERE doc_id < 200),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets_),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM sets_),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    j AS (
+        SELECT CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jac
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT CAST(COUNT(CASE WHEN jac >= 0.3 THEN 1 END) AS BIGINT) AS ge_030,
+           CAST(COUNT(CASE WHEN jac >= 0.5 THEN 1 END) AS BIGINT) AS ge_050,
+           CAST(COUNT(CASE WHEN jac >= 0.7 THEN 1 END) AS BIGINT) AS ge_070,
+           CAST(COUNT(CASE WHEN jac >= 0.9 THEN 1 END) AS BIGINT) AS ge_090
+    FROM j
+    """,
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration: how many candidate pairs survive at
+    Jaccard >= 0.3/0.5/0.7/0.9 — ONE inverted-index pass with conditional
+    counts, not one scoring run per threshold. The number a curator reads
+    before committing to a dedup aggressiveness level (each step roughly
+    bounds the docs removed)."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = jaccard_pairs(d, shingle_n=1, threshold=0.0)
+    return pairs.agg(
+        *[
+            F.count(F.when(F.col("jaccard") >= th, 1)).alias(name)
+            for th, name in [(0.3, "ge_030"), (0.5, "ge_050"), (0.7, "ge_070"), (0.9, "ge_090")]
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
