@@ -5783,6 +5783,27 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct co-purchase part pairs (src < dst) via map-side pair
+    generation: baskets aggregate once per order (sorted part array), pairs
+    explode from each array (posexplode + slice) — ONE orderkey shuffle
+    where the textbook self-join shuffles lineitem twice and explodes
+    skewed orders (the market_basket_pairs plan; 2.1s -> 1.0s at sf0.1 for
+    the 1.2M-edge build). The oracles keep the self-join formulation — it
+    is the semantics, this is the scalable rewrite."""
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    left = baskets.select("parts", F.posexplode("parts").alias("i", "src"))
+    return left.select(
+        "src", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("dst")
+    ).distinct()
+
+
 # --------------------------------------------------------------------------
 # Coverage batch 23 (round 3): graph cohesion (degree-oriented triangle
 # counting), IVF coarse-quantizer ANN, sequential path mining, bit-exact
@@ -5829,15 +5850,7 @@ def triangle_stats_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unified_firmographic_data_pipeline_spark.operators.triangles import triangle_stats
 
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return triangle_stats(edges)
+    return triangle_stats(_copurchase_edges(li))
 
 
 @q(
@@ -6181,17 +6194,20 @@ def item_cosim_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsk = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
-        # one distinct computation for the three downstream reads (pair
-        # fan-out both sides + per-part counts) — same reuse pattern as
-        # triangle_stats' edge frame
+        # one distinct computation for both downstream reads (basket pair
+        # fan-out + per-part counts)
         .localCheckpoint(eager=True)
     )
     n = bsk.groupBy("pk").agg(F.count("*").alias("n_orders"))
-    a = bsk.select(F.col("ok"), F.col("pk").alias("part_a"))
-    b = bsk.select(F.col("ok"), F.col("pk").alias("part_b"))
+    baskets = bsk.groupBy("ok").agg(F.sort_array(F.collect_set("pk")).alias("parts"))
+    # map-side pair generation (the market_basket_pairs plan) — one
+    # orderkey shuffle instead of a basket self-join
+    left = baskets.select("parts", F.posexplode("parts").alias("i", "part_a"))
     co = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        left.select(
+            "part_a",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_co"))
     )
@@ -6270,17 +6286,25 @@ def basket_triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 3-way part cross join; the rollup partial-aggregates map-side. Total
     order: support desc, part ids."""
     li = _t(spark, sf_dir, "lineitem")
-    bsk = (
+    baskets = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("parts"))
     )
-    a = bsk.select("ok", F.col("pk").alias("pk1"))
-    b = bsk.select("ok", F.col("pk").alias("pk2"))
-    c = bsk.select("ok", F.col("pk").alias("pk3"))
+    # map-side TRIPLE generation from each sorted basket (i < j < k by
+    # position): one orderkey shuffle where the textbook shape is a 3-way
+    # self-join shuffling the basket table three times
+    l1 = baskets.select("parts", F.posexplode("parts").alias("i", "pk1"))
+    l2 = l1.select(
+        "parts", "i", "pk1",
+        F.posexplode(F.expr("slice(parts, i + 2, size(parts))")).alias("j", "pk2"),
+    )
     tri = (
-        a.join(b, "ok").filter(F.col("pk1") < F.col("pk2"))
-        .join(c, "ok").filter(F.col("pk2") < F.col("pk3"))
+        l2.select(
+            "pk1", "pk2",
+            F.explode(F.expr("slice(parts, i + j + 3, size(parts))")).alias("pk3"),
+        )
         .groupBy("pk1", "pk2", "pk3")
         .agg(F.count("*").cast("long").alias("support"))
     )
@@ -6901,14 +6925,7 @@ def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFram
     powers of two ln(2^k)/ln(2) rounds to the same double on both sides
     (same libm-free division of the same two doubles)."""
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    und = _copurchase_edges(li)
     deg = (
         und.select(F.col("src").alias("node"))
         .unionAll(und.select(F.col("dst").alias("node")))
