@@ -276,6 +276,8 @@ def session_ngrams(
     map-side. Paths that would cross a session boundary are suppressed by
     leading the session_id alongside the step column.
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     s = sessionize(df, key=key, ts=ts, gap=gap, order_tiebreak=order_tiebreak)
     order = [F.col(ts).asc()] + (
         [F.col(order_tiebreak).asc()] if order_tiebreak else []
@@ -285,8 +287,8 @@ def session_ngrams(
     same_session = [
         F.lead("session_id", i).over(w) == F.col("session_id") for i in range(1, n)
     ]
-    ok = same_session[0]
-    for c in same_session[1:]:
+    ok = F.lit(True)  # n == 1: every single step is trivially within-session
+    for c in same_session:
         ok = ok & c
     return (
         s.withColumn("__path", F.when(ok, F.concat_ws(">", *steps)))
