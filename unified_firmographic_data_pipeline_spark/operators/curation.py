@@ -24,12 +24,20 @@ from pyspark.sql import functions as F
 from unified_firmographic_data_pipeline_spark.functions.text import token_count, tokens
 
 
-def token_chunks(text_col, width: int = 10):
+def token_chunks(text_col, width: int = 10, *, pre_tokenized: bool = False):
     """Split a text column into fixed-``width`` token windows ("lines" for
     corpora without newlines) -> ArrayType(StringType). A pure expression:
     chunk assembly costs no shuffle; only the (short) chunk strings flow to
-    downstream dedup. The last partial window is kept."""
-    t = tokens(text_col)
+    downstream dedup. The last partial window is kept.
+
+    The token array is sliced inside the per-chunk lambda and Catalyst
+    does not CSE into lambda bodies (the :func:`...functions.text.shingles`
+    lesson), so passing raw text re-runs the regex tokenizer once per
+    chunk. Callers on a hot path should project ``tokens(text)`` into a
+    column first and pass it with ``pre_tokenized=True``."""
+    t = F.col(text_col) if pre_tokenized and isinstance(text_col, str) else (
+        text_col if pre_tokenized else tokens(text_col)
+    )
     n_chunks = F.ceil(F.size(t) / F.lit(width)).cast("int")
     return F.transform(
         F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
@@ -45,11 +53,17 @@ def chunk_dedup_stats(docs: DataFrame, width: int = 10) -> DataFrame:
     (ONE shuffle on the uniform 32-hex key — a groupBy+self-join would
     shuffle the same data and then join it back) -> per-source counts.
     Raw text never moves, only ``width``-token chunks."""
-    chunks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(token_chunks("text", width)).alias("chunk"),
-    ).select("doc_id", "source", F.md5(F.col("chunk")).alias("chunk_fp"))
+    chunks = (
+        docs.select("doc_id", "source", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                token_chunks("__toks", width, pre_tokenized=True)
+            ).alias("chunk"),
+        )
+        .select("doc_id", "source", F.md5(F.col("chunk")).alias("chunk_fp"))
+    )
     # corpus-wide: a chunk is "kept" for its first owner (min doc_id),
     # duplicated elsewhere — the C4 rule "keep one occurrence".
     owner_doc = F.min("doc_id").over(Window.partitionBy("chunk_fp"))

@@ -2774,9 +2774,16 @@ def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
     d = _t(spark, sf_dir, "documents")
-    chunks = d.select(
-        "doc_id", F.explode(token_chunks("text", 10)).alias("chunk")
-    ).select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    chunks = (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                token_chunks("__toks", 10, pre_tokenized=True)
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(b, (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
@@ -6146,9 +6153,16 @@ def neardup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
     d = _t(spark, sf_dir, "documents")
-    chunks = d.select(
-        "doc_id", F.explode(token_chunks("text", 10)).alias("chunk")
-    ).select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    chunks = (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                token_chunks("__toks", 10, pre_tokenized=True)
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(b, (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
@@ -6762,7 +6776,13 @@ def dup_overlap_sources_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     fp = (
-        d.select("source", F.explode(token_chunks("text", 10)).alias("chunk"))
+        d.select("source", tokens("text").alias("__toks"))
+        .select(
+            "source",
+            F.explode(
+                token_chunks("__toks", 10, pre_tokenized=True)
+            ).alias("chunk"),
+        )
         .select("source", F.md5("chunk").alias("f"))
         .distinct()
     )
