@@ -168,6 +168,10 @@ HEADLINE = [
     "heaps_law_vocab_growth",
     "zipf_slope_tokens",
     "neardup_threshold_sweep",
+    # round 3 batch 29: assortativity, containment, PMI collocations
+    "assortativity_copurchase",
+    "containment_pairs",
+    "chunk_pmi_collocations",
 ]
 
 

@@ -53,6 +53,8 @@ BNLJ_ALLOWED = {
     "skew_report_custkey",
     # fixed 5-row checkpoint axis broadcast onto the first-seen table
     "heaps_law_vocab_growth",
+    # 1-row chunk-count total broadcast into the PMI expression
+    "chunk_pmi_collocations",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -7165,6 +7165,208 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 29 (round 3): degree assortativity, asymmetric
+# containment, chunk-window PMI collocations
+# --------------------------------------------------------------------------
+
+
+@q(
+    "assortativity_copurchase",
+    """
+    WITH und AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node),
+    ends AS (
+        SELECT da.deg AS x, db.deg AS y
+        FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+        UNION ALL
+        SELECT db.deg AS x, da.deg AS y
+        FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+    m AS (
+        SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM ends)
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+    FROM m
+    """,
+)
+def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph: Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    positive = hubs buy with hubs, negative = hub-and-spoke. The degree
+    table broadcasts onto the edge list; the correlation is the closed form
+    over exact integer moments (two correctly-rounded sqrts + divisions —
+    bit-exact). The graph-health companion to degree_distribution."""
+    li = _t(spark, sf_dir, "lineitem")
+    und = _copurchase_edges(li).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .unionAll(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dy"))
+    j = und.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    ends = j.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        j.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    m = ends.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = F.round(
+        (n * F.col("sxy") - sx * sy).cast("double")
+        / F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        / F.sqrt((n * F.col("syy") - sy * sy).cast("double")),
+        6,
+    )
+    return m.select(
+        (n / 2).cast("long").alias("n_edges"), r.alias("assortativity")
+    )
+
+
+@q(
+    "containment_pairs",
+    f"""
+    WITH sets_ AS (
+        SELECT doc_id, list_distinct({_TOKENS_SQL}) AS sh
+        FROM documents WHERE doc_id < 100),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets_),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM sets_),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_ab,
+           CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_ba
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+       OR CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.8
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment C(A,B) = |A∩B| / |A| in
+    both directions, keeping pairs where either side is >= 0.8-contained —
+    the subset/quotation case (one doc embedded in a larger one) that
+    symmetric Jaccard misses (a 40-token doc inside a 4000-token doc has
+    J ~ 0.01 but C = 1.0). Same inverted-index pair generation as
+    jaccard_pairs; divisions of exact integers are correctly rounded."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    p = jaccard_pairs(d, shingle_n=1, threshold=0.0)
+    ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        p.select(
+            "id_a", "id_b",
+            ab.alias("containment_ab"), ba.alias("containment_ba"),
+        )
+        .filter((F.col("containment_ab") >= 0.8) | (F.col("containment_ba") >= 0.8))
+    )
+
+
+@q(
+    "chunk_pmi_collocations",
+    rf"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    ct AS (
+        SELECT DISTINCT doc_id * 1000 + i AS chunk_id, tok
+        FROM toks,
+             UNNEST(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)) AS u(i),
+             UNNEST(t[(i*10+1):least((i+1)*10, len(t))]) AS v(tok)),
+    nchunks AS (SELECT COUNT(DISTINCT chunk_id) AS nc FROM ct),
+    marg AS (SELECT tok, COUNT(*) AS nx FROM ct GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS nxy
+        FROM ct a JOIN ct b ON a.chunk_id = b.chunk_id AND a.tok < b.tok
+        GROUP BY 1, 2),
+    pmi AS (
+        SELECT t1, t2, nxy,
+               round(ln(CAST(nxy AS DOUBLE) * nc
+                        / (CAST(ma.nx AS DOUBLE) * CAST(mb.nx AS DOUBLE))), 6) AS pmi
+        FROM pairs
+        JOIN marg ma ON ma.tok = t1
+        JOIN marg mb ON mb.tok = t2
+        CROSS JOIN nchunks
+        WHERE nxy >= 20)
+    SELECT t1, t2, CAST(nxy AS BIGINT) AS nxy, pmi
+    FROM pmi ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+)
+def chunk_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 token pairs by pointwise mutual
+    information over 10-token chunk co-occurrence (PMI = ln(p_xy/p_x·p_y) —
+    the classic 'which words travel together' statistic behind phrase
+    detection and tokenizer-merge candidates). Chunk-window co-occurrence
+    bounds pair fan-out to C(window, 2) per chunk, never C(doc_tokens, 2);
+    marginals broadcast back onto the pair table; support >= 20 prunes
+    noise; ln is neutralized by 6-dec rounding (the entropy precedent)."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    ct = (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.posexplode(token_chunks("__toks", 10, pre_tokenized=True)).alias(
+                "i", "chunk"
+            ),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("i")).alias("chunk_id"),
+            F.explode(F.split("chunk", " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    nchunks = ct.agg(F.countDistinct("chunk_id").alias("nc"))
+    marg = ct.groupBy("tok").agg(F.count("*").alias("nx"))
+    a = ct.select("chunk_id", F.col("tok").alias("t1"))
+    b = ct.select("chunk_id", F.col("tok").alias("t2"))
+    pairs = (
+        a.join(b, "chunk_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("nxy"))
+        .filter(F.col("nxy") >= 20)
+    )
+    j = (
+        pairs.join(F.broadcast(marg.select(F.col("tok").alias("t1"), F.col("nx").alias("__nx1"))), "t1")
+        .join(F.broadcast(marg.select(F.col("tok").alias("t2"), F.col("nx").alias("__nx2"))), "t2")
+        .crossJoin(F.broadcast(nchunks))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("nxy").cast("double") * F.col("nc")
+            / (F.col("__nx1").cast("double") * F.col("__nx2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        j.select("t1", "t2", F.col("nxy").cast("long").alias("nxy"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
