@@ -65,6 +65,12 @@ HEAVY = [
     "market_basket_pairs",        # map-side pair generation
     "triangle_stats_copurchase",  # degree-oriented wedge stream
     "item_cosim_jaccard_topk",    # basket pair gen + count joins
+    "ann_cosine_topk_ivf",        # IVF probe: list-id equi-join
+    "neardup_cluster_keep_best",  # iterative components + retention
+    "two_hop_reach_counts",       # seeded semi-join per hop
+    "chunk_dedup_sources",        # chunk fp window dedup
+    "entity_resolution_clusters", # blocked levenshtein + components
+    "mannwhitney_value_by_variant",  # rank moments via window
 ]
 
 
