@@ -138,3 +138,83 @@ def test_zipf_slope_on_synthetic_power_law(spark):
         row = QUERIES["zipf_slope_tokens"](spark, td).collect()[0]
     assert row["n_points"] == 30
     assert abs(row["zipf_slope"] + 1.0) < 0.05
+
+
+def test_assortativity_matches_bruteforce_on_known_graph(spark, sf_small):
+    """Verify the registered query's closed form against a direct Pearson
+    over endpoint degrees computed in Python from the same parquet."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    row = m.queries()["assortativity_copurchase"](spark, sf_small).collect()[0]
+    con = duckdb.connect()
+    und = con.execute(
+        f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+            FROM '{sf_small}/lineitem.parquet' a
+            JOIN '{sf_small}/lineitem.parquet' b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+    ).fetchall()
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in und:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    r = (n * sxy - sx * sy) / math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy)
+    assert row["n_edges"] == len(und)
+    assert row["assortativity"] == round(r, 6)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    # doc 2 is a strict subset of doc 1 (5 of 50 tokens): J ~ 0.1,
+    # containment(2 in 1) = 1.0
+    big = " ".join(f"w{i}" for i in range(50))
+    small = " ".join(f"w{i}" for i in range(5))
+    df = spark.createDataFrame([(1, big), (2, small)], "doc_id long, text string")
+    p = jaccard_pairs(df, shingle_n=1, threshold=0.0).collect()[0]
+    assert p["jaccard"] == 5 / 50  # symmetric metric says "not similar"
+    cont_small_in_big = p["n_common"] / min(p["n_a"], p["n_b"])
+    assert cont_small_in_big == 1.0  # asymmetric metric catches it
+
+
+def test_two_hop_reach_on_tiny_graph(spark, sf_small):
+    """Cross-check the seeded 2-hop counts against a Python BFS on the
+    same bipartite edge list."""
+    import duckdb
+
+    import __spark_entry__ as m
+
+    out = {
+        r["custkey"]: r
+        for r in m.queries()["two_hop_reach_counts"](spark, sf_small).collect()
+    }
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""SELECT DISTINCT o_custkey, l_suppkey
+            FROM '{sf_small}/orders.parquet' o
+            JOIN '{sf_small}/lineitem.parquet' l ON o_orderkey = l_orderkey"""
+    ).fetchall()
+    c2s: dict[int, set] = {}
+    s2c: dict[int, set] = {}
+    for c, s in edges:
+        c2s.setdefault(c, set()).add(s)
+        s2c.setdefault(s, set()).add(c)
+    seeds = sorted(c2s)[:10]
+    for seed in seeds:
+        supp = c2s[seed]
+        two_hop = set().union(*(s2c[s] for s in supp)) - {seed}
+        assert out[seed]["n_suppliers"] == len(supp), seed
+        assert out[seed]["n_two_hop_customers"] == len(two_hop), seed
