@@ -55,6 +55,14 @@ BNLJ_ALLOWED = {
     "heaps_law_vocab_growth",
     # 1-row chunk-count total broadcast into the PMI expression
     "chunk_pmi_collocations",
+    # calendar-bounded pairing: the per-DAY series (rows = days, not data)
+    # self-pairs under d < d' — O(days^2) integers regardless of sf
+    "kendall_tau_daily",
+    # 1-row corpus-max-date broadcast into the censoring expression
+    "kaplan_meier_order_gaps",
+    # 1-row LM totals (na, nt, V) broadcast into the log-ratio table —
+    # same scalar-subquery shape as unigram_logprob_scores
+    "dsir_importance_topk",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

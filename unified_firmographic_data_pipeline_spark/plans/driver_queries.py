@@ -7367,6 +7367,656 @@ def chunk_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 30 (round 3): two-sample tests (KS, Welch), rank
+# correlations (Spearman, Kendall tau-b), Kaplan-Meier survival, Theil
+# inequality, k-core peeling, MATCH_RECOGNIZE-style session patterns,
+# DSIR importance weighting
+# --------------------------------------------------------------------------
+
+
+@q(
+    "ks_test_value_by_variant",
+    """
+    WITH b AS (
+        SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(round(value * 1e3) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    g AS (
+        SELECT event_type, v,
+               CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS cnt0,
+               CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS cnt1
+        FROM b GROUP BY event_type, v),
+    c AS (
+        SELECT event_type,
+               SUM(cnt0) OVER (PARTITION BY event_type ORDER BY v) AS c0,
+               SUM(cnt1) OVER (PARTITION BY event_type ORDER BY v) AS c1,
+               SUM(cnt0) OVER (PARTITION BY event_type) AS n0,
+               SUM(cnt1) OVER (PARTITION BY event_type) AS n1
+        FROM g),
+    d AS (
+        SELECT event_type, CAST(MAX(n0) AS BIGINT) AS n0,
+               CAST(MAX(n1) AS BIGINT) AS n1,
+               CAST(MAX(abs(n1 * c0 - n0 * c1)) AS BIGINT) AS d_int
+        FROM c GROUP BY event_type)
+    SELECT event_type, n0, n1,
+           round(CAST(d_int AS DOUBLE)
+                 / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 9) AS ks_d
+    FROM d
+    """,
+)
+def ks_test_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D per event_type between hash-split
+    variants — the distribution-shape sibling of the Mann-Whitney location
+    test. D = max|F0 - F1| evaluated at every distinct value from EXACT
+    integer cumulative counts: D_int = max|n1*c0 - n0*c1| stays integral
+    (bounded by n0*n1 ~ 4e9 at sf0.1, far under 2^63), with ONE double
+    division at the end — bit-exact cross-engine by construction. One
+    shuffle on (event_type, value), one window pass per event_type."""
+    e = _t(spark, sf_dir, "events")
+    b = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 1e3).cast("long").alias("v"),
+    )
+    g = b.groupBy("event_type", "v").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("cnt0"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("cnt1"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("v")
+    wall = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("cnt0").over(wcum).alias("c0"),
+        F.sum("cnt1").over(wcum).alias("c1"),
+        F.sum("cnt0").over(wall).alias("n0"),
+        F.sum("cnt1").over(wall).alias("n1"),
+    )
+    d = c.groupBy("event_type").agg(
+        F.max("n0").cast("long").alias("n0"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max(F.abs(F.col("n1") * F.col("c0") - F.col("n0") * F.col("c1")))
+        .cast("long")
+        .alias("d_int"),
+    )
+    return d.select(
+        "event_type", "n0", "n1",
+        F.round(
+            F.col("d_int").cast("double")
+            / (F.col("n0").cast("double") * F.col("n1").cast("double")),
+            9,
+        ).alias("ks_d"),
+    )
+
+
+@q(
+    "welch_ttest_value_by_variant",
+    """
+    WITH b AS (
+        SELECT event_type, CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(round(value * 1e3) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+               CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN variant = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN variant = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN variant = 0 THEN v * v ELSE 0 END) AS BIGINT) AS ss0,
+               CAST(SUM(CASE WHEN variant = 1 THEN v * v ELSE 0 END) AS BIGINT) AS ss1
+        FROM b GROUP BY event_type)
+    SELECT event_type, n0, n1,
+           round((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 1e3, 6) AS mean_diff,
+           round(
+               (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / sqrt(
+                   ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                     / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))
+                   / CAST(n0 AS DOUBLE)
+                   + ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                   / CAST(n1 AS DOUBLE)), 6) AS t_stat,
+           round(
+               pow(((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                     / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))
+                   / CAST(n0 AS DOUBLE)
+                   + ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                   / CAST(n1 AS DOUBLE), 2.0)
+               / (pow(((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                        / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))
+                      / CAST(n0 AS DOUBLE), 2.0) / (CAST(n0 AS DOUBLE) - 1.0)
+                  + pow(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                        / CAST(n1 AS DOUBLE), 2.0) / (CAST(n1 AS DOUBLE) - 1.0)), 6
+           ) AS welch_dof
+    FROM m
+    """,
+)
+def welch_ttest_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event_type between hash-split
+    variants: t statistic + Welch-Satterthwaite effective dof, all from one
+    scan's exact integer moments (milli-unit sums and sums of squares stay
+    under 2^63 through ~sf1). The scalar tail is the IDENTICAL IEEE
+    expression tree on both engines (the s^2/n cross terms are computed in
+    double — the integer product would overflow), rounded to 6; the
+    ab_test_value_stats precedent, upgraded from pooled to Welch."""
+    e = _t(spark, sf_dir, "events")
+    b = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 1e3).cast("long").alias("v"),
+    )
+    m = b.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("n0"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("v")).otherwise(F.lit(0)))
+        .cast("long").alias("s0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("v")).otherwise(F.lit(0)))
+        .cast("long").alias("s1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("v") * F.col("v")).otherwise(F.lit(0)))
+        .cast("long").alias("ss0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("v") * F.col("v")).otherwise(F.lit(0)))
+        .cast("long").alias("ss1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    s0d, s1d = F.col("s0").cast("double"), F.col("s1").cast("double")
+    ss0d, ss1d = F.col("ss0").cast("double"), F.col("ss1").cast("double")
+    var0 = (ss0d - s0d * s0d / n0d) / (n0d - F.lit(1.0))
+    var1 = (ss1d - s1d * s1d / n1d) / (n1d - F.lit(1.0))
+    se0, se1 = var0 / n0d, var1 / n1d
+    mean_diff = s0d / n0d - s1d / n1d
+    t_stat = mean_diff / F.sqrt(se0 + se1)
+    dof = F.pow(se0 + se1, F.lit(2.0)) / (
+        F.pow(se0, F.lit(2.0)) / (n0d - F.lit(1.0))
+        + F.pow(se1, F.lit(2.0)) / (n1d - F.lit(1.0))
+    )
+    return m.select(
+        "event_type", "n0", "n1",
+        F.round(mean_diff / F.lit(1e3), 6).alias("mean_diff"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_dof"),
+    )
+
+
+@q(
+    "spearman_daily_orders_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    gx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY x),
+    rx AS (SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2 FROM gx),
+    gy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM daily GROUP BY y),
+    ry AS (SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS r2 FROM gy),
+    j AS (SELECT rx.r2 AS a, ry.r2 AS b
+          FROM daily JOIN rx USING (x) JOIN ry USING (y)),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+                 CAST(SUM(a * a) AS BIGINT) AS saa, CAST(SUM(b * b) AS BIGINT) AS sbb,
+                 CAST(SUM(a * b) AS BIGINT) AS sab
+          FROM j)
+    SELECT n AS n_days,
+           round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 9) AS rho
+    FROM m
+    """,
+)
+def spearman_daily_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order count and daily revenue
+    — the monotone-dependence screen that survives heavy-tailed revenue
+    where Pearson saturates. Tie-averaged ranks are kept EXACT as integers
+    (2*avg_rank = 2*c_before + t + 1), so every moment is a BIGINT sum and
+    rho is one closed-form double, bit-exact cross-engine. The rank tables
+    are bounded by the distinct-value count of a per-DAY series (calendar-
+    bounded, not data-bounded), so the global-order windows never see more
+    rows than days."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).cast("long").alias("y"),
+    )
+
+    def rank2(df: DataFrame, col: str) -> DataFrame:
+        g = df.groupBy(col).agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.orderBy(col)
+        return g.select(
+            col,
+            (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
+        )
+
+    j = (
+        daily.join(rank2(daily, "x").withColumnRenamed("r2", "a"), "x")
+        .join(rank2(daily, "y").withColumnRenamed("r2", "b"), "y")
+        .select("a", "b")
+    )
+    m = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb, sab = (F.col(c).cast("double") for c in ("saa", "sbb", "sab"))
+    rho = (nd * sab - sa * sb) / F.sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb))
+    return m.select(F.col("n").alias("n_days"), F.round(rho, 9).alias("rho"))
+
+
+@q(
+    "kendall_tau_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    p AS (
+        SELECT CAST(count_if((a.x - b.x) * (a.y - b.y) > 0) AS BIGINT) AS con,
+               CAST(count_if((a.x - b.x) * (a.y - b.y) < 0) AS BIGINT) AS dis,
+               CAST(count_if(a.x = b.x) AS BIGINT) AS tx,
+               CAST(count_if(a.y = b.y) AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM daily a JOIN daily b ON a.d < b.d)
+    SELECT con AS concordant, dis AS discordant,
+           round((CAST(con AS DOUBLE) - CAST(dis AS DOUBLE))
+                 / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+                        * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))), 9) AS tau_b
+    FROM p
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily order count and daily revenue: exact
+    concordant/discordant/tie pair counts over the per-day series, one
+    closed-form double at the end. The pairing is O(days^2) — bounded by
+    the CALENDAR squared (2405 days -> ~2.9M integer-only pairs at any sf),
+    never by row count, which is why the brute pairing is the right plan
+    here while it would be a scale bug on a data-sized input (the
+    documented contrast with the banded near-dup family)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).cast("long").alias("y"),
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    p = pairs.agg(
+        F.count_if(prod > 0).cast("long").alias("con"),
+        F.count_if(prod < 0).cast("long").alias("dis"),
+        F.count_if(F.col("xa") == F.col("xb")).cast("long").alias("tx"),
+        F.count_if(F.col("ya") == F.col("yb")).cast("long").alias("ty"),
+        F.count("*").cast("long").alias("n0"),
+    )
+    taub = (F.col("con").cast("double") - F.col("dis").cast("double")) / F.sqrt(
+        (F.col("n0").cast("double") - F.col("tx").cast("double"))
+        * (F.col("n0").cast("double") - F.col("ty").cast("double"))
+    )
+    return p.select(
+        F.col("con").alias("concordant"),
+        F.col("dis").alias("discordant"),
+        F.round(taub, 9).alias("tau_b"),
+    )
+
+
+@q(
+    "kaplan_meier_order_gaps",
+    """
+    WITH o AS (SELECT DISTINCT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+    mx AS (SELECT MAX(d) AS dmax FROM o),
+    s AS (SELECT ck, d, lead(d) OVER (PARTITION BY ck ORDER BY d) AS nxt FROM o),
+    dur AS (
+        SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', d, nxt)
+                    ELSE date_diff('day', d, dmax) END AS t,
+               CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM s CROSS JOIN mx),
+    g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(ev) AS BIGINT) AS n_ev
+          FROM dur GROUP BY t),
+    r AS (SELECT t, n_ev,
+                 SUM(n_all) OVER () - (SUM(n_all) OVER (ORDER BY t) - n_all) AS n_risk
+          FROM g),
+    e AS (SELECT t, n_risk, n_ev,
+                 CAST(round(ln(1.0 - CAST(n_ev AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                            * 1e6) AS BIGINT) AS ln_micro
+          FROM r WHERE n_ev > 0 AND n_ev < n_risk)
+    SELECT CAST(t AS BIGINT) AS gap_days, CAST(n_risk AS BIGINT) AS n_risk,
+           n_ev AS n_events,
+           round(exp(CAST(SUM(ln_micro) OVER (ORDER BY t) AS DOUBLE) / 1e6), 6)
+               AS survival
+    FROM e
+    """,
+)
+def kaplan_meier_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer inter-order gaps with
+    right-censoring (the gap from a customer's last order to the corpus max
+    date never 'converts' — exactly the censored-observation case naive
+    gap averages get wrong). S(t) = prod(1 - d_i/n_i) computed as
+    exp of a cumulative BIGINT sum of micro-rounded per-time ln terms —
+    order-independent and bit-exact cross-engine (the entropy precedent
+    applied to a product). Risk sets come from exact integer cumulative
+    counts; output rows are bounded by distinct gap lengths (calendar-
+    bounded). The terminal time where n_ev == n_risk (survival 0, ln
+    singular) is excluded on both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    mx = o.agg(F.max("d").alias("dmax"))
+    wlead = Window.partitionBy("ck").orderBy("d")
+    s = o.withColumn("nxt", F.lead("d").over(wlead)).crossJoin(F.broadcast(mx))
+    dur = s.select(
+        F.when(F.col("nxt").isNotNull(), F.datediff("nxt", "d"))
+        .otherwise(F.datediff("dmax", "d"))
+        .alias("t"),
+        F.when(F.col("nxt").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    g = dur.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_all"), F.sum("ev").cast("long").alias("n_ev")
+    )
+    wtot = Window.partitionBy()
+    wcum = Window.orderBy("t")
+    r = g.select(
+        "t", "n_ev",
+        (F.sum("n_all").over(wtot) - (F.sum("n_all").over(wcum) - F.col("n_all")))
+        .alias("n_risk"),
+    )
+    e = r.filter((F.col("n_ev") > 0) & (F.col("n_ev") < F.col("n_risk"))).withColumn(
+        "ln_micro",
+        F.round(
+            F.log(F.lit(1.0) - F.col("n_ev").cast("double") / F.col("n_risk").cast("double"))
+            * 1e6
+        ).cast("long"),
+    )
+    return e.select(
+        F.col("t").cast("long").alias("gap_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_ev").alias("n_events"),
+        F.round(
+            F.exp(F.sum("ln_micro").over(wcum).cast("double") / F.lit(1e6)), 6
+        ).alias("survival"),
+    )
+
+
+@q(
+    "theil_index_by_region",
+    """
+    WITH rev AS (
+        SELECT c.c_custkey AS ck, r.r_name AS region,
+               CAST(SUM(CAST(round(o.o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS x
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2),
+    m AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tot
+          FROM rev GROUP BY region),
+    terms AS (
+        SELECT rev.region,
+               CAST(round(
+                   (CAST(x AS DOUBLE) / CAST(tot AS DOUBLE))
+                   * round(ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+                              / CAST(tot AS DOUBLE)), 6)
+                   * 1e9) AS BIGINT) AS term_nano
+        FROM rev JOIN m USING (region))
+    SELECT region, m.n AS n_customers,
+           round(CAST(SUM(term_nano) AS DOUBLE) / 1e9, 6) AS theil_t
+    FROM terms JOIN m USING (region)
+    GROUP BY region, m.n
+    """,
+)
+def theil_index_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue within each region —
+    the decomposable concentration measure (0 = perfectly equal; ln(n) =
+    one customer owns everything) that complements the Gini/Pareto queries.
+    T = sum (x_i/total)*ln(x_i*n/total): the ln is 6-dec rounded (libm
+    neutralized), the share multiply happens on identical doubles, and each
+    customer's term is nano-rounded to BIGINT so the per-region sum is
+    order-independent — bit-exact cross-engine. One join chain onto the
+    broadcastable dims, one customer aggregate, one region rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("c_custkey").alias("ck"), F.col("r_name").alias("region"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).cast("long").alias("x"))
+    )
+    m = rev.groupBy("region").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("tot")
+    )
+    xd = F.col("x").cast("double")
+    totd, nd = F.col("tot").cast("double"), F.col("n").cast("double")
+    term_nano = F.round(
+        (xd / totd) * F.round(F.log(xd * nd / totd), 6) * 1e9
+    ).cast("long")
+    terms = rev.join(F.broadcast(m), "region").select("region", term_nano.alias("term_nano"))
+    return (
+        terms.join(F.broadcast(m), "region")
+        .groupBy("region", F.col("n").alias("n_customers"))
+        .agg(F.round(F.sum("term_nano").cast("double") / F.lit(1e9), 6).alias("theil_t"))
+    )
+
+
+@q(
+    "kcore_peel_rounds",
+    """
+    WITH bsk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS (SELECT a.pk AS a, b.pk AS b
+           FROM bsk a JOIN bsk b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    d1 AS (SELECT node, COUNT(*) AS deg FROM (
+               SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
+    n1 AS (SELECT node FROM d1 WHERE deg >= 3),
+    e1 AS (SELECT e0.a, e0.b FROM e0
+           JOIN n1 x ON e0.a = x.node JOIN n1 y ON e0.b = y.node),
+    d2 AS (SELECT node, COUNT(*) AS deg FROM (
+               SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node),
+    n2 AS (SELECT node FROM d2 WHERE deg >= 3),
+    e2 AS (SELECT e1.a, e1.b FROM e1
+           JOIN n2 x ON e1.a = x.node JOIN n2 y ON e1.b = y.node),
+    d3 AS (SELECT node, COUNT(*) AS deg FROM (
+               SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node),
+    n3 AS (SELECT node FROM d3 WHERE deg >= 3),
+    e3 AS (SELECT e2.a, e2.b FROM e2
+           JOIN n3 x ON e2.a = x.node JOIN n3 y ON e2.b = y.node)
+    SELECT 1 AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM n1) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM n2), (SELECT COUNT(*) FROM e2)
+    UNION ALL
+    SELECT 3, (SELECT COUNT(*) FROM n3), (SELECT COUNT(*) FROM e3)
+    ORDER BY round
+    """,
+)
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling on the co-purchase graph (edges = part pairs sharing
+    >= 2 orders), 3 synchronized peel rounds: drop nodes with degree < 3,
+    keep only edges between survivors, repeat — the dense-subgraph
+    extraction behind community seeds and spam-cluster mining. Each round
+    is one degree aggregate + two semi-joins on uniform node keys (the
+    connected-components cost model: linear per round, no pair explosion);
+    localCheckpoint truncates lineage between rounds. Node/edge counts per
+    round are the oracle-checked fixpoint trace."""
+    li = _t(spark, sf_dir, "lineitem")
+    bsk = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = bsk.alias("a"), bsk.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    e_cur = edges
+    for rnd in (1, 2, 3):
+        deg = (
+            e_cur.select(F.col("a").alias("node"))
+            .unionAll(e_cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= 3).select("node").localCheckpoint(eager=False)
+        e_cur = (
+            e_cur.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_nodes = keep.count()
+        n_edges = e_cur.count()
+        rows.append((rnd, n_nodes, n_edges))
+    out = spark.createDataFrame(rows, "round int, n_nodes long, n_edges long")
+    return out.orderBy("round")
+
+
+@q(
+    "session_pattern_funnel_regex",
+    """
+    WITH seqs AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1, 2)
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(count_if(regexp_matches(seq, '(^|,)view(,view)*,purchase')) AS BIGINT)
+            AS views_then_purchase,
+        CAST(count_if(regexp_matches(seq, '(^|,)signup(,[a-z]+)*,purchase')) AS BIGINT)
+            AS signup_to_purchase,
+        CAST(count_if(NOT regexp_matches(seq, 'error')) AS BIGINT) AS error_free
+    FROM seqs
+    """,
+)
+def session_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern matching: each (user, day)
+    session folds to its ordered event-type string (collect_list of
+    (ts, event_id, type) structs -> array_sort -> join, deterministic via
+    the event_id tiebreak), then row-pattern predicates are plain regexes —
+    'views then immediate purchase', 'signup leading to purchase', 'no
+    errors'. One shuffle on the session key; the per-session string is
+    bounded by session length. The regex subset used is shared by Java and
+    RE2 semantics, so Spark rlike and DuckDB regexp_matches agree."""
+    e = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    seqs = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        seq.alias("seq")
+    )
+    return seqs.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count_if(F.col("seq").rlike("(^|,)view(,view)*,purchase"))
+        .cast("long")
+        .alias("views_then_purchase"),
+        F.count_if(F.col("seq").rlike("(^|,)signup(,[a-z]+)*,purchase"))
+        .cast("long")
+        .alias("signup_to_purchase"),
+        F.count_if(~F.col("seq").rlike("error")).cast("long").alias("error_free"),
+    )
+
+
+@q(
+    "dsir_importance_topk",
+    rf"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    ttoks AS (SELECT t.doc_id, t.tok FROM toks t
+              JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+    va AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ca FROM toks GROUP BY tok),
+    vt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM ttoks GROUP BY tok),
+    tots AS (SELECT CAST((SELECT SUM(ca) FROM va) AS BIGINT) AS na,
+                    CAST((SELECT COALESCE(SUM(ct), 0) FROM vt) AS BIGINT) AS nt,
+                    CAST((SELECT COUNT(*) FROM va) AS BIGINT) AS v),
+    lr AS (SELECT va.tok,
+                  CAST(round(ln(
+                      (CAST(COALESCE(vt.ct, 0) + 1 AS DOUBLE)
+                       / CAST(nt + v AS DOUBLE))
+                      / (CAST(va.ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                  ) * 1e6) AS BIGINT) AS lr_micro
+           FROM va LEFT JOIN vt USING (tok) CROSS JOIN tots),
+    score AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(lr_micro) AS BIGINT) AS s
+              FROM toks JOIN lr USING (tok) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round((CAST(s AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE), 6)
+               AS dsir_logratio
+    FROM score ORDER BY dsir_logratio DESC, doc_id LIMIT 20
+    """,
+)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, 'Data Selection
+    via Importance Resampling'): score every document by the mean unigram
+    log-ratio ln(p_target/p_raw) between a target-domain LM (lang='en'
+    docs) and the raw-corpus LM, add-1 smoothed over the shared vocabulary
+    — the top-k are the raw documents that look most like the target
+    domain, the selection step of pretraining-data curation. Both LMs are
+    vocabulary-sized aggregates that broadcast back onto the token stream;
+    corpus totals ride a 1-row cross join; per-token log-ratios are
+    micro-rounded then summed as BIGINT (bit-exact, order-independent).
+    Top-k is TakeOrdered with a doc_id tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    ttoks = toks.join(
+        d.filter(F.col("lang") == "en").select("doc_id"), "doc_id", "semi"
+    )
+    va = toks.groupBy("tok").agg(F.count("*").cast("long").alias("ca"))
+    vt = ttoks.groupBy("tok").agg(F.count("*").cast("long").alias("ct"))
+    tots = va.agg(
+        F.sum("ca").cast("long").alias("na"), F.count("*").cast("long").alias("v")
+    ).crossJoin(vt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt")))
+    lr_micro = F.round(
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+             / (F.col("nt") + F.col("v")).cast("double"))
+            / ((F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double"))
+        )
+        * 1e6
+    ).cast("long")
+    lr = (
+        va.join(vt, "tok", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("tok", lr_micro.alias("lr_micro"))
+    )
+    score = (
+        toks.join(F.broadcast(lr), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lr_micro").cast("long").alias("s"),
+        )
+    )
+    return (
+        score.select(
+            "doc_id", "n_tokens",
+            F.round(
+                (F.col("s").cast("double") / F.lit(1e6)) / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dsir_logratio"),
+        )
+        .orderBy(F.col("dsir_logratio").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
