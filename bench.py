@@ -172,6 +172,15 @@ HEADLINE = [
     "assortativity_copurchase",
     "containment_pairs",
     "chunk_pmi_collocations",
+    # round 3 batch 30: two-sample tests, rank correlations, survival,
+    # inequality, k-core, session patterns, DSIR
+    "ks_test_value_by_variant",
+    "spearman_daily_orders_revenue",
+    "kendall_tau_daily",
+    "kaplan_meier_order_gaps",
+    "kcore_peel_rounds",
+    "session_pattern_funnel_regex",
+    "dsir_importance_topk",
 ]
 
 
