@@ -181,6 +181,14 @@ HEADLINE = [
     "kcore_peel_rounds",
     "session_pattern_funnel_regex",
     "dsir_importance_topk",
+    # round 3 batch 31: truss support, local clustering, forecasting,
+    # rank fusion, closed-form OLS2, bootstrap, CUPED
+    "truss_edge_support_hist",
+    "brown_double_smoothing_daily",
+    "rrf_fusion_topk",
+    "ols2_price_qty_discount",
+    "bootstrap_ci_order_value",
+    "cuped_adjusted_ab",
 ]
 
 

@@ -63,6 +63,12 @@ BNLJ_ALLOWED = {
     # 1-row LM totals (na, nt, V) broadcast into the log-ratio table —
     # same scalar-subquery shape as unigram_logprob_scores
     "dsir_importance_topk",
+    # 1-row edge-total x 1-row in-support-count -> the support-0 row
+    "truss_edge_support_hist",
+    # 1-row point-estimate aggregate x 1-row resample-moment aggregate
+    "bootstrap_ci_order_value",
+    # 1-row pooled-covariance aggregate broadcast onto 2 variant rows
+    "cuped_adjusted_ab",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -137,3 +137,40 @@ def triangle_stats(
                F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6)
                ).otherwise(F.lit(0.0)).alias("global_clustering"),
     )
+
+
+def enumerate_triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Every triangle once, as canonical id-ordered rows ``(v1, v2, v3)``
+    with v1 < v2 < v3 — the enumeration (not just the count) behind
+    per-edge truss support and per-node local clustering coefficients.
+
+    Same degree-oriented wedge plan as ``triangle_stats`` (each triangle is
+    generated exactly once, from its lowest-(degree, id) vertex, so no
+    post-hoc dedup is needed); the output is re-canonicalized to id order
+    with a branch-free array_sort over the 3-tuple so downstream grouping
+    keys match the id-ordered oracle formulation."""
+    und = _canonical_undirected(edges, src, dst)
+    if materialize:
+        und = und.localCheckpoint(eager=True)
+    deg = _degrees(und)
+    if materialize:
+        deg = deg.localCheckpoint(eager=True)
+    ori = _orient(und, deg)
+    w1 = ori.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
+    w2 = ori.select(F.col("lo").alias("pivot"), F.col("hi").alias("y")).hint(
+        "shuffle_hash"
+    )
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(F.broadcast(canon), ["x", "y"])
+    srt = F.array_sort(F.array("pivot", "x", "y"))
+    return tri.select(
+        srt.getItem(0).alias("v1"),
+        srt.getItem(1).alias("v2"),
+        srt.getItem(2).alias("v3"),
+    )

@@ -8017,6 +8017,637 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 31 (round 3): k-truss edge support, local clustering
+# coefficients, Brown double smoothing, reciprocal-rank fusion,
+# two-feature OLS via normal equations, deterministic bootstrap CI,
+# CUPED variance reduction
+# --------------------------------------------------------------------------
+
+#: Thresholded co-purchase edge set shared by the truss/clustering pair:
+#: part pairs sharing >= 2 orders (a < b), one row per undirected edge.
+_EDGES2_SQL = """
+    bsk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT a.pk AS a, b.pk AS b
+            FROM bsk a JOIN bsk b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (
+        SELECT e1.a AS v1, e1.b AS v2, e3.b AS v3
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+"""
+
+
+def _edges2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        _copurchase_edges_counted(li)
+        .filter(F.col("n_co") >= 2)
+        .select("src", "dst")
+    )
+
+
+def _copurchase_edges_counted(li: DataFrame) -> DataFrame:
+    """Co-purchase pairs with their shared-order counts (the
+    _copurchase_edges basket fan-out, keeping n_co for thresholding)."""
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    left = baskets.select("parts", F.posexplode("parts").alias("i", "src"))
+    return (
+        left.select(
+            "src",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_co"))
+    )
+
+
+@q(
+    "truss_edge_support_hist",
+    f"""
+    WITH {_EDGES2_SQL},
+    sup AS (
+        SELECT a, b, COUNT(*) AS support FROM (
+            SELECT v1 AS a, v2 AS b FROM tri
+            UNION ALL SELECT v1, v3 FROM tri
+            UNION ALL SELECT v2, v3 FROM tri)
+        GROUP BY a, b),
+    tot AS (SELECT COUNT(*) AS n_edges FROM und),
+    insup AS (SELECT COUNT(*) AS n_in FROM sup)
+    SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges FROM sup GROUP BY support
+    UNION ALL
+    SELECT 0, CAST(n_edges - n_in AS BIGINT) FROM tot CROSS JOIN insup
+    ORDER BY support
+    """,
+)
+def truss_edge_support_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss signal: per-edge triangle support (how many triangles each
+    co-purchase edge participates in), rolled up to a support histogram —
+    the peel key of truss decomposition, the edge-level analogue of
+    kcore_peel_rounds' node degrees. Triangles are enumerated ONCE by the
+    degree-oriented wedge plan (operators/triangles.py:enumerate_triangles)
+    and each contributes its 3 canonical edges map-side (explode, no
+    re-join); support-0 edges are counted by difference against the edge
+    total. Edge set = part pairs sharing >= 2 orders."""
+    from unified_firmographic_data_pipeline_spark.operators.triangles import enumerate_triangles
+
+    edges = _edges2(spark, sf_dir)
+    tri = enumerate_triangles(edges)
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v1").alias("a"), F.col("v2").alias("b")),
+                    F.struct(F.col("v1").alias("a"), F.col("v3").alias("b")),
+                    F.struct(F.col("v2").alias("a"), F.col("v3").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    tot = und.agg(F.count("*").alias("n_edges"))
+    n_in = sup.agg(F.count("*").alias("n_in"))
+    hist = sup.groupBy("support").agg(F.count("*").cast("long").alias("n_edges"))
+    zero = (
+        tot.crossJoin(F.broadcast(n_in))
+        .select(
+            F.lit(0).cast("long").alias("support"),
+            (F.col("n_edges") - F.col("n_in")).cast("long").alias("n_edges"),
+        )
+    )
+    return hist.unionByName(zero).orderBy("support")
+
+
+@q(
+    "local_clustering_topk",
+    f"""
+    WITH {_EDGES2_SQL},
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+    tcnt AS (
+        SELECT node, COUNT(*) AS tri_n FROM (
+            SELECT v1 AS node FROM tri
+            UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri)
+        GROUP BY node),
+    coef AS (
+        SELECT d.node, d.deg, COALESCE(t.tri_n, 0) AS tri_n,
+               round(CAST(2 * COALESCE(t.tri_n, 0) AS DOUBLE)
+                     / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS clustering
+        FROM deg d LEFT JOIN tcnt t USING (node)
+        WHERE d.deg >= 2)
+    SELECT node, CAST(deg AS BIGINT) AS deg, CAST(tri_n AS BIGINT) AS tri_n,
+           clustering
+    FROM coef ORDER BY clustering DESC, node LIMIT 20
+    """,
+)
+def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (Watts-Strogatz): fraction of
+    a node's neighbor pairs that are themselves connected, top-20 by
+    (coefficient desc, node id). Each enumerated triangle credits its 3
+    vertices map-side; the coefficient is one correctly-rounded division
+    of exact integers (2*tri_n / deg*(deg-1)) so cross-engine values agree
+    before the display rounding. Same thresholded co-purchase edge set as
+    truss_edge_support_hist."""
+    from unified_firmographic_data_pipeline_spark.operators.triangles import enumerate_triangles
+
+    edges = _edges2(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = enumerate_triangles(edges)
+    tcnt = (
+        tri.select(F.explode(F.array("v1", "v2", "v3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_n"))
+    )
+    coef = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tcnt, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("tri_n"), F.lit(0)).cast("long").alias("tri_n"),
+            F.round(
+                (2 * F.coalesce(F.col("tri_n"), F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("clustering"),
+        )
+    )
+    return coef.orderBy(F.col("clustering").desc(), "node").limit(20)
+
+
+@q(
+    "brown_double_smoothing_daily",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM events GROUP BY day),
+    i AS (SELECT day, cnt, row_number() OVER (ORDER BY day) AS t FROM d),
+    s1 AS (
+        SELECT a.day, a.cnt, a.t,
+               CAST(round(SUM(b.cnt * power(0.5, a.t - b.t))
+                          / SUM(power(0.5, a.t - b.t)) * 1e6) AS BIGINT) AS s1m
+        FROM i a JOIN i b ON b.t <= a.t AND b.t > a.t - 14
+        GROUP BY a.day, a.cnt, a.t),
+    s2 AS (
+        SELECT a.day, a.cnt, a.s1m,
+               SUM(b.s1m * power(0.5, a.t - b.t))
+                   / SUM(power(0.5, a.t - b.t)) / 1e6 AS s2v
+        FROM s1 a JOIN s1 b ON b.t <= a.t AND b.t > a.t - 14
+        GROUP BY a.day, a.cnt, a.s1m)
+    SELECT CAST(day AS VARCHAR) AS day, cnt,
+           round(CAST(s1m AS DOUBLE) / 1e6, 6) AS s1,
+           round(s2v, 6) AS s2,
+           round(3.0 * (CAST(s1m AS DOUBLE) / 1e6) - 2.0 * s2v, 6)
+               AS forecast_next
+    FROM s2
+    """,
+)
+def brown_double_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing of daily event counts with
+    alpha = 1/2 (dyadic-exact weights, 14-day memory): s1 = EWMA(x),
+    s2 = EWMA(s1), one-step-ahead linear forecast = 3*s1 - 2*s2 (level
+    2*s1-s2 plus trend (alpha/(1-alpha))*(s1-s2) = s1-s2 at alpha=1/2) —
+    trend-aware forecasting where single EWMA lags ramps. Exactness: the
+    s1 pass is the exact dyadic ewma_halflife1 sum; s1 is then
+    micro-rounded to BIGINT so the s2 pass sums (micro-int * 2^-j) terms —
+    again exact dyadic, order-independent — and the final expression is
+    identical IEEE on both engines. Both passes are bounded 14-way
+    fan-outs on the tiny daily axis."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    i = d.withColumn(
+        "t", F.row_number().over(Window.orderBy(F.col("day").asc())).cast("long")
+    )
+
+    def fan(df: DataFrame, val_col: str) -> DataFrame:
+        """(day,cnt,t,<val>) -> per-t dyadic-weighted sum of the trailing
+        14 observed values (the ewma_halflife1 bounded-fan-out plan)."""
+        contrib = df.select(
+            F.col("t"), F.col(val_col).alias("__xj"),
+            F.explode(F.sequence(F.lit(0), F.lit(13))).alias("__o"),
+        ).select(
+            (F.col("t") + F.col("__o")).alias("__tt"),
+            (F.col("__xj").cast("double")
+             * F.pow(F.lit(0.5), F.col("__o").cast("double"))).alias("__wx"),
+            F.pow(F.lit(0.5), F.col("__o").cast("double")).alias("__w"),
+        )
+        return contrib.groupBy("__tt").agg(
+            (F.sum("__wx") / F.sum("__w")).alias("__sm")
+        )
+    s1 = (
+        i.join(fan(i, "cnt"), i["t"] == F.col("__tt"))
+        .select("day", "cnt", "t", F.round(F.col("__sm") * 1e6).cast("long").alias("s1m"))
+    )
+    s2 = (
+        s1.join(
+            fan(s1, "s1m").withColumnRenamed("__sm", "__sm2"),
+            s1["t"] == F.col("__tt"),
+        )
+        .select("day", "cnt", "s1m", (F.col("__sm2") / F.lit(1e6)).alias("s2v"))
+    )
+    s1r = F.col("s1m").cast("double") / F.lit(1e6)
+    return s2.select(
+        F.col("day").cast("string").alias("day"), "cnt",
+        F.round(s1r, 6).alias("s1"),
+        F.round(F.col("s2v"), 6).alias("s2"),
+        F.round(F.lit(3.0) * s1r - F.lit(2.0) * F.col("s2v"), 6).alias("forecast_next"),
+    )
+
+
+@q(
+    "rrf_fusion_topk",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, {_QUALITY_SQL} AS quality, n_chars FROM documents),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY quality DESC, doc_id) AS rq,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rl
+        FROM scored)
+    SELECT doc_id, CAST(rq AS BIGINT) AS rank_quality,
+           CAST(rl AS BIGINT) AS rank_length,
+           round(1.0 / (60.0 + rq) + 1.0 / (60.0 + rl), 9) AS rrf
+    FROM ranked ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, the k=60 standard) of
+    two retrieval orderings — quality-score rank and length rank — the
+    rank-level combiner behind hybrid (BM25 + vector) search stacks.
+    Ranks are deterministic (doc_id tiebreaks); the fused score is two
+    correctly-rounded divisions and one add of the SAME two doubles on
+    both engines. Two global rank windows on the narrow scored projection,
+    then TakeOrdered."""
+    from unified_firmographic_data_pipeline_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality"), "n_chars"
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.col("quality").desc(), F.col("doc_id"))).alias("rq"),
+        F.row_number().over(Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))).alias("rl"),
+    )
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(60.0) + F.col("rq")) + F.lit(1.0) / (F.lit(60.0) + F.col("rl")),
+        9,
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("rq").cast("long").alias("rank_quality"),
+            F.col("rl").cast("long").alias("rank_length"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "ols2_price_qty_discount",
+    """
+    WITH b AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_quantity) AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem),
+    m AS (
+        SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        FROM b GROUP BY flag)
+    SELECT flag, n,
+           round((
+               (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               - (CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+           ) / (
+               (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               - (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+           ), 6) AS beta_qty,
+           round((
+               (CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               - (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+           ) / (
+               (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               - (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+           ), 6) AS beta_disc
+    FROM m
+    """,
+)
+def ols2_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (extended price ~ quantity + discount) per return
+    flag, solved in closed form from the 2x2 normal equations on CENTERED
+    moments — multivariate regression as one aggregation + a scalar
+    expression, no solver, no UDF, no iteration. Every raw moment is an
+    exact BIGINT (units: qty integer, discount in points, price in whole
+    dollars — squares stay under 2^63 through ~sf100); the centered-moment
+    tail is the identical IEEE tree on both engines, rounded to 6. The
+    regr_slope_value_by_type precedent generalized to 2 regressors."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    m = b.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d, syd = (F.col(c).cast("double") for c in ("s1", "s2", "sy"))
+    c11 = F.col("s11").cast("double") - s1d * s1d / nd
+    c22 = F.col("s22").cast("double") - s2d * s2d / nd
+    c12 = F.col("s12").cast("double") - s1d * s2d / nd
+    c1y = F.col("s1y").cast("double") - s1d * syd / nd
+    c2y = F.col("s2y").cast("double") - s2d * syd / nd
+    det = c11 * c22 - c12 * c12
+    beta1 = (c1y * c22 - c2y * c12) / det
+    beta2 = (c2y * c11 - c1y * c12) / det
+    return m.select(
+        "flag", "n",
+        F.round(beta1, 6).alias("beta_qty"),
+        F.round(beta2, 6).alias("beta_disc"),
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative P(X<=k), k=0..5) — the
+#: SAME double literals on both engines; u beyond the last bucket -> 6.
+_POIS = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+)
+
+#: Two 13-hex-digit uniforms per md5 call (chars 1-13 and 14-26 of
+#: md5(orderkey-g), g = b DIV 2) — halves the dominant md5 cost of the
+#: 32-way bootstrap fan-out without changing determinism.
+_U_BOOT = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-' "
+    "|| CAST(b // 2 AS VARCHAR)), 1 + 13 * (b % 2), 13)) AS BIGINT)"
+    " / 4503599627370496.0"
+)
+
+
+@q(
+    "bootstrap_ci_order_value",
+    f"""
+    WITH r AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 1e6) AS BIGINT) AS ym, b
+        FROM orders CROSS JOIN UNNEST(generate_series(0, 31)) AS u(b)),
+    ru AS (SELECT b, ym, {_U_BOOT} AS uv FROM r),
+    w AS (
+        SELECT b, ym,
+               CASE WHEN uv < {_POIS[0]} THEN 0
+                    WHEN uv < {_POIS[1]} THEN 1
+                    WHEN uv < {_POIS[2]} THEN 2
+                    WHEN uv < {_POIS[3]} THEN 3
+                    WHEN uv < {_POIS[4]} THEN 4
+                    WHEN uv < {_POIS[5]} THEN 5
+                    ELSE 6 END AS wt
+        FROM ru),
+    res AS (
+        SELECT b,
+               CAST(round(CAST(SUM(wt * ym) AS DOUBLE) / CAST(SUM(wt) AS BIGINT)
+                          / 1e3) AS BIGINT) AS mb
+        FROM w GROUP BY b),
+    bs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(mb) AS BIGINT) AS s, CAST(SUM(mb * mb) AS BIGINT) AS ss
+        FROM res),
+    pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ym) AS BIGINT) AS sy
+        FROM (SELECT CAST(round(o_totalprice * 1e6) AS BIGINT) AS ym FROM orders))
+    SELECT n AS n_orders,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean_value,
+           round(sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nb AS DOUBLE))
+                      / (CAST(nb AS DOUBLE) - 1.0)) / 1e3, 6) AS boot_se,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                 - 1.96 * (sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nb AS DOUBLE))
+                      / (CAST(nb AS DOUBLE) - 1.0)) / 1e3), 6) AS ci_lo,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                 + 1.96 * (sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nb AS DOUBLE))
+                      / (CAST(nb AS DOUBLE) - 1.0)) / 1e3), 6) AS ci_hi
+    FROM pt CROSS JOIN bs
+    """,
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean order value: 32
+    resamples where each order's multiplicity in resample b is
+    Poisson(1)-distributed via the inverse CDF on the md5-derived uniform
+    of (orderkey, b) — the standard streaming/distributed bootstrap
+    (resampling without materializing resamples; fully reproducible,
+    layout-independent). Per-resample means are milli-rounded to BIGINT so
+    the across-resample variance uses exact integer moments; the final
+    scalar tail is identical IEEE on both engines. Plan: an explicit-count
+    repartition pins the hash-heavy 32x fan-out to cluster parallelism
+    (a single-split source + AQE size-based coalescing would run it in ONE
+    task — 4x slower measured at sf0.1), two uniforms per md5 call, and
+    the resample rollup shuffles only 32 partial rows."""
+    o = _t(spark, sf_dir, "orders")
+    # the parquet source is one small split, and AQE would coalesce a
+    # column-only repartition right back to one task (the base is tiny in
+    # BYTES; the 32x explode multiplies CPU, which size-based coalescing
+    # cannot see). An explicit partition count pins the fan-out + md5
+    # stage to cluster-wide parallelism.
+    r = (
+        o.select(
+            "o_orderkey", F.round(F.col("o_totalprice") * 1e6).cast("long").alias("ym")
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    )
+    r = r.withColumn("__h", F.md5(
+        F.concat(
+            F.col("o_orderkey").cast("string"), F.lit("-"),
+            F.expr("b DIV 2").cast("string"),
+        )
+    ))
+    u = F.conv(
+        F.expr("substring(__h, 1 + 13 * (b % 2), 13)"), 16, 10
+    ).cast("double") / F.lit(float(16**13))
+    # uv becomes an attribute BEFORE the 6-branch CASE: a CASE over the
+    # raw expression would re-evaluate md5+conv per WHEN (6x the cost;
+    # Catalyst does not CSE across WHEN branches)
+    ru = r.select("b", "ym", u.alias("uv"))
+    thresholds = [float(t) for t in _POIS]
+    wt = F.when(F.col("uv") < thresholds[0], 0)
+    for k, t in enumerate(thresholds[1:], start=1):
+        wt = wt.when(F.col("uv") < t, k)
+    wt = wt.otherwise(6)
+    w = ru.select("b", "ym", wt.alias("wt"))
+    res = w.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("wt") * F.col("ym")).cast("double")
+            / F.sum("wt").cast("long")
+            / F.lit(1e3)
+        )
+        .cast("long")
+        .alias("mb")
+    )
+    bs = res.agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("mb").cast("long").alias("s"),
+        F.sum(F.col("mb") * F.col("mb")).cast("long").alias("ss"),
+    )
+    pt = o.select(F.round(F.col("o_totalprice") * 1e6).cast("long").alias("ym")).agg(
+        F.count("*").cast("long").alias("n"), F.sum("ym").cast("long").alias("sy")
+    )
+    j = pt.crossJoin(F.broadcast(bs))
+    mean = F.col("sy").cast("double") / F.col("n").cast("double") / F.lit(1e6)
+    se = (
+        F.sqrt(
+            (F.col("ss").cast("double")
+             - F.col("s").cast("double") * F.col("s").cast("double") / F.col("nb").cast("double"))
+            / (F.col("nb").cast("double") - F.lit(1.0))
+        )
+        / F.lit(1e3)
+    )
+    return j.select(
+        F.col("n").alias("n_orders"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(se, 6).alias("boot_se"),
+        F.round(mean - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(mean + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )
+
+
+@q(
+    "cuped_adjusted_ab",
+    """
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN CAST(round(value * 1e3) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN CAST(round(value * 1e3) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    pool AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM per_user),
+    v AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS nv, CAST(SUM(x) AS BIGINT) AS sxv,
+               CAST(SUM(y) AS BIGINT) AS syv
+        FROM per_user GROUP BY variant)
+    SELECT variant, nv AS n_users,
+           round(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) / 1e3, 6) AS mean_raw,
+           round((CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)
+                  - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+                       - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e3, 6) AS mean_cuped,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS theta
+    FROM v CROSS JOIN pool ORDER BY variant
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust each variant's
+    post-period mean by theta * (its pre-period mean - the pooled
+    pre-period mean), theta = cov(x,y)/var(x) over all users — the
+    experiment-analysis standard for tightening A/B confidence intervals
+    with pre-experiment covariates. Pre/post split at 2024-01-16 on the
+    30-day events window; per-user sums, the pooled covariance moments,
+    and the per-variant means are ALL exact BIGINTs, so the adjusted means
+    are one identical IEEE tail, rounded to 6. One user_id shuffle + two
+    tiny aggregates."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    vm = F.round(F.col("value") * 1e3).cast("long")
+    per_user = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, vm).otherwise(F.lit(0))).cast("long").alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, vm).otherwise(F.lit(0))).cast("long").alias("y"),
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    pool = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nv"),
+        F.sum("x").cast("long").alias("sxv"),
+        F.sum("y").cast("long").alias("syv"),
+    )
+    j = v.crossJoin(F.broadcast(pool))
+    nd = F.col("n").cast("double")
+    theta = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    ) / (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    )
+    mean_raw = F.col("syv").cast("double") / F.col("nv").cast("double")
+    adj = (
+        mean_raw
+        - theta * (F.col("sxv").cast("double") / F.col("nv").cast("double")
+                   - F.col("sx").cast("double") / nd)
+    )
+    return j.select(
+        "variant",
+        F.col("nv").alias("n_users"),
+        F.round(mean_raw / F.lit(1e3), 6).alias("mean_raw"),
+        F.round(adj / F.lit(1e3), 6).alias("mean_cuped"),
+        F.round(theta, 6).alias("theta"),
+    ).orderBy("variant")
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
