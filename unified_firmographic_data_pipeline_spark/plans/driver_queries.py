@@ -2485,8 +2485,15 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §2.M "document fingerprinting (rolling hash)" operator: hashing
     is narrow and evaluated once per doc; window selection is a sliding
     window-frame min (doc-key shuffle); the pair join shuffles on the
-    uniform md5 fingerprint (skew-free)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    uniform md5 fingerprint (skew-free). The explicit-count repartition
+    pins the per-doc k-gram hashing to cluster parallelism — the
+    single-split source would otherwise run it in one task (2x measured
+    at sf0.1; the bootstrap_ci precedent)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return winnow_overlap_pairs(d, k=16, w=8, min_common=3)
 
 
@@ -4383,10 +4390,12 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling surface (operators/profile.py): per-column counts,
     nulls, exact distincts and typed extrema in ONE scan (multi-distinct
     Expand + stack melt — the oracle's UNION ALL of per-column scans is the
-    shape this operator exists to avoid)."""
+    shape this operator exists to avoid). The explicit-count repartition
+    spreads the Expand-multiplied rows across the cluster (single-split
+    source; 26% at sf0.1)."""
     from unified_firmographic_data_pipeline_spark.operators.profile import profile_columns
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     return profile_columns(
         o, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
     )
