@@ -189,6 +189,15 @@ HEADLINE = [
     "ols2_price_qty_discount",
     "bootstrap_ci_order_value",
     "cuped_adjusted_ab",
+    # round 3 batch 32: calibration, vocab coverage, run-lengths, MASE,
+    # Hampel, Neyman, Markov-2
+    "calibration_reliability_bins",
+    "vocab_coverage_topk",
+    "max_token_runlength",
+    "mase_seasonal_naive",
+    "hampel_outliers_daily",
+    "neyman_allocation_by_type",
+    "markov2_transitions_topk",
 ]
 
 

@@ -69,6 +69,11 @@ BNLJ_ALLOWED = {
     "bootstrap_ci_order_value",
     # 1-row pooled-covariance aggregate broadcast onto 2 variant rows
     "cuped_adjusted_ab",
+    # 1-row corpus totals + fixed 3-row k-axis broadcast onto the ranked
+    # vocabulary (the heaps_law checkpoint-axis shape)
+    "vocab_coverage_topk",
+    # 1-row weight-total aggregate broadcast onto 5 stratum rows
+    "neyman_allocation_by_type",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

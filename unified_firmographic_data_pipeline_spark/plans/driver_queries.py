@@ -8657,6 +8657,424 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 32 (round 3): classifier calibration, vocabulary
+# coverage, repetition run-lengths, seasonal-naive forecast error (MASE),
+# Hampel filter, Neyman allocation, second-order Markov transitions
+# --------------------------------------------------------------------------
+
+
+@q(
+    "calibration_reliability_bins",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             coalesce(CASE WHEN len({_TOKENS_SQL}) = 0 THEN NULL
+                  ELSE CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE)
+                       / CAST(len({_TOKENS_SQL}) AS DOUBLE) END, 0.0) AS stop_r,
+             coalesce(CASE WHEN length(text) = 0 THEN NULL
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END, 1.0) AS punct_r,
+             CAST(LEAST(length(text), 2000) AS DOUBLE) / CAST(2000.0 AS DOUBLE) AS len_norm
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                 CAST(-1.5 AS DOUBLE)
+                 + CAST(3.0 AS DOUBLE) * stop_r
+                 + CAST(-2.0 AS DOUBLE) * punct_r
+                 + CAST(1.0 AS DOUBLE) * len_norm))), 6) AS score
+      FROM f
+    )
+    SELECT CAST(floor(score * 10) AS INTEGER) AS bucket, COUNT(*) AS n,
+           (CAST(SUM(CAST(round(score * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+               / COUNT(*) AS mean_pred,
+           CAST(count_if(lang = 'en') AS DOUBLE) / COUNT(*) AS frac_en
+    FROM s GROUP BY bucket
+    """,
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration / reliability diagram: bucket the logistic
+    quality score into deciles and compare mean predicted probability
+    against the empirical rate of the pseudo-label (lang = 'en') per
+    bucket — the standard is-my-classifier-honest check before using
+    scores as sampling weights in a curation pipeline. mean_pred is a
+    micro-rounded BIGINT average; frac_en is one exact-integer division.
+    Scoring fuses into the scan; the rollup is bucket-sized."""
+    from unified_firmographic_data_pipeline_spark.functions.scoring import logistic_score
+    from unified_firmographic_data_pipeline_spark.functions.text import (
+        punct_ratio as _pr,
+        stopword_ratio as _sr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stop_r = F.coalesce(_sr("text", LANG_STOPWORDS["en"]), F.lit(0.0))
+    punct_r = F.coalesce(_pr("text"), F.lit(1.0))
+    len_norm = F.least(F.length("text"), F.lit(2000)).cast("double") / F.lit(2000.0)
+    score = F.round(
+        logistic_score(
+            [(stop_r, 3.0), (punct_r, -2.0), (len_norm, 1.0)], intercept=-1.5
+        ),
+        6,
+    )
+    s = d.select(score.alias("score"), "lang")
+    return s.groupBy(F.floor(F.col("score") * 10).cast("int").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        (
+            (F.sum(F.round(F.col("score") * 1e6).cast("long")).cast("double") / F.lit(1e6))
+            / F.count("*")
+        ).alias("mean_pred"),
+        (F.count_if(F.col("lang") == "en").cast("double") / F.count("*")).alias("frac_en"),
+    )
+
+
+@q(
+    "vocab_coverage_topk",
+    rf"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM vocab),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM ranked)
+    SELECT k, LEAST(CAST(k AS BIGINT), v) AS n_vocab_used,
+           CAST(SUM(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT) AS covered,
+           CAST(SUM(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS share
+    FROM ranked CROSS JOIN tot CROSS JOIN UNNEST([10, 100, 1000]) AS u(k)
+    GROUP BY k, v, n_total ORDER BY k
+    """,
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus token mass
+    the top-10/100/1000 most-frequent tokens cover — the
+    tokenizer-vocabulary-sizing statistic behind every BPE budget
+    decision. One vocabulary aggregate, one vocabulary-bounded rank
+    window, conditional integer sums per checkpoint, one division each
+    (the heaps_law 5-row-axis precedent)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    ranked = vocab.select(
+        "cnt", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("tok"))).alias("rnk")
+    )
+    tot = ranked.agg(
+        F.sum("cnt").cast("long").alias("n_total"), F.count("*").cast("long").alias("v")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("k")
+    )
+    j = ranked.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ks))
+    return (
+        j.groupBy("k", "v", "n_total")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("covered")
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.least(F.col("k").cast("long"), F.col("v")).alias("n_vocab_used"),
+            "covered",
+            (F.col("covered").cast("double") / F.col("n_total").cast("double")).alias("share"),
+        )
+        .orderBy("k")
+    )
+
+
+@q(
+    "max_token_runlength",
+    rf"""
+    WITH pos AS (
+        SELECT doc_id, t[u.i] AS tok, CAST(u.i AS BIGINT) AS p
+        FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t FROM documents),
+             UNNEST(generate_series(1, len(t))) AS u(i)),
+    runs AS (
+        SELECT doc_id, tok,
+               p - row_number() OVER (PARTITION BY doc_id, tok ORDER BY p) AS grp
+        FROM pos),
+    rl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+           FROM runs GROUP BY doc_id, tok, grp),
+    mx AS (SELECT doc_id, MAX(run_len) AS max_run FROM rl GROUP BY doc_id)
+    SELECT max_run, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM mx GROUP BY max_run ORDER BY max_run
+    """,
+)
+def max_token_runlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition detector: each document's LONGEST consecutive
+    run of one repeated token (the 'the the the the' failure mode Gopher's
+    duplicate-fraction metrics under-weight), rolled up to a corpus
+    histogram. The run grouping is the gaps-and-islands trick (position
+    minus per-token rank is constant within a run) applied per (doc,
+    token); every shuffle is on the doc key, counts are exact integers."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("i", "tok")
+    ).select("doc_id", "tok", (F.col("i") + 1).cast("long").alias("p"))
+    w = Window.partitionBy("doc_id", "tok").orderBy("p")
+    runs = pos.withColumn("grp", F.col("p") - F.row_number().over(w))
+    rl = runs.groupBy("doc_id", "tok", "grp").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    mx = rl.groupBy("doc_id").agg(F.max("run_len").alias("max_run"))
+    return (
+        mx.groupBy("max_run").agg(F.count("*").cast("long").alias("n_docs")).orderBy("max_run")
+    )
+
+
+@q(
+    "mase_seasonal_naive",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    i AS (SELECT d, y, row_number() OVER (ORDER BY d) AS t FROM daily),
+    e AS (
+        SELECT a.t,
+               abs(a.y - n1.y) AS e_naive,
+               abs(a.y - n7.y) AS e_seasonal
+        FROM i a JOIN i n1 ON n1.t = a.t - 1
+                 JOIN i n7 ON n7.t = a.t - 7)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           round(CAST(SUM(e_naive) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mae_naive,
+           round(CAST(SUM(e_seasonal) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mae_seasonal,
+           round((CAST(SUM(e_seasonal) AS DOUBLE) / COUNT(*))
+                 / (CAST(SUM(e_naive) AS DOUBLE) / COUNT(*)), 9) AS mase_ratio
+    FROM e
+    """,
+)
+def mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline quality (MASE denominator study): mean absolute
+    error of the seasonal-naive forecast (y_{t-7}) vs the naive forecast
+    (y_{t-1}) on daily revenue — the scale-free skill ratio every forecast
+    model must beat (Hyndman & Koehler 2006). Lag pairing is an integer
+    equi-join on the bounded day index (never an inequality join); errors
+    are exact BIGINT |differences|; two divisions at the end. Ratio < 1
+    means weekday seasonality dominates day-to-day drift."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).cast("long").alias("y")
+    )
+    i = daily.withColumn("t", F.row_number().over(Window.orderBy("d")).cast("long"))
+    a = i.alias("a")
+    n1 = i.select((F.col("t") + 1).alias("t1"), F.col("y").alias("y1"))
+    n7 = i.select((F.col("t") + 7).alias("t7"), F.col("y").alias("y7"))
+    e = (
+        a.join(n1, F.col("a.t") == F.col("t1"))
+        .join(n7, F.col("a.t") == F.col("t7"))
+        .select(
+            F.abs(F.col("a.y") - F.col("y1")).alias("e_naive"),
+            F.abs(F.col("a.y") - F.col("y7")).alias("e_seasonal"),
+        )
+    )
+    m = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("e_naive").cast("long").alias("sn"),
+        F.sum("e_seasonal").cast("long").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_days_scored"),
+        F.round(F.col("sn").cast("double") / nd / F.lit(1e6), 6).alias("mae_naive"),
+        F.round(F.col("ss").cast("double") / nd / F.lit(1e6), 6).alias("mae_seasonal"),
+        F.round(
+            (F.col("ss").cast("double") / nd) / (F.col("sn").cast("double") / nd), 9
+        ).alias("mase_ratio"),
+    )
+
+
+@q(
+    "hampel_outliers_daily",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1),
+    i AS (SELECT day, cnt, row_number() OVER (ORDER BY day) AS t FROM d),
+    fan AS (
+        SELECT a.t + o AS center, a.cnt
+        FROM i a CROSS JOIN UNNEST(generate_series(-3, 3)) AS u(o)),
+    med AS (
+        SELECT center, median(fan.cnt) AS med
+        FROM fan JOIN i c ON c.t = fan.center GROUP BY center),
+    dev AS (
+        SELECT f.center, abs(CAST(f.cnt AS DOUBLE) - m.med) AS adev
+        FROM fan f JOIN med m ON m.center = f.center),
+    mad AS (SELECT center, median(adev) AS mad FROM dev GROUP BY center)
+    SELECT CAST(i.day AS VARCHAR) AS day, i.cnt,
+           round(m.med, 6) AS med, round(x.mad, 6) AS mad,
+           abs(CAST(i.cnt AS DOUBLE) - m.med) > 4.4478 * x.mad AS is_outlier
+    FROM i JOIN med m ON m.center = i.t JOIN mad x ON x.center = i.t
+    """,
+)
+def hampel_outliers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter on daily event counts: flag days where |x - rolling
+    median| > 3 sigma with sigma estimated as 1.4826 * rolling MAD over a
+    +/-3-day window — the robust spike detector that a rolling-mean
+    z-score gets wrong around level shifts. The window membership is a
+    bounded 7-way fan-out (integer equi-join on the day index — the MAD's
+    center-dependent deviations cannot be a window frame); medians of <= 7
+    values interpolate identically on both engines (the exact-quantile
+    precedent). Day axis is calendar-bounded."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    i = d.withColumn("t", F.row_number().over(Window.orderBy("day")).cast("long"))
+    fan = i.select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("o"), "t", "cnt"
+    ).select((F.col("t") + F.col("o")).alias("center"), "cnt")
+    centers = i.select(F.col("t").alias("center"))
+    fan = fan.join(centers, "center", "semi")
+    med = fan.groupBy("center").agg(F.expr("percentile(cnt, 0.5)").alias("med"))
+    dev = fan.join(med, "center").select(
+        "center", F.abs(F.col("cnt").cast("double") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("center").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        i.join(med, i["t"] == med["center"])
+        .drop("center")
+        .join(mad, i["t"] == mad["center"])
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "cnt",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            (F.abs(F.col("cnt").cast("double") - F.col("med"))
+             > F.lit(4.4478) * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+@q(
+    "neyman_allocation_by_type",
+    """
+    WITH b AS (SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+        FROM b GROUP BY event_type),
+    w AS (
+        SELECT event_type, n,
+               sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 1e3 AS sd,
+               CAST(round(CAST(n AS DOUBLE)
+                   * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 1e3)
+                   * 1e6) AS BIGINT) AS wm
+        FROM m),
+    tot AS (SELECT CAST(SUM(wm) AS BIGINT) AS wtot FROM w)
+    SELECT event_type, n AS n_rows, round(sd, 6) AS stddev,
+           CAST(round(1000.0 * CAST(wm AS DOUBLE) / CAST(wtot AS DOUBLE)) AS BIGINT)
+               AS alloc
+    FROM w CROSS JOIN tot ORDER BY event_type
+    """,
+)
+def neyman_allocation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation: split a 1000-row
+    sampling budget across event-type strata proportionally to N_h * S_h
+    (stratum size x stddev) — the minimum-variance design for stratified
+    estimation, and the principled version of 'sample more where the data
+    is noisier'. Stratum stddevs come from exact integer moments; each
+    weight is micro-rounded to BIGINT so the denominator sum is
+    order-independent; one division + round per stratum."""
+    e = _t(spark, sf_dir, "events")
+    b = e.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 1e3).cast("long").alias("v")
+    )
+    m = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = (
+        F.sqrt(
+            (F.col("ss").cast("double")
+             - F.col("s").cast("double") * F.col("s").cast("double") / nd)
+            / (nd - F.lit(1.0))
+        )
+        / F.lit(1e3)
+    )
+    w = m.select(
+        "event_type", "n", sd.alias("sd"),
+        F.round(nd * sd * F.lit(1e6)).cast("long").alias("wm"),
+    )
+    tot = w.agg(F.sum("wm").cast("long").alias("wtot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n").alias("n_rows"),
+            F.round("sd", 6).alias("stddev"),
+            F.round(F.lit(1000.0) * F.col("wm").cast("double") / F.col("wtot").cast("double"))
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "markov2_transitions_topk",
+    """
+    WITH s AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               lag(event_type, 1) OVER w AS prev1,
+               lag(event_type, 2) OVER w AS prev2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                     ORDER BY ts, event_id)),
+    tri AS (
+        SELECT prev2, prev1, event_type AS next_type, COUNT(*) AS n3
+        FROM s WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+    pair AS (SELECT prev2, prev1, CAST(SUM(n3) AS BIGINT) AS n2
+             FROM tri GROUP BY 1, 2)
+    SELECT t.prev2, t.prev1, t.next_type, CAST(t.n3 AS BIGINT) AS n3,
+           p.n2,
+           round(CAST(t.n3 AS DOUBLE) / CAST(p.n2 AS DOUBLE), 9) AS cond_prob
+    FROM tri t JOIN pair p USING (prev2, prev1)
+    ORDER BY cond_prob DESC, prev2, prev1, next_type LIMIT 15
+    """,
+)
+def markov2_transitions_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov transition probabilities over session event
+    streams: P(next | prev2, prev1) — the memory-2 upgrade of
+    event_transition_probs that captures 'view,cart -> purchase' vs
+    'error,cart -> abandon' context effects. Two lag windows on ONE
+    (user, day) session shuffle; the |types|^3-bounded trigram table
+    rolls up map-side; conditional probabilities are single exact-integer
+    divisions with a total ordering."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    s = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    tri = (
+        s.filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev1", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n3"))
+    )
+    pair = tri.groupBy("prev2", "prev1").agg(F.sum("n3").cast("long").alias("n2"))
+    return (
+        tri.join(F.broadcast(pair), ["prev2", "prev1"])
+        .select(
+            "prev2", "prev1", "next_type",
+            F.col("n3").cast("long").alias("n3"),
+            "n2",
+            F.round(F.col("n3").cast("double") / F.col("n2").cast("double"), 9).alias(
+                "cond_prob"
+            ),
+        )
+        .orderBy(F.col("cond_prob").desc(), "prev2", "prev1", "next_type")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
