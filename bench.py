@@ -198,6 +198,13 @@ HEADLINE = [
     "hampel_outliers_daily",
     "neyman_allocation_by_type",
     "markov2_transitions_topk",
+    # round 3 batch 33: EB shrinkage, elasticity, invoice screen,
+    # nth_value frames, HOF step gaps
+    "eb_shrunk_return_rates",
+    "elasticity_loglog_by_brand",
+    "dup_invoice_candidates",
+    "window_nth_value_frames",
+    "view_to_purchase_step_gap",
 ]
 
 

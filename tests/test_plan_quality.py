@@ -74,6 +74,8 @@ BNLJ_ALLOWED = {
     "vocab_coverage_topk",
     # 1-row weight-total aggregate broadcast onto 5 stratum rows
     "neyman_allocation_by_type",
+    # 1-row method-of-moments prior broadcast onto the part aggregate
+    "eb_shrunk_return_rates",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -275,3 +275,64 @@ def test_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static broadcast join: streaming events enriched with a
+    static dimension, exactly-once per input file, no stream state."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        stream_static_enrich,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("event_type", StringType())]
+    )
+    spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "purchase")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, segment string"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    enriched = stream_static_enrich(stream, dim, key="user_id")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["segment"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # left join: unmatched stream rows survive with NULL segment
+    assert got == {(1, "gold"), (2, "silver"), (3, None)}
+    # replay idempotence: restarting with the same checkpoint adds nothing
+    q2 = (
+        stream_static_enrich(
+            spark.readStream.schema(schema).parquet(str(src)), dim, key="user_id"
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == 3

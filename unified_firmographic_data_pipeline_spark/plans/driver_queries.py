@@ -9075,6 +9075,325 @@ def markov2_transitions_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 33 (round 3): empirical-Bayes shrinkage, log-log price
+# elasticity, duplicate-invoice detection, nth_value window frames,
+# HOF-based step-gap mining
+# --------------------------------------------------------------------------
+
+
+@q(
+    "eb_shrunk_return_rates",
+    """
+    WITH pr AS (
+        SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(count_if(l_returnflag = 'R') AS BIGINT) AS r
+        FROM lineitem GROUP BY l_partkey),
+    mm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(CAST(round(1e6 * r / n) AS BIGINT)) AS BIGINT) AS srate,
+               CAST(SUM(CAST(round(1e6 * r / n) AS BIGINT)
+                        * CAST(round(1e6 * r / n) AS BIGINT)) AS BIGINT) AS ssrate
+        FROM pr),
+    prior AS (
+        SELECT
+            (CAST(srate AS DOUBLE) / CAST(np AS DOUBLE)) / 1e6 AS mu,
+            ((CAST(ssrate AS DOUBLE)
+              - CAST(srate AS DOUBLE) * CAST(srate AS DOUBLE) / CAST(np AS DOUBLE))
+             / (CAST(np AS DOUBLE) - 1.0)) / 1e12 AS varr
+        FROM mm),
+    ab AS (
+        SELECT mu, varr,
+               mu * (mu * (1.0 - mu) / varr - 1.0) AS alpha,
+               (1.0 - mu) * (mu * (1.0 - mu) / varr - 1.0) AS beta
+        FROM prior)
+    SELECT pk AS part_key, n, r AS n_returned,
+           round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+           round((CAST(r AS DOUBLE) + alpha)
+                 / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate
+    FROM pr CROSS JOIN ab
+    ORDER BY shrunk_rate DESC, pk LIMIT 20
+    """,
+)
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-part return rates:
+    method-of-moments prior (alpha, beta) fit from the population of raw
+    rates, each part's rate shrunk toward the prior mean in proportion to
+    its evidence — the 'don't rank a 1/1 part above a 90/100 part'
+    estimator behind every rate leaderboard. The prior moments are sums of
+    micro-rounded per-part rates (BIGINT, order-independent); the prior
+    and every shrunk rate are identical IEEE tails; the 1-row prior
+    broadcasts onto the part aggregate. Top-20 by (shrunk desc, key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("l_returnflag") == "R").cast("long").alias("r"),
+    )
+    rate_micro = F.round(1e6 * F.col("r") / F.col("n")).cast("long")
+    mm = pr.select(rate_micro.alias("rm")).agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("rm").cast("long").alias("srate"),
+        F.sum(F.col("rm") * F.col("rm")).cast("long").alias("ssrate"),
+    )
+    npd = F.col("np").cast("double")
+    mu = (F.col("srate").cast("double") / npd) / F.lit(1e6)
+    varr = (
+        (F.col("ssrate").cast("double")
+         - F.col("srate").cast("double") * F.col("srate").cast("double") / npd)
+        / (npd - F.lit(1.0))
+    ) / F.lit(1e12)
+    k = mu * (F.lit(1.0) - mu) / varr - F.lit(1.0)
+    ab = mm.select(
+        (mu * k).alias("alpha"), ((F.lit(1.0) - mu) * k).alias("beta")
+    )
+    j = pr.crossJoin(F.broadcast(ab))
+    return (
+        j.select(
+            F.col("pk").alias("part_key"), "n", F.col("r").alias("n_returned"),
+            F.round(F.col("r").cast("double") / F.col("n").cast("double"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("r").cast("double") + F.col("alpha"))
+                / (F.col("n").cast("double") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.col("shrunk_rate").desc(), "part_key")
+        .limit(20)
+    )
+
+
+@q(
+    "elasticity_loglog_by_brand",
+    """
+    WITH b AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(ln(l.l_quantity) * 1e6) AS BIGINT) AS lq,
+               CAST(round(ln(l.l_extendedprice / l.l_quantity) * 1e6) AS BIGINT) AS lp
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    m AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lp) AS BIGINT) AS sx, CAST(SUM(lq) AS BIGINT) AS sy,
+               CAST(SUM(lp * lp) AS BIGINT) AS sxx,
+               CAST(SUM(lp * lq) AS BIGINT) AS sxy
+        FROM b GROUP BY brand)
+    SELECT brand, n,
+           round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(n AS DOUBLE))), 6) AS elasticity
+    FROM m ORDER BY brand
+    """,
+)
+def elasticity_loglog_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity per brand: OLS slope of ln(quantity) on
+    ln(unit price) — the standard demand-curve estimate, read directly as
+    '% quantity change per % price change'. Each ln is micro-rounded once
+    (libm neutralized), so every regression moment is an exact BIGINT and
+    the slope is one identical IEEE expression; micro-units cancel in the
+    slope so no rescaling is needed. One broadcastable part join + one
+    brand aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.log(F.col("l_quantity")) * 1e6).cast("long").alias("lq"),
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1e6)
+        .cast("long")
+        .alias("lp"),
+    )
+    m = b.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lp").cast("long").alias("sx"),
+        F.sum("lq").cast("long").alias("sy"),
+        F.sum(F.col("lp") * F.col("lp")).cast("long").alias("sxx"),
+        F.sum(F.col("lp") * F.col("lq")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    ) / (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    )
+    return m.select("brand", "n", F.round(slope, 6).alias("elasticity")).orderBy("brand")
+
+
+@q(
+    "dup_invoice_candidates",
+    """
+    WITH o AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+               CAST(round(o_totalprice / 1000) AS BIGINT) AS kbucket,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders)
+    SELECT a.ck AS custkey, a.kbucket AS amount_kbucket,
+           a.ok AS order_a, b.ok AS order_b,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS gap_days
+    FROM o a JOIN o b
+      ON a.ck = b.ck AND a.kbucket = b.kbucket AND a.ok < b.ok
+    WHERE date_diff('day', a.d, b.d) BETWEEN -45 AND 45
+    ORDER BY 1, 2, 3, 4
+    """,
+)
+def dup_invoice_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice screen: order pairs from the SAME customer whose
+    amounts round to the same $1k bucket within +/-45 days — the
+    accounts-payable double-payment candidate generator (exact-amount
+    matching is the degenerate case; the bucket widens it to near-identical
+    invoices). The join key is (customer, amount bucket), an equi-join
+    whose groups are near-singletons — never an n^2 blowup; the day-window
+    residual filters the handful of candidates per key. Output order is a
+    total order on the integer keys."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") / 1000).cast("long").alias("kbucket"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.kbucket") == F.col("b.kbucket"))
+        & (F.col("a.ok") < F.col("b.ok")),
+    ).filter(F.datediff(F.col("b.d"), F.col("a.d")).between(-45, 45))
+    return pairs.select(
+        F.col("a.ck").alias("custkey"),
+        F.col("a.kbucket").alias("amount_kbucket"),
+        F.col("a.ok").alias("order_a"),
+        F.col("b.ok").alias("order_b"),
+        F.datediff(F.col("b.d"), F.col("a.d")).cast("long").alias("gap_days"),
+    ).orderBy("custkey", "amount_kbucket", "order_a", "order_b")
+
+
+@q(
+    "window_nth_value_frames",
+    """
+    WITH w AS (
+        SELECT o_custkey AS ck,
+               first_value(CAST(round(o_totalprice * 1e6) AS BIGINT))
+                   OVER win AS first_m,
+               nth_value(CAST(round(o_totalprice * 1e6) AS BIGINT), 2)
+                   OVER win AS second_m,
+               last_value(CAST(round(o_totalprice * 1e6) AS BIGINT))
+                   OVER win AS last_m,
+               row_number() OVER win AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        FROM orders
+        WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+    SELECT ck AS custkey, CAST(n_orders AS BIGINT) AS n_orders,
+           round(CAST(first_m AS DOUBLE) / 1e6, 6) AS first_price,
+           round(CAST(second_m AS DOUBLE) / 1e6, 6) AS second_price,
+           round(CAST(last_m AS DOUBLE) / 1e6, 6) AS last_price
+    FROM w WHERE rn = 1 AND n_orders >= 3
+    ORDER BY custkey LIMIT 50
+    """,
+)
+def window_nth_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value over an explicit
+    unbounded-both-ways frame (the frame spec that trips people up:
+    last_value under the DEFAULT frame returns the CURRENT row) — first,
+    second, and most recent order value per customer with >= 3 orders.
+    One window shuffle; micro-int values make the projected prices
+    bit-exact; total order on (date, orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    mval = F.round(F.col("o_totalprice") * 1e6).cast("long")
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wcnt = Window.partitionBy("o_custkey")
+    w = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.first(mval).over(win).alias("first_m"),
+        F.nth_value(mval, 2).over(win).alias("second_m"),
+        F.last(mval).over(win).alias("last_m"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(wcnt).alias("n_orders"),
+    )
+    return (
+        w.filter((F.col("rn") == 1) & (F.col("n_orders") >= 3))
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("first_m").cast("double") / 1e6, 6).alias("first_price"),
+            F.round(F.col("second_m").cast("double") / 1e6, 6).alias("second_price"),
+            F.round(F.col("last_m").cast("double") / 1e6, 6).alias("last_price"),
+        )
+        .orderBy("custkey")
+        .limit(50)
+    )
+
+
+@q(
+    "view_to_purchase_step_gap",
+    """
+    WITH s AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               list(event_type ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1, 2),
+    gaps AS (
+        SELECT unnest(list_filter(
+            list_transform(
+                [i FOR i IN generate_series(1, len(seq)) IF seq[i] = 'view'],
+                vp -> list_min(list_filter(
+                    [i FOR i IN generate_series(1, len(seq))
+                       IF seq[i] = 'purchase'],
+                    p -> p > vp)) - vp),
+            g -> g IS NOT NULL)) AS gap
+        FROM s)
+    SELECT CAST(gap AS BIGINT) AS step_gap, CAST(COUNT(*) AS BIGINT) AS n
+    FROM gaps GROUP BY gap ORDER BY gap
+    """,
+)
+def view_to_purchase_step_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-distance mining: for every 'view' event, the number of steps
+    to the NEXT 'purchase' in the same session — the position-gap
+    distribution behind 'how direct is the path to conversion'. The whole
+    computation is higher-order ARRAY functions on the per-session event
+    sequence (positions, filter, min — no per-event shuffle, no self-join;
+    one session-key shuffle), the L-surface showcased on a mining shape
+    window frames cannot express."""
+    e = _t(spark, sf_dir, "events")
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    s = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(seq.alias("seq"))
+    # 1-based positions of views / purchases, then min purchase-pos > view-pos
+    views = F.filter(
+        F.transform(
+            F.col("seq"),
+            lambda x, i: F.when(x == "view", i + 1).otherwise(F.lit(None)),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    purchases = F.filter(
+        F.transform(
+            F.col("seq"),
+            lambda x, i: F.when(x == "purchase", i + 1).otherwise(F.lit(None)),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    gaps = F.filter(
+        F.transform(
+            views,
+            lambda vp: F.array_min(F.filter(purchases, lambda p: p > vp)) - vp,
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return (
+        s.select(F.explode(gaps).alias("step_gap"))
+        .groupBy(F.col("step_gap").cast("long").alias("step_gap"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("step_gap")
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate

@@ -177,3 +177,18 @@ def stream_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a streaming frame against a
+    broadcastable static dimension (the classic 'attach user segment to the
+    clickstream' shape). The static side is re-read per micro-batch by the
+    engine, so slowly-changing dims pick up updates between batches; the
+    broadcast hash join adds NO stream-side state (unlike stream-stream
+    joins, nothing is buffered or watermarked). Works identically on a
+    batch frame — the oracle/testing twin."""
+    return events.join(F.broadcast(dim), key, "left")
