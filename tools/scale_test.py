@@ -71,6 +71,17 @@ HEAVY = [
     "chunk_dedup_sources",        # chunk fp window dedup
     "entity_resolution_clusters", # blocked levenshtein + components
     "mannwhitney_value_by_variant",  # rank moments via window
+    # round-3 batches 30-33
+    "ks_test_value_by_variant",   # integer CDF window + agg
+    "kaplan_meier_order_gaps",    # lead window + bounded event-time axis
+    "kcore_peel_rounds",          # 3 peel rounds: degree agg + semi-joins
+    "truss_edge_support_hist",    # triangle enumeration + edge credit
+    "dsir_importance_topk",       # two LM aggregates + broadcast-back
+    "bootstrap_ci_order_value",   # 32x hash fan-out, pinned parallelism
+    "session_pattern_funnel_regex",  # session fold + regex predicates
+    "eb_shrunk_return_rates",     # part aggregate + 1-row prior
+    "max_token_runlength",        # islands per (doc, token)
+    "markov2_transitions_topk",   # two lags on one session shuffle
 ]
 
 
