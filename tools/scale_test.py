@@ -172,12 +172,30 @@ if __name__ == "__main__":
         "plan (edge set still broadcastable at 10x; the `broadcast_closure="
     )
     lines.append(
-        "False` shuffle fallback is the documented >memory regime). The"
+        "False` shuffle fallback is the documented >memory regime) — its"
     )
     lines.append(
-        "near-dup/LSH family stays banded — candidate pairs scale with true"
+        "ratio is the wedge stream growing with edge count, still sublinear."
     )
-    lines.append("duplicates, not quadratically.")
+    lines.append(
+        "The near-dup/LSH family stays banded — candidate pairs scale with"
+    )
+    lines.append(
+        "true duplicates, not quadratically. `winnow_fingerprint_overlap`'s"
+    )
+    lines.append(
+        "~1x is semantic, not magic: it fingerprints a FIXED doc_id<300"
+    )
+    lines.append(
+        "cohort, so its input is constant across scales. Sub-10x ratios on"
+    )
+    lines.append(
+        "the batch-30-33 statistics reflect bounded output axes (calendars,"
+    )
+    lines.append(
+        "strata, vocabulary ranks) absorbing row growth in map-side partial"
+    )
+    lines.append("aggregation — the designed behavior.")
     with open(os.path.join(REPO, "SCALE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALE.md")
