@@ -205,6 +205,14 @@ HEADLINE = [
     "dup_invoice_candidates",
     "window_nth_value_frames",
     "view_to_purchase_step_gap",
+    # round 3 batch 34: robust trend, label propagation, prefix dups,
+    # quantile normalization, sorted-neighborhood ER
+    "theilsen_slope_daily",
+    "mann_kendall_trend_daily",
+    "label_prop_seeded_scores",
+    "prefix_dup_groups",
+    "quantile_normalize_quality",
+    "sorted_neighborhood_pairs",
 ]
 
 

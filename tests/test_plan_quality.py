@@ -76,6 +76,11 @@ BNLJ_ALLOWED = {
     "neyman_allocation_by_type",
     # 1-row method-of-moments prior broadcast onto the part aggregate
     "eb_shrunk_return_rates",
+    # calendar-bounded day-pair pairings (the kendall_tau_daily shape)
+    "theilsen_slope_daily",
+    "mann_kendall_trend_daily",
+    # 1-row corpus-size broadcast into the rank-index expression
+    "quantile_normalize_quality",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -9394,6 +9394,402 @@ def view_to_purchase_step_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 34 (round 3): robust trend estimation (Theil-Sen +
+# Mann-Kendall), seeded label propagation, prefix-duplicate groups,
+# cross-source quantile normalization, sorted-neighborhood ER
+# --------------------------------------------------------------------------
+
+
+@q(
+    "theilsen_slope_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               row_number() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS t,
+               CAST(SUM(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    slopes AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+        FROM daily a JOIN daily b ON a.t < b.t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(median(s) / 1e6, 6) AS theilsen_slope
+    FROM slopes
+    """,
+)
+def theilsen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise day-to-day
+    revenue slopes — the 29%-breakdown-point line fit that OLS outliers
+    cannot drag. The pairing is the kendall_tau_daily calendar-bounded
+    O(days^2) integer pattern (data-size-independent); each slope is ONE
+    division of exact integers (identical doubles both engines), and the
+    median interpolates identically on identical sorted values."""
+    from unified_firmographic_data_pipeline_spark.operators.stats import (
+        exact_quantiles_bracketed,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn("t", F.row_number().over(Window.orderBy("d")).cast("long"))
+    )
+    a = daily.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = daily.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    # materialize the pair stream once: the bracketed median makes 3 cheap
+    # passes over it (a single giant percentile buffer over millions of
+    # slopes was 5x slower than bracket + exact refinement)
+    slopes = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("tb") - F.col("ta")).cast("double")
+            ).alias("s")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # memory-bounded exact median (operators/stats.py): approx bracket +
+    # exact rank walk; returns the same weighted-interpolation value as
+    # percentile/quantile_cont, bit-exact
+    med = exact_quantiles_bracketed(slopes, {"s": 0.5})["s"]
+    return slopes.agg(F.count("*").cast("long").alias("n_pairs")).select(
+        "n_pairs",
+        F.round(F.lit(med) / F.lit(1e6), 6).alias("theilsen_slope"),
+    )
+
+
+@q(
+    "mann_kendall_trend_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    p AS (
+        SELECT CAST(count_if(b.y > a.y) AS BIGINT) AS np,
+               CAST(count_if(b.y < a.y) AS BIGINT) AS nm,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM daily a JOIN daily b ON a.d < b.d),
+    ties AS (
+        SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+               CAST(SUM(t) AS BIGINT) AS n
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y))
+    SELECT np - nm AS s_stat, n AS n_days,
+           round((CAST(np - nm AS DOUBLE)
+                  - CASE WHEN np - nm > 0 THEN 1.0
+                         WHEN np - nm < 0 THEN -1.0 ELSE 0.0 END)
+                 / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                         * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                         - CAST(tie_term AS DOUBLE)) / 18.0), 6) AS z
+    FROM p CROSS JOIN ties
+    """,
+)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily order counts: S = #up
+    pairs - #down pairs over all day pairs, continuity-corrected z with
+    the tie-corrected variance (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18 — the
+    nonparametric 'is this series trending' test that pairs with the
+    Theil-Sen slope estimate. Integer pair counts over the calendar-
+    bounded pairing; one identical IEEE tail."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").cast("long").alias("y")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    p = a.join(b, F.col("da") < F.col("db")).agg(
+        F.count_if(F.col("yb") > F.col("ya")).cast("long").alias("np"),
+        F.count_if(F.col("yb") < F.col("ya")).cast("long").alias("nm"),
+        F.count("*").cast("long").alias("n0"),
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term"),
+            F.sum("t").cast("long").alias("n"),
+        )
+    )
+    j = p.crossJoin(F.broadcast(ties))
+    s = F.col("np") - F.col("nm")
+    sd = s.cast("double")
+    nd = F.col("n").cast("double")
+    corr = (
+        F.when(s > 0, F.lit(1.0)).when(s < 0, F.lit(-1.0)).otherwise(F.lit(0.0))
+    )
+    z = (sd - corr) / F.sqrt(
+        (nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+         - F.col("tie_term").cast("double"))
+        / F.lit(18.0)
+    )
+    return j.select(
+        s.alias("s_stat"), F.col("n").alias("n_days"), F.round(z, 6).alias("z")
+    )
+
+
+@q(
+    "label_prop_seeded_scores",
+    """
+    WITH bsk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT a.pk AS a, b.pk AS b
+            FROM bsk a JOIN bsk b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sym AS (SELECT a AS src, b AS dst FROM und
+            UNION ALL SELECT b, a FROM und),
+    seed AS (SELECT DISTINCT a AS node FROM und WHERE a % 10 = 0
+             UNION SELECT DISTINCT b FROM und WHERE b % 10 = 0),
+    r1 AS (
+        SELECT s.src AS node,
+               CAST(round(1e6 * count_if(sd.node IS NOT NULL)
+                          / COUNT(*)) AS BIGINT) AS score_micro
+        FROM sym s LEFT JOIN seed sd ON s.dst = sd.node
+        GROUP BY s.src),
+    r2 AS (
+        SELECT s.src AS node,
+               CAST(round(CAST(SUM(COALESCE(r1.score_micro, 0)) AS DOUBLE)
+                          / COUNT(*)) AS BIGINT) AS score_micro
+        FROM sym s LEFT JOIN r1 ON s.dst = r1.node
+        GROUP BY s.src)
+    SELECT node, round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS score
+    FROM r2 WHERE node % 10 <> 0
+    ORDER BY score DESC, node LIMIT 25
+    """,
+)
+def label_prop_seeded_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (2 synchronized rounds) on the co-purchase
+    graph: seeds = parts with key % 10 = 0 carry label 1.0; each round
+    every node takes the MEAN of its neighbors' scores — the
+    guilt-by-association scorer behind fraud rings and taxonomy expansion.
+    Per round: one symmetric-edge shuffle + one mean aggregate (the
+    pagerank cost model); scores are micro-rounded BIGINTs between rounds
+    so the oracle's unrolled CTEs match bit-exactly. Top-25 non-seed
+    nodes."""
+    edges = _edges2(spark, sf_dir)
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    seed = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .filter(F.col("node") % 10 == 0)
+        .distinct()
+    )
+    r1 = (
+        sym.join(seed.withColumnRenamed("node", "dst").withColumn("__is_seed", F.lit(1)),
+                 "dst", "left")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.round(
+                1e6 * F.count(F.col("__is_seed")) / F.count("*")
+            ).cast("long").alias("score_micro")
+        )
+    )
+    r2 = (
+        sym.join(r1.withColumnRenamed("node", "dst"), "dst", "left")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("score_micro"), F.lit(0))).cast("double")
+                / F.count("*")
+            ).cast("long").alias("score_micro")
+        )
+    )
+    return (
+        r2.filter(F.col("node") % 10 != 0)
+        .select(
+            "node",
+            F.round(F.col("score_micro").cast("double") / 1e6, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "node")
+        .limit(25)
+    )
+
+
+@q(
+    "prefix_dup_groups",
+    rf"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(({_TOKS_SQL})[1:16], ' ')) AS prefix_fp
+        FROM documents),
+    g AS (
+        SELECT prefix_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper
+        FROM fp GROUP BY prefix_fp HAVING COUNT(*) > 1)
+    SELECT prefix_fp, n_docs, keeper
+    FROM g ORDER BY n_docs DESC, prefix_fp
+    """,
+)
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate grouping: documents sharing an identical first-16-
+    token prefix (md5 of the joined prefix) — the cheap boilerplate /
+    mirror-page detector that runs BEFORE expensive MinHash in curation
+    stacks (most template duplicates share their opening). One md5 per
+    doc fused into the scan, one fingerprint-key shuffle; keeper =
+    min doc_id per group (the dedup_exact retention rule)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 16), " ")).alias("prefix_fp"),
+    )
+    g = (
+        fp.groupBy("prefix_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return g.orderBy(F.col("n_docs").desc(), "prefix_fp")
+
+
+@q(
+    "quantile_normalize_quality",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, {_QUALITY_SQL} AS q FROM documents),
+    ranked AS (
+        SELECT doc_id, source, q,
+               row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS ns
+        FROM scored),
+    gtab AS (
+        SELECT q AS gq, row_number() OVER (ORDER BY q, doc_id) AS gr,
+               COUNT(*) OVER () AS n
+        FROM scored)
+    SELECT rk.doc_id, rk.source, round(rk.q, 6) AS raw_q,
+           round(g.gq, 6) AS norm_q
+    FROM ranked rk
+    JOIN gtab g
+      ON g.gr = CASE WHEN rk.ns = 1 THEN (g.n + 1) // 2
+                     ELSE CAST(round(CAST((rk.r - 1) * (g.n - 1) AS DOUBLE)
+                                     / CAST(rk.ns - 1 AS DOUBLE)) AS BIGINT) + 1
+                END
+    ORDER BY rk.doc_id LIMIT 40
+    """,
+)
+def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: map each document's
+    WITHIN-SOURCE quality rank onto the corpus-global quality value at the
+    same quantile — the batch-effect correction that makes quality
+    thresholds comparable across crawls with different score
+    distributions (genomics' quantile normalization applied to curation).
+    Rank index arithmetic is exact integers with ONE rounded division;
+    the global quantile table joins on the integer rank. First 40 docs by
+    id (deterministic projection of the full mapping)."""
+    from unified_firmographic_data_pipeline_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.round(quality_score("text"), 6).alias("q")
+    )
+    ranked = scored.select(
+        "doc_id", "source", "q",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("q", "doc_id"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    glob = scored.select(
+        F.col("q").alias("gq"),
+        F.row_number().over(Window.orderBy("q", "doc_id")).alias("gr"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    idx = F.when(
+        F.col("ns") == 1, F.expr("(n + 1) DIV 2")
+    ).otherwise(
+        F.round(
+            ((F.col("r") - 1) * (F.col("n") - 1)).cast("double")
+            / (F.col("ns") - 1).cast("double")
+        ).cast("long")
+        + 1
+    )
+    j = ranked.crossJoin(F.broadcast(glob.select("n").limit(1))).withColumn(
+        "__idx", idx
+    )
+    out = j.join(F.broadcast(glob.select("gq", "gr")), F.col("__idx") == F.col("gr"))
+    return (
+        out.select(
+            "doc_id", "source",
+            F.round("q", 6).alias("raw_q"),
+            F.round("gq", 6).alias("norm_q"),
+        )
+        .orderBy("doc_id")
+        .limit(40)
+    )
+
+
+@q(
+    "sorted_neighborhood_pairs",
+    """
+    WITH names AS (SELECT DISTINCT c_name AS nm FROM customer),
+    srt AS (
+        SELECT nm,
+               lag(nm, 1) OVER (ORDER BY nm) AS p1,
+               lag(nm, 2) OVER (ORDER BY nm) AS p2,
+               lag(nm, 3) OVER (ORDER BY nm) AS p3
+        FROM names)
+    SELECT 1 AS w, CAST(count_if(p1 IS NOT NULL AND levenshtein(nm, p1) <= 2)
+               AS BIGINT) AS n_pairs FROM srt
+    UNION ALL
+    SELECT 2, CAST(count_if(p2 IS NOT NULL AND levenshtein(nm, p2) <= 2)
+               AS BIGINT) FROM srt
+    UNION ALL
+    SELECT 3, CAST(count_if(p3 IS NOT NULL AND levenshtein(nm, p3) <= 2)
+               AS BIGINT) FROM srt
+    ORDER BY w
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution pass (Hernandez & Stolfo
+    1995): sort the NAME DICTIONARY (distinct names — dictionary-sized,
+    the standard SN trick) and compare each name to its w=1..3 sort
+    neighbors under an edit-distance gate — the linear-comparison
+    alternative to blocked matching (fuzzy_name_match_blocked), catching
+    near-misses that share a sort prefix. The lag windows ride ONE sort
+    of the bounded dictionary; at petabyte scale the same pass is a
+    range-partitioned sort with per-boundary overlap."""
+    c = _t(spark, sf_dir, "customer")
+    names = c.select(F.col("c_name").alias("nm")).distinct()
+    w = Window.orderBy("nm")
+    srt = names.select(
+        "nm",
+        F.lag("nm", 1).over(w).alias("p1"),
+        F.lag("nm", 2).over(w).alias("p2"),
+        F.lag("nm", 3).over(w).alias("p3"),
+    )
+    rows = []
+    aggs = srt.agg(
+        *[
+            F.count_if(
+                F.col(f"p{k}").isNotNull() & (F.levenshtein("nm", F.col(f"p{k}")) <= 2)
+            )
+            .cast("long")
+            .alias(f"n{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    melted = aggs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("w"), F.col(f"n{k}").alias("n_pairs"))
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.w").cast("int").alias("w"), "e.n_pairs")
+    return melted.orderBy("w")
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
