@@ -213,6 +213,8 @@ HEADLINE = [
     "prefix_dup_groups",
     "quantile_normalize_quality",
     "sorted_neighborhood_pairs",
+    # round 3 batch 35: Spark 4 VariantType tier
+    "variant_type_get_stats",
 ]
 
 

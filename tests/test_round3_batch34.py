@@ -168,3 +168,26 @@ def test_sorted_neighborhood_matches_python(spark, sf_small):
             1 for i in range(w, len(names)) if lev(names[i], names[i - w]) <= 2
         )
         assert got[w] == expect, w
+
+
+def test_variant_type_roundtrip_and_schema_inference(spark, sf_small):
+    """Spark 4 VariantType semantics beyond the oracle-checked stats:
+    schema_of_variant_agg merges per-row shapes, and variant columns
+    survive a parquet round-trip (the open Variant binary encoding)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_small}/events.parquet").limit(100)
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    merged = v.agg(F.schema_of_variant_agg("v").alias("s")).collect()[0]["s"]
+    assert "k" in merged and "BIGINT" in merged.upper()
+    with tempfile.TemporaryDirectory() as d:
+        v.write.mode("overwrite").parquet(d)
+        back = spark.read.parquet(d)
+        assert back.schema["v"].dataType.typeName() == "variant"
+        a = {r["event_id"]: r["k"] for r in v.select(
+            "event_id", F.variant_get("v", "$.k", "int").alias("k")).collect()}
+        b = {r["event_id"]: r["k"] for r in back.select(
+            "event_id", F.variant_get("v", "$.k", "int").alias("k")).collect()}
+        assert a == b

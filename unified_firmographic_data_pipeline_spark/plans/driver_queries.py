@@ -9790,6 +9790,56 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 35 (round 3): Spark 4 VariantType surface
+# --------------------------------------------------------------------------
+
+
+@q(
+    "variant_type_get_stats",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+               json_extract(props, '$.absent') AS missing
+        FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(MIN(k) AS INTEGER) AS k_min,
+           CAST(MAX(k) AS INTEGER) AS k_max,
+           CAST(count_if(missing IS NULL) AS BIGINT) AS n_absent_path
+    FROM v GROUP BY event_type
+    """,
+)
+def variant_type_get_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType end-to-end: ``parse_json`` turns the raw props
+    JSON into a real VARIANT column (the open-format binary encoding —
+    schema-on-read WITHOUT a fixed struct, the reference's Snowflake
+    VARIANT made native, `stg_wiki_sp500.sql:25-33` semantics), then
+    ``variant_get`` path extraction with typed casts feeds ordinary
+    integer aggregation; a missing path yields NULL (the `:field`
+    null-on-absent contract). The DuckDB oracle replays the paths with
+    json_extract. The from_json/get_json_object tiers remain as
+    variant_json_extract / json_extract_props — this pins the third,
+    Spark-4-native tier."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.parse_json("props").alias("__v"),
+    ).select(
+        "event_type",
+        F.variant_get("__v", "$.k", "int").alias("k"),
+        F.variant_get("__v", "$.absent", "string").alias("missing"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("int").alias("k_min"),
+        F.max("k").cast("int").alias("k_max"),
+        F.count_if(F.col("missing").isNull()).cast("long").alias("n_absent_path"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
