@@ -215,6 +215,13 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     # round 3 batch 35: Spark 4 VariantType tier
     "variant_type_get_stats",
+    # round 3 batch 36: corpus-distribution comparison + regularity
+    "js_divergence_sources",
+    "hill_diversity_sources",
+    "source_similarity_matrix",
+    "regular_customers_topk",
+    "pythagorean_means_by_type",
+    "customer_trend_buckets",
 ]
 
 

@@ -81,6 +81,8 @@ BNLJ_ALLOWED = {
     "mann_kendall_trend_daily",
     # 1-row corpus-size broadcast into the rank-index expression
     "quantile_normalize_quality",
+    # |sources|^2-bounded source-pair axis broadcast onto the vocabulary
+    "js_divergence_sources",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -9840,6 +9840,418 @@ def variant_type_get_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 36 (round 3): corpus-distribution comparisons (JS
+# divergence, Hill diversity, source centroid cosine) and per-entity
+# regularity statistics
+# --------------------------------------------------------------------------
+
+
+@q(
+    "js_divergence_sources",
+    rf"""
+    WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY source, tok),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+               ta.n AS na, tb.n AS nb, v.tok
+        FROM (SELECT DISTINCT tok FROM cnt) v
+        CROSS JOIN (SELECT source FROM tot) a
+        JOIN (SELECT source FROM tot) b ON a.source < b.source
+        LEFT JOIN cnt ca ON ca.source = a.source AND ca.tok = v.tok
+        LEFT JOIN cnt cb ON cb.source = b.source AND cb.tok = v.tok
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+        WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0),
+    terms AS (
+        SELECT src_a, src_b,
+               CAST(round(1e9 * (
+                   CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                        * round(ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                   / (0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                      + 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 6)
+                        ELSE 0.0 END
+                   + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                        * round(ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                                   / (0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                                      + 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))), 6)
+                        ELSE 0.0 END)) AS BIGINT) AS t_nano
+        FROM pairs)
+    SELECT src_a, src_b,
+           round(CAST(SUM(t_nano) AS DOUBLE) / 1e9, 6) AS js_divergence
+    FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of source unigram
+    distributions — the symmetric, bounded [0, ln 2] corpus-drift measure
+    behind 'did this crawl change?' monitoring and domain-mixture design.
+    The token axis is vocabulary-bounded; the source pairing is
+    |sources|^2-bounded; each pointwise term micro-rounds its ln (the
+    entropy/PMI precedent) and nano-rounds the product so per-pair sums
+    are order-independent BIGINTs. Zero-count sides contribute 0 (the
+    JS convention via its KL halves)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens("text")).alias("tok"))
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    vocab = cnt.select("tok").distinct()
+    srcs = tot.select("source")
+    a = srcs.select(F.col("source").alias("src_a"))
+    b = srcs.select(F.col("source").alias("src_b"))
+    pairs = (
+        vocab.crossJoin(F.broadcast(a.join(b, F.col("src_a") < F.col("src_b"))))
+        .join(
+            cnt.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")),
+            ["src_a", "tok"], "left",
+        )
+        .join(
+            cnt.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")),
+            ["src_b", "tok"], "left",
+        )
+        .join(F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))), "src_a")
+        .join(F.broadcast(tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+            "na", "nb",
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    mix = F.lit(0.5) * pa + F.lit(0.5) * pb
+    term = (
+        F.when(F.col("ca") > 0, F.lit(0.5) * pa * F.round(F.log(pa / mix), 6)).otherwise(F.lit(0.0))
+        + F.when(F.col("cb") > 0, F.lit(0.5) * pb * F.round(F.log(pb / mix), 6)).otherwise(F.lit(0.0))
+    )
+    terms = pairs.select(
+        "src_a", "src_b", F.round(F.lit(1e9) * term).cast("long").alias("t_nano")
+    )
+    return (
+        terms.groupBy("src_a", "src_b")
+        .agg(F.round(F.sum("t_nano").cast("double") / F.lit(1e9), 6).alias("js_divergence"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+@q(
+    "hill_diversity_sources",
+    rf"""
+    WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY source, tok),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS richness,
+                   CAST(SUM(c * c) AS BIGINT) AS sum_c2
+            FROM cnt GROUP BY source),
+    ent AS (
+        SELECT cnt.source,
+               CAST(SUM(CAST(round(1e9 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)) AS BIGINT))
+                   AS BIGINT) AS negent_nano
+        FROM cnt JOIN tot ON tot.source = cnt.source
+        GROUP BY cnt.source)
+    SELECT t.source, t.richness AS hill_q0,
+           round(exp(-CAST(e.negent_nano AS DOUBLE) / 1e9), 6) AS hill_q1,
+           round(CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                 / CAST(t.sum_c2 AS DOUBLE), 6) AS hill_q2
+    FROM tot t JOIN ent e ON e.source = t.source
+    ORDER BY t.source
+    """,
+)
+def hill_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill diversity numbers per source — the unified diversity family:
+    q=0 richness (distinct tokens), q=1 exp(Shannon entropy) ('effective
+    vocabulary'), q=2 inverse Simpson (1/sum p^2, dominance-weighted) —
+    the 'how diverse is this domain's text really' profile ecology lends
+    to corpus design. Entropy terms micro-round the ln then nano-round
+    the product into BIGINTs (order-independent); q2 is exact integers
+    with one division; one vocabulary-sized aggregate feeds all three."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens("text")).alias("tok"))
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("richness"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent = (
+        cnt.join(F.broadcast(tot.select("source", "n")), "source")
+        .select(
+            "source",
+            F.round(F.lit(1e9) * p * F.round(F.log(p), 6)).cast("long").alias("t_nano"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t_nano").cast("long").alias("negent_nano"))
+    )
+    return (
+        tot.join(ent, "source")
+        .select(
+            "source",
+            F.col("richness").alias("hill_q0"),
+            F.round(F.exp(-F.col("negent_nano").cast("double") / F.lit(1e9)), 6).alias("hill_q1"),
+            F.round(
+                F.col("n").cast("double") * F.col("n").cast("double")
+                / F.col("sum_c2").cast("double"),
+                6,
+            ).alias("hill_q2"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "source_similarity_matrix",
+    rf"""
+    WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY source, tok),
+    norms AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cnt GROUP BY source),
+    dots AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT d.src_a, d.src_b,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+               AS cosine
+    FROM dots d
+    JOIN norms na ON na.source = d.src_a
+    JOIN norms nb ON nb.source = d.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between source token-frequency centroids
+    — 'which domains write alike', the coarse counterpart of document-level
+    embedding similarity, computed directly on sparse term vectors. The
+    inverted-index self-join touches only tokens the two sources SHARE
+    (never a dense vocab x vocab product); dot products and norms are
+    exact BIGINTs; one division + sqrt pair per source pair."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens("text")).alias("tok"))
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    norms = cnt.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a = cnt.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("ca"))
+    b = cnt.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    return (
+        dots.join(F.broadcast(norms.select(F.col("source").alias("src_a"), F.col("n2").alias("na"))), "src_a")
+        .join(F.broadcast(norms.select(F.col("source").alias("src_b"), F.col("n2").alias("nb"))), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@q(
+    "regular_customers_topk",
+    """
+    WITH o AS (SELECT DISTINCT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+    gaps AS (
+        SELECT ck,
+               CAST(date_diff('day', lag(d) OVER (PARTITION BY ck ORDER BY d), d)
+                    AS BIGINT) AS g
+        FROM o),
+    m AS (
+        SELECT ck, CAST(COUNT(g) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS s, CAST(SUM(g * g) AS BIGINT) AS ss
+        FROM gaps WHERE g IS NOT NULL GROUP BY ck)
+    SELECT ck AS custkey, n AS n_gaps,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_days,
+           round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv
+    FROM m WHERE n >= 5
+    ORDER BY cv ASC, custkey LIMIT 20
+    """,
+)
+def regular_customers_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-regular repeat customers: the 20 lowest coefficients of
+    variation (sd/mean) of inter-order gaps among customers with >= 5
+    gaps — the subscription-like-behavior detector (CV ~ 0 is clockwork,
+    CV ~ 1 is Poisson, the per-customer sibling of the corpus-level
+    burstiness query). One lag window + one aggregate on the customer
+    shuffle; exact BIGINT moments, identical IEEE tail."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("ck").orderBy("d")
+    gaps = o.select(
+        "ck", F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("g")
+    ).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("ck").agg(
+        F.count("g").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("ss"),
+    ).filter(F.col("n") >= 5)
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / nd)
+        / (nd - F.lit(1.0))
+    )
+    return (
+        m.select(
+            F.col("ck").alias("custkey"),
+            F.col("n").alias("n_gaps"),
+            F.round(mean, 6).alias("mean_gap_days"),
+            F.round(sd / mean, 6).alias("cv"),
+        )
+        .orderBy(F.col("cv").asc(), "custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "pythagorean_means_by_type",
+    """
+    WITH b AS (SELECT event_type, CAST(round(value * 1e3) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL AND value > 0),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / 1e3) * 1e6) AS BIGINT))
+                    AS BIGINT) AS sln_micro,
+               CAST(SUM(CAST(round(1e12 / CAST(v AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                   AS sinv_pico
+        FROM b GROUP BY event_type)
+    SELECT event_type, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e3, 6) AS mean_arith,
+           round(exp(CAST(sln_micro AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)), 6)
+               AS mean_geom,
+           round(CAST(n AS DOUBLE) / (CAST(sinv_pico AS DOUBLE) / 1e9), 6)
+               AS mean_harm
+    FROM m ORDER BY event_type
+    """,
+)
+def pythagorean_means_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means of event value per type: arithmetic
+    (exact milli-int sum), geometric (exp of the micro-rounded-ln BIGINT
+    sum — the multiplicative average for ratio-like metrics), harmonic
+    (n over the pico-rounded reciprocal sum — the rate average). AM >= GM
+    >= HM by construction; each mean is one identical IEEE tail over
+    order-independent integer sums."""
+    e = _t(spark, sf_dir, "events")
+    b = e.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "event_type", F.round(F.col("value") * 1e3).cast("long").alias("v")
+    )
+    m = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.round(F.log(F.col("v").cast("double") / F.lit(1e3)) * 1e6).cast("long"))
+        .cast("long")
+        .alias("sln_micro"),
+        F.sum(F.round(F.lit(1e12) / F.col("v").cast("double")).cast("long"))
+        .cast("long")
+        .alias("sinv_pico"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "event_type", "n",
+        F.round(F.col("s").cast("double") / nd / F.lit(1e3), 6).alias("mean_arith"),
+        F.round(F.exp(F.col("sln_micro").cast("double") / F.lit(1e6) / nd), 6).alias("mean_geom"),
+        F.round(nd / (F.col("sinv_pico").cast("double") / F.lit(1e9)), 6).alias("mean_harm"),
+    ).orderBy("event_type")
+
+
+@q(
+    "customer_trend_buckets",
+    """
+    WITH seq AS (
+        SELECT o_custkey AS ck,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS t,
+               CAST(round(o_totalprice) AS BIGINT) AS y
+        FROM orders),
+    m AS (
+        SELECT ck, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(t * t) AS BIGINT) AS sxx, CAST(SUM(t * y) AS BIGINT) AS sxy
+        FROM seq GROUP BY ck HAVING COUNT(*) >= 5),
+    sl AS (
+        SELECT ck,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS slope
+        FROM m)
+    SELECT CASE WHEN slope < -1000 THEN 'falling_fast'
+                WHEN slope < -100 THEN 'falling'
+                WHEN slope <= 100 THEN 'flat'
+                WHEN slope <= 1000 THEN 'rising'
+                ELSE 'rising_fast' END AS trend,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM sl GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_trend_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend trajectory: OLS slope of order value over the
+    customer's order SEQUENCE (>= 5 orders), bucketed into five trend
+    bands — the expand/contract account segmentation. One window + one
+    aggregate per customer on a single shuffle; millions of tiny
+    regressions as closed-form integer-moment arithmetic (the
+    regr_slope precedent turned per-entity), then a 5-row rollup."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.row_number().over(w).cast("long").alias("t"),
+        F.round("o_totalprice").cast("long").alias("y"),
+    )
+    m = (
+        seq.groupBy("ck")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("t").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    ) / (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    )
+    trend = (
+        F.when(slope < -1000, "falling_fast")
+        .when(slope < -100, "falling")
+        .when(slope <= 100, "flat")
+        .when(slope <= 1000, "rising")
+        .otherwise("rising_fast")
+    )
+    return (
+        m.select(trend.alias("trend"))
+        .groupBy("trend")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("trend")
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
