@@ -222,6 +222,11 @@ HEADLINE = [
     "regular_customers_topk",
     "pythagorean_means_by_type",
     "customer_trend_buckets",
+    # round 3 batch 37: evaluation metrics
+    "auc_quality_vs_lang",
+    "precision_recall_at_k",
+    "ndcg_at_10_quality",
+    "confusion_matrix_at_threshold",
 ]
 
 

@@ -83,6 +83,10 @@ BNLJ_ALLOWED = {
     "quantile_normalize_quality",
     # |sources|^2-bounded source-pair axis broadcast onto the vocabulary
     "js_divergence_sources",
+    # 1-row n_pos / first-hit-rank aggregates + fixed 3-row k-axis
+    "precision_recall_at_k",
+    # 1-row DCG x 1-row ideal-DCG -> one metric row
+    "ndcg_at_10_quality",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

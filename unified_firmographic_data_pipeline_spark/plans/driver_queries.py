@@ -10252,6 +10252,276 @@ def customer_trend_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 37 (round 3): model/retrieval evaluation metrics —
+# AUC-ROC via rank statistics, precision/recall@k + MRR, nDCG,
+# threshold confusion matrix
+# --------------------------------------------------------------------------
+
+#: The fixed logistic quality score (doc_logistic_quality's expression),
+#: shared by the evaluation-metric queries; label = (lang = 'en').
+_LOGIT_SQL = f"""
+      SELECT doc_id, (lang = 'en') AS label,
+             round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+                 CAST(-1.5 AS DOUBLE)
+                 + CAST(3.0 AS DOUBLE) * coalesce(CASE WHEN len({_TOKENS_SQL}) = 0 THEN NULL
+                      ELSE CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE)
+                           / CAST(len({_TOKENS_SQL}) AS DOUBLE) END, 0.0)
+                 + CAST(-2.0 AS DOUBLE) * coalesce(CASE WHEN length(text) = 0 THEN NULL
+                      ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                           / CAST(length(text) AS DOUBLE) END, 1.0)
+                 + CAST(1.0 AS DOUBLE)
+                   * (CAST(LEAST(length(text), 2000) AS DOUBLE) / CAST(2000.0 AS DOUBLE))))), 6) AS score
+      FROM documents
+"""
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label, score) under the fixed logistic quality model."""
+    from unified_firmographic_data_pipeline_spark.functions.scoring import logistic_score
+    from unified_firmographic_data_pipeline_spark.functions.text import (
+        punct_ratio as _pr,
+        stopword_ratio as _sr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stop_r = F.coalesce(_sr("text", LANG_STOPWORDS["en"]), F.lit(0.0))
+    punct_r = F.coalesce(_pr("text"), F.lit(1.0))
+    len_norm = F.least(F.length("text"), F.lit(2000)).cast("double") / F.lit(2000.0)
+    score = F.round(
+        logistic_score(
+            [(stop_r, 3.0), (punct_r, -2.0), (len_norm, 1.0)], intercept=-1.5
+        ),
+        6,
+    )
+    return d.select(
+        "doc_id", (F.col("lang") == "en").alias("label"), score.alias("score")
+    )
+
+
+@q(
+    "auc_quality_vs_lang",
+    f"""
+    WITH s AS ({_LOGIT_SQL}),
+    g AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(count_if(label) AS BIGINT) AS cnt1
+        FROM s GROUP BY score),
+    r AS (
+        SELECT cnt, cnt1,
+               CAST(SUM(cnt) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                    AS BIGINT) AS c_before
+        FROM g),
+    m AS (
+        SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+               CAST(SUM(cnt) - SUM(cnt1) AS BIGINT) AS n0,
+               SUM(CAST(cnt1 AS DOUBLE) * (CAST(c_before AS DOUBLE)
+                   + (CAST(cnt AS DOUBLE) + 1.0) / 2.0)) AS r1
+        FROM r)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round((r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 9) AS auc_roc
+    FROM m
+    """,
+)
+def auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the logistic quality score against the lang='en'
+    pseudo-label, computed EXACTLY via the rank-sum identity
+    AUC = U1/(n1*n0) — the probability a random positive outscores a
+    random negative, tie-averaged — no curve discretization, no
+    trapezoids. Reuses the Mann-Whitney integer-rank machinery: average
+    ranks from exact cumulative counts, one division at the end. One
+    score-key shuffle + one window pass."""
+    s = _scored_docs(spark, sf_dir)
+    g = s.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.count_if(F.col("label")).cast("long").alias("cnt1"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = g.select(
+        "cnt", "cnt1", (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias("c_before")
+    )
+    m = r.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        (F.sum("cnt") - F.sum("cnt1")).cast("long").alias("n0"),
+        F.sum(
+            F.col("cnt1").cast("double")
+            * (F.col("c_before").cast("double") + (F.col("cnt").cast("double") + F.lit(1.0)) / F.lit(2.0))
+        ).alias("r1"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    auc = (F.col("r1") - n1d * (n1d + F.lit(1.0)) / F.lit(2.0)) / (n1d * n0d)
+    return m.select(
+        F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
+        F.round(auc, 9).alias("auc_roc"),
+    )
+
+
+@q(
+    "precision_recall_at_k",
+    f"""
+    WITH s AS ({_LOGIT_SQL}),
+    ranked AS (
+        SELECT label, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM s),
+    tot AS (SELECT CAST(count_if(label) AS BIGINT) AS n_pos FROM ranked),
+    firstpos AS (SELECT CAST(MIN(rnk) AS BIGINT) AS fr FROM ranked WHERE label)
+    SELECT k,
+           CAST(SUM(CASE WHEN rnk <= k AND label THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp_at_k,
+           round(CAST(SUM(CASE WHEN rnk <= k AND label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(k AS DOUBLE), 9) AS precision_at_k,
+           round(CAST(SUM(CASE WHEN rnk <= k AND label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(n_pos AS DOUBLE), 9) AS recall_at_k,
+           round(1.0 / CAST(fr AS DOUBLE), 9) AS mrr
+    FROM ranked CROSS JOIN tot CROSS JOIN firstpos
+    CROSS JOIN UNNEST([10, 50, 100]) AS u(k)
+    GROUP BY k, n_pos, fr ORDER BY k
+    """,
+)
+def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation of the quality scorer: precision@k,
+    recall@k (k = 10/50/100) and the reciprocal rank of the first
+    relevant hit (MRR) against the lang='en' label — the metric row every
+    curation-classifier report leads with. One deterministic rank window
+    (score desc, doc_id), conditional integer sums per checkpoint, exact
+    single divisions (the vocab_coverage k-axis shape)."""
+    s = _scored_docs(spark, sf_dir)
+    ranked = s.select(
+        "label",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id"))).alias("rnk"),
+    )
+    tot = ranked.agg(F.count_if(F.col("label")).cast("long").alias("n_pos"))
+    firstpos = ranked.filter(F.col("label")).agg(F.min("rnk").cast("long").alias("fr"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(50), F.lit(100))).alias("k")
+    )
+    j = ranked.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(firstpos)).crossJoin(
+        F.broadcast(ks)
+    )
+    tp = F.sum(
+        F.when((F.col("rnk") <= F.col("k")) & F.col("label"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        j.groupBy("k", "n_pos", "fr")
+        .agg(tp.alias("tp_at_k"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "tp_at_k",
+            F.round(F.col("tp_at_k").cast("double") / F.col("k").cast("double"), 9).alias("precision_at_k"),
+            F.round(F.col("tp_at_k").cast("double") / F.col("n_pos").cast("double"), 9).alias("recall_at_k"),
+            F.round(F.lit(1.0) / F.col("fr").cast("double"), 9).alias("mrr"),
+        )
+        .orderBy("k")
+    )
+
+
+@q(
+    "ndcg_at_10_quality",
+    f"""
+    WITH s AS ({_LOGIT_SQL}),
+    ranked AS (
+        SELECT CASE WHEN label THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM s),
+    dcg AS (
+        SELECT CAST(SUM(CASE WHEN rnk <= 10 THEN
+                   CAST(round(1e9 * rel / (round(ln(rnk + 1.0), 6) / round(ln(2.0), 6)))
+                        AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_nano
+        FROM ranked),
+    ideal AS (
+        SELECT CAST(SUM(CASE WHEN irnk <= 10 THEN
+                   CAST(round(1e9 * rel / (round(ln(irnk + 1.0), 6) / round(ln(2.0), 6)))
+                        AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_nano
+        FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, rnk) AS irnk
+              FROM ranked))
+    SELECT round(CAST(dcg_nano AS DOUBLE) / 1e9, 6) AS dcg_at_10,
+           round(CAST(idcg_nano AS DOUBLE) / 1e9, 6) AS idcg_at_10,
+           round(CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE), 9) AS ndcg_at_10
+    FROM dcg CROSS JOIN ideal
+    """,
+)
+def ndcg_at_10_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the quality ranking against binary lang='en' relevance:
+    DCG with log2(rank+1) discounts over the top 10, normalized by the
+    ideal ordering's DCG — the position-sensitive ranking metric
+    (Jarvelin & Kekalainen 2002). Each discount micro-rounds its two lns
+    before the division (libm neutralized), per-position terms nano-round
+    to BIGINT so both sums are order-independent; one final division."""
+    s = _scored_docs(spark, sf_dir)
+    ranked = s.select(
+        F.when(F.col("label"), 1).otherwise(0).alias("rel"),
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id"))).alias("rnk"),
+    )
+    disc = F.round(F.log(F.col("rnk") + F.lit(1.0)), 6) / F.round(F.log(F.lit(2.0)), 6)
+    term = F.when(
+        F.col("rnk") <= 10,
+        F.round(F.lit(1e9) * F.col("rel") / disc).cast("long"),
+    ).otherwise(F.lit(0))
+    dcg = ranked.agg(F.sum(term).cast("long").alias("dcg_nano"))
+    ideal_ranked = ranked.select(
+        "rel",
+        F.row_number().over(Window.orderBy(F.col("rel").desc(), F.col("rnk"))).alias("irnk"),
+    )
+    idisc = F.round(F.log(F.col("irnk") + F.lit(1.0)), 6) / F.round(F.log(F.lit(2.0)), 6)
+    iterm = F.when(
+        F.col("irnk") <= 10,
+        F.round(F.lit(1e9) * F.col("rel") / idisc).cast("long"),
+    ).otherwise(F.lit(0))
+    ideal = ideal_ranked.agg(F.sum(iterm).cast("long").alias("idcg_nano"))
+    j = dcg.crossJoin(F.broadcast(ideal))
+    return j.select(
+        F.round(F.col("dcg_nano").cast("double") / F.lit(1e9), 6).alias("dcg_at_10"),
+        F.round(F.col("idcg_nano").cast("double") / F.lit(1e9), 6).alias("idcg_at_10"),
+        F.round(
+            F.col("dcg_nano").cast("double") / F.col("idcg_nano").cast("double"), 9
+        ).alias("ndcg_at_10"),
+    )
+
+
+@q(
+    "confusion_matrix_at_threshold",
+    f"""
+    WITH s AS ({_LOGIT_SQL}),
+    c AS (
+        SELECT CAST(count_if(score >= 0.5 AND label) AS BIGINT) AS tp,
+               CAST(count_if(score >= 0.5 AND NOT label) AS BIGINT) AS fp,
+               CAST(count_if(score < 0.5 AND NOT label) AS BIGINT) AS tn,
+               CAST(count_if(score < 0.5 AND label) AS BIGINT) AS fn
+        FROM s)
+    SELECT tp, fp, tn, fn,
+           round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + tn + fn AS DOUBLE), 9)
+               AS accuracy,
+           round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 9) AS f1
+    FROM c
+    """,
+)
+def confusion_matrix_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix of the quality classifier at 0.5
+    (TP/FP/TN/FN + accuracy + F1 as exact-integer ratios) — the
+    operating-point report that accompanies the threshold-free AUC. One
+    scan, four conditional counts, two divisions."""
+    s = _scored_docs(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    c = s.agg(
+        F.count_if(pred & F.col("label")).cast("long").alias("tp"),
+        F.count_if(pred & ~F.col("label")).cast("long").alias("fp"),
+        F.count_if(~pred & ~F.col("label")).cast("long").alias("tn"),
+        F.count_if(~pred & F.col("label")).cast("long").alias("fn"),
+    )
+    total = (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")).cast("double")
+    return c.select(
+        "tp", "fp", "tn", "fn",
+        F.round((F.col("tp") + F.col("tn")).cast("double") / total, 9).alias("accuracy"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+            9,
+        ).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
