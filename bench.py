@@ -227,6 +227,34 @@ HEADLINE = [
     "precision_recall_at_k",
     "ndcg_at_10_quality",
     "confusion_matrix_at_threshold",
+    # round 3 batch 38: link prediction, association, overdispersion,
+    # Simpson's audit, sampling temperature, substring-dup coverage
+    "adamic_adar_linkpred_topk",
+    "cramers_v_pairs",
+    "dispersion_index_by_type",
+    "simpsons_paradox_slopes",
+    "temperature_sampling_weights",
+    "repeated_ngram_span_coverage",
+    # round 3 batch 39: fuzzy matching (pandas-UDF tier), FS linkage
+    # weights, trigram novelty, CMS sketch, modularity, stratified sample
+    "jaro_winkler_blocked_pairs",
+    "fellegi_sunter_weights",
+    "trigram_novelty_by_source",
+    "cms_heavy_hitters",
+    "modularity_onehop_communities",
+    "stratified_decile_sample_counts",
+    # round 3 batch 40: STL decomposition, cohort LTV, Bloom filter,
+    # BPE merge, local bridges, nth-purchase latency
+    "stl_residual_outliers",
+    "cohort_cumulative_ltv",
+    "bloom_filter_fpr",
+    "bpe_first_merge",
+    "local_bridges_count",
+    "nth_purchase_latency",
+    # round 3 batch 41: kNN eval, Markov stationary, MapType surface
+    "knn_label_accuracy",
+    "markov_stationary_distribution",
+    "map_functions_token_stats",
 ]
 
 

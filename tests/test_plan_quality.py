@@ -87,6 +87,27 @@ BNLJ_ALLOWED = {
     "precision_recall_at_k",
     # 1-row DCG x 1-row ideal-DCG -> one metric row
     "ndcg_at_10_quality",
+    # 1-row (n, r, c) contingency totals broadcast onto the (r x c)-bounded
+    # cell universe — same scalar-subquery shape as q11
+    "cramers_v_pairs",
+    # 1-row pooled-slope aggregate broadcast onto <=4 rollup rows
+    "simpsons_paradox_slopes",
+    # 1-row corpus-total then 1-row weight-sum broadcast onto |langs| rows
+    "temperature_sampling_weights",
+    # 1-row edge-total broadcast into the per-community term, then 1-row
+    # node/edge counts cross-joined onto the single summary row
+    "modularity_onehop_communities",
+    # 1-row residual-moment aggregate broadcast onto the day series
+    "stl_residual_outliers",
+    # 1-row member-count aggregate cross-joined onto the summary row
+    "bloom_filter_fpr",
+    # 1-row edge-total cross-joined onto the single bridge-count row
+    "local_bridges_count",
+    # the ann_cosine_topk shape: bounded query sample broadcast against
+    # the corpus scan under a non-equi (qid != nid) condition
+    "knn_label_accuracy",
+    # 1-row state-count broadcast seeding the uniform start vector
+    "markov_stationary_distribution",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -94,6 +94,29 @@ SHOWCASE = {
         "exchange is the session-key groupBy; no per-event shuffle, no "
         "self-join, no UDF."
     ),
+    "adamic_adar_linkpred_topk": (
+        "Link prediction: hub-capped per-center neighbor lists aggregate "
+        "once, wedge pairs explode MAP-SIDE (posexplode + slice — no "
+        "adjacency self-join), per-wedge 1/ln(deg) micro-weights sum as "
+        "BIGINT, anti-join removes existing edges, TakeOrdered top-20."
+    ),
+    "repeated_ngram_span_coverage": (
+        "Exact-substring dedup: 8-gram md5 hashes build inside one "
+        "projection over the token array; only (doc, pos, hash) rows "
+        "shuffle; shared-gram filter is one uniform-key aggregate; span "
+        "merge is a per-doc window — linear end-to-end."
+    ),
+    "jaro_winkler_blocked_pairs": (
+        "The sanctioned Python tier: blocked equi-join first (candidates "
+        "bounded per block), THEN one ArrowEvalPython stage for the "
+        "pandas_udf scorer — Python cost scales with candidates, not "
+        "with the cross product."
+    ),
+    "cms_heavy_hitters": (
+        "Count-min sketch as relational algebra: 4 width-512 counter "
+        "aggregates (map-side combinable by construction) broadcast back "
+        "onto the token table; MIN-of-rows estimate; TakeOrdered top-20."
+    ),
 }
 
 

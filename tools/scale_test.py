@@ -82,6 +82,17 @@ HEAVY = [
     "eb_shrunk_return_rates",     # part aggregate + 1-row prior
     "max_token_runlength",        # islands per (doc, token)
     "markov2_transitions_topk",   # two lags on one session shuffle
+    # round-3 batches 34-39
+    "theilsen_slope_daily",       # bracketed exact median of day-pair slopes
+    "label_prop_seeded_scores",   # 2 sync rounds: edge join + mean agg
+    "sorted_neighborhood_pairs",  # rank window + bounded-offset self-join
+    "auc_quality_vs_lang",        # score-key agg + one cumulative window
+    "js_divergence_sources",      # per-source unigram LMs + pair axis
+    "adamic_adar_linkpred_topk",  # hub-capped map-side wedge generation
+    "repeated_ngram_span_coverage",  # gram-hash shuffle + islands window
+    "jaro_winkler_blocked_pairs", # blocked pairs + Arrow-batched pandas UDF
+    "cms_heavy_hitters",          # 4x width-512 counter tables + min
+    "modularity_onehop_communities",  # label agg + 2 label joins + degree join
 ]
 
 

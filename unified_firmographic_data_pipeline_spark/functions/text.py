@@ -246,3 +246,70 @@ def with_bpe_ish_token_count_arrow(
 
     out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
     return df.mapInArrow(_batches, out_schema)
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Pure-Python Jaro-Winkler (public algorithm: Winkler 1990) matching
+    DuckDB's `jaro_winkler_similarity` bit-for-bit (fuzz-verified over
+    random string pairs incl. the empty-string edge where similarity is 0,
+    prefix bonus capped at 4 chars, scaling 0.1, boost threshold 0.7)."""
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+    if j > 0.7:
+        pl = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pl += 1
+        j += pl * 0.1 * (1 - j)
+    return j
+
+
+def jaro_winkler(a: Column | str, b: Column | str) -> Column:
+    """Jaro-Winkler similarity of two string columns as an Arrow-batched
+    ``pandas_udf`` (Spark has no builtin; a row-at-a-time Python UDF is the
+    forbidden tier). Intended for BLOCKED candidate pairs only — the
+    caller bounds the pair count; the function itself is O(len^2) per
+    pair."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: pandas_udf would try to infer the UDF kind from them
+    # and reject the (Series, Series) -> Series spelling with a local import
+    def _jw(xs, ys):
+        return pd.Series(
+            [
+                _jaro_winkler_py(x, y) if x is not None and y is not None else None
+                for x, y in zip(xs, ys)
+            ],
+            dtype="float64",
+        )
+
+    return pandas_udf(_jw, "double")(_col(a), _col(b))

@@ -293,3 +293,88 @@ def tfidf_top_terms(docs: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_term"), F.round("score", 6).alias("score"))
     )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame, *, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array pass re-expressed as a bounded n-gram join, which is the
+    shuffle-friendly equivalent for a fixed match length).
+
+    Every token ``n``-gram is hashed (md5 of the joined window — a pure
+    expression, built map-side from the token array, no self-join); grams
+    appearing in >= ``min_docs`` DISTINCT documents mark their token span
+    ``[pos, pos+n-1]`` as duplicated; per-document spans then merge via
+    one gaps-and-islands window (overlapping OR adjacent spans coalesce)
+    into maximal duplicated regions.
+
+    Returns one row per document: ``total_tokens``, ``n_dup_grams``
+    (shared-gram occurrences), ``n_spans`` (merged regions),
+    ``dup_tokens`` (tokens covered by any region), and ``dup_pct``.
+    Documents with no shared gram survive with zeros.
+
+    Scale: only (doc_id, position, 16-byte gram hash) rows shuffle —
+    raw text never moves; the gram-frequency pass is one uniform-key
+    aggregation; span merging is a per-doc sort window. Linear in corpus
+    tokens end-to-end.
+    """
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.size("t").alias("total_tokens"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)), "
+                f"i -> md5(array_join(slice(t, i, {n}), ' ')))"
+            )
+        ).alias("gpos", "g"),
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup = grams.join(shared, "g").select(
+        "doc_id", F.col("gpos").alias("s"), (F.col("gpos") + n - 1).alias("e")
+    )
+    prevw = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runw = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = dup.withColumn(
+        "brk",
+        F.when(
+            F.max("e").over(prevw).isNull() | (F.col("s") > F.max("e").over(prevw) + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("brk").over(runw))
+    merged = marked.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me"), F.count("*").alias("n_grams")
+    )
+    per = merged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("n_grams").cast("long").alias("n_dup_grams"),
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("dup_tokens"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("total_tokens"))
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "total_tokens",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("dup_pct"),
+    )

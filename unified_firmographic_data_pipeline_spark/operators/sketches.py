@@ -121,3 +121,70 @@ def mg_covers_heavy_hitters(
     )
     sketch = set(r["item"] for r in misra_gries(df, item, k).collect())
     return exact <= sketch
+
+
+def cms_bucket(item, row: int, width: int):
+    """Count-min-sketch bucket for ``item`` in hash row ``row``: the first
+    13 hex digits of md5(row || ':' || item) taken mod ``width`` — fully
+    engine-independent (any system with md5 + hex parse reproduces it), the
+    same derivation family as ``sampling.hash_uniform``."""
+    item = F.col(item) if isinstance(item, str) else item
+    key = F.concat(F.lit(f"{row}:"), item.cast("string"))
+    return (F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long") % width).cast(
+        "int"
+    )
+
+
+def cms_estimates(
+    items: DataFrame,
+    item_col: str = "item",
+    weight_col: str = "w",
+    *,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates (Cormode & Muthukrishnan 2005)
+    rebuilt as pure relational algebra so the sketch itself is
+    cross-engine verifiable:
+
+    1. counters: for each of ``depth`` hash rows, sum weights per bucket —
+       ``depth`` shuffles of (row, bucket) partials with map-side combine,
+       each only ``width`` cells wide (mergeable by construction: the
+       counter table IS the map-side-combinable aggregate);
+    2. estimate(item) = MIN over rows of its bucket's counter (classic CMS
+       upper-bound estimate: always >= true count, over by collisions).
+
+    Returns (item, exact, est, overestimate) for every distinct item —
+    the exact column rides along to expose the sketch error, which is the
+    point of the operator's tests.
+    """
+    base = items.groupBy(item_col).agg(F.sum(weight_col).cast("long").alias("exact"))
+    with_buckets = base.select(
+        item_col,
+        "exact",
+        *[cms_bucket(item_col, r, width).alias(f"b{r}") for r in range(depth)],
+    )
+    ests = []
+    for r in range(depth):
+        counters = (
+            with_buckets.groupBy(F.col(f"b{r}").alias("bucket"))
+            .agg(F.sum("exact").alias("counter"))
+        )
+        ests.append(
+            with_buckets.select(item_col, "exact", F.col(f"b{r}").alias("bucket"))
+            .join(F.broadcast(counters), "bucket")
+            .select(item_col, "exact", F.col("counter").alias("est"))
+        )
+    u = ests[0]
+    for e in ests[1:]:
+        u = u.unionByName(e)
+    return (
+        u.groupBy(item_col, "exact")
+        .agg(F.min("est").cast("long").alias("est"))
+        .select(
+            item_col,
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
+        )
+    )

@@ -10522,6 +10522,1485 @@ def confusion_matrix_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 38 (round 3): graph link prediction (Adamic-Adar),
+# categorical association (Cramér's V), overdispersion screening,
+# Simpson's-paradox slope audit, temperature-scaled sampling weights,
+# exact-substring duplication coverage (Lee et al. bounded n-gram form)
+# --------------------------------------------------------------------------
+
+
+@q(
+    "adamic_adar_linkpred_topk",
+    """
+    WITH und AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT a AS node, b AS nbr FROM und
+            UNION ALL SELECT b AS node, a AS nbr FROM und),
+    ctr AS (
+        SELECT nbr, COUNT(*) AS deg FROM adj GROUP BY nbr
+        HAVING COUNT(*) BETWEEN 2 AND 64),
+    w AS (
+        SELECT x.node AS i, y.node AS j,
+               CAST(round(1e6 / ln(CAST(c.deg AS DOUBLE))) AS BIGINT) AS wt
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        JOIN ctr c ON c.nbr = x.nbr),
+    s AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(wt) AS BIGINT) AS aa_micro
+        FROM w GROUP BY i, j),
+    ne AS (
+        SELECT * FROM s
+        WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = s.i AND und.b = s.j))
+    SELECT i AS src, j AS dst, common_neighbors,
+           round(CAST(aa_micro AS DOUBLE) / 1e6, 6) AS adamic_adar
+    FROM ne ORDER BY aa_micro DESC, i, j LIMIT 20
+    """,
+)
+def adamic_adar_linkpred_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: top-20 NON-adjacent
+    part pairs by Adamic-Adar score (sum of 1/ln(deg) over common
+    neighbors, hub-capped at deg 64). The Spark plan generates wedges
+    MAP-SIDE from per-center sorted neighbor arrays after pruning hubs
+    BEFORE the quadratic fan-out (operators/linkpred.py — the list size is
+    the degree, so no degree join); the oracle keeps the textbook
+    adjacency self-join. Per-wedge weights micro-round to BIGINT so the
+    cross-engine sums are addition-order-free."""
+    from unified_firmographic_data_pipeline_spark.operators.linkpred import adamic_adar_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return adamic_adar_topk(_copurchase_edges(li), hub_cap=64, k=20)
+
+
+def _cramers_v_pair(df: DataFrame, x: str, y: str) -> DataFrame:
+    """One (var_x, var_y, n, dof, chi2, cramers_v) row for a categorical
+    pair: full contingency (distinct-x × distinct-y universe, so empty
+    cells contribute their expected count), per-cell terms micro-rounded
+    to BIGINT, one sqrt at the end. Both dims are low-cardinality by
+    contract, so the universe and marginals ride broadcast joins."""
+    cells = df.groupBy(x, y).agg(F.count("*").cast("long").alias("o"))
+    rows_t = cells.groupBy(x).agg(F.sum("o").alias("rt"))
+    cols_t = cells.groupBy(y).agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct(x).alias("r"),
+        F.countDistinct(y).alias("c"),
+    )
+    universe = rows_t.crossJoin(F.broadcast(cols_t))
+    full = (
+        universe.join(cells, [x, y], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    term = F.round(F.lit(1e6) * (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e).cast("long")
+    agg = full.groupBy("n", "r", "c").agg(F.sum(term).alias("chi2_micro"))
+    chi2 = F.col("chi2_micro").cast("double") / F.lit(1e6)
+    dof = F.least(F.col("r") - 1, F.col("c") - 1)
+    return agg.select(
+        F.lit(x).alias("var_x"),
+        F.lit(y).alias("var_y"),
+        F.col("n").cast("long").alias("n"),
+        dof.cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n").cast("double") * dof.cast("double"))), 6
+        ).alias("cramers_v"),
+    )
+
+
+_CRAMERS_SQL = """
+        WITH base AS (SELECT {xe} AS x, {ye} AS y FROM orders),
+        cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY x, y),
+        rt AS (SELECT x, SUM(o) AS rt FROM cells GROUP BY x),
+        ct AS (SELECT y, SUM(o) AS ct FROM cells GROUP BY y),
+        tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c
+                FROM cells),
+        fl AS (
+            SELECT rt.x, ct.y, rt.rt, ct.ct, coalesce(cells.o, 0) AS o, n, r, c
+            FROM rt CROSS JOIN ct
+            LEFT JOIN cells ON cells.x = rt.x AND cells.y = ct.y
+            CROSS JOIN tot),
+        terms AS (
+            SELECT n, r, c,
+                   CAST(round(1e6 * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                              / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS tm
+            FROM fl),
+        agg AS (SELECT n, r, c, SUM(tm) AS chi2_micro FROM terms GROUP BY n, r, c)
+        SELECT '{xn}' AS var_x, '{yn}' AS var_y,
+               CAST(n AS BIGINT) AS n,
+               CAST(LEAST(r - 1, c - 1) AS BIGINT) AS dof,
+               round(CAST(chi2_micro AS DOUBLE) / 1e6, 6) AS chi2,
+               round(sqrt((CAST(chi2_micro AS DOUBLE) / 1e6)
+                     / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+                   AS cramers_v
+        FROM agg
+"""
+
+
+@q(
+    "cramers_v_pairs",
+    " UNION ALL ".join(
+        f"SELECT * FROM ({_CRAMERS_SQL.format(xe=xe, ye=ye, xn=xn, yn=yn)})"
+        for xe, ye, xn, yn in [
+            ("o_orderstatus", "o_orderpriority", "status", "priority"),
+            (
+                "o_orderstatus",
+                "CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER)",
+                "status",
+                "weekday",
+            ),
+            (
+                "o_orderpriority",
+                "CAST(month(o_orderdate) AS INTEGER)",
+                "priority",
+                "month",
+            ),
+        ]
+    ),
+)
+def cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for three categorical pairs of
+    ``orders`` (status×priority, status×weekday, priority×month) — the
+    standardized chi-square effect size V = sqrt(chi2 / (n·min(r-1,c-1))).
+    The full contingency universe (including empty cells) is materialized
+    from the broadcast marginals so the statistic is the textbook one, not
+    the observed-cells-only approximation; per-cell terms micro-round to
+    BIGINT for order-free cross-engine sums."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.weekday("o_orderdate").cast("int").alias("weekday"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    )
+    parts = [
+        _cramers_v_pair(o, "status", "priority"),
+        _cramers_v_pair(o, "status", "weekday"),
+        _cramers_v_pair(o, "priority", "month"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
+    "dispersion_index_by_type",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM d GROUP BY event_type)
+    SELECT event_type, n_days, s1 AS n_events,
+           round(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+           round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                 / CAST((n_days - 1) * s1 AS DOUBLE), 6) AS dispersion_index,
+           (CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+            > 1.5 * CAST((n_days - 1) * s1 AS DOUBLE)) AS overdispersed
+    FROM m ORDER BY event_type
+    """,
+)
+def dispersion_index_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (sample variance / mean) of DAILY event counts
+    per event type — the standard Poisson-overdispersion screen (index ~1
+    = Poisson-like arrivals; >1.5 flagged as overdispersed/bursty). Active
+    days only (the zero-filled spine variant is `daily_spine_zero_filled`).
+    Var/mean folds to one division of exact BIGINT moments:
+    (n·S2 − S1²) / ((n−1)·S1) — bit-exact with no accumulation-order
+    sensitivity; even the flag compares the same integers."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    num = (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    den = ((F.col("n_days") - 1) * F.col("s1")).cast("double")
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        F.round(F.col("s1").cast("double") / F.col("n_days").cast("double"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(num / den, 6).alias("dispersion_index"),
+        (num > F.lit(1.5) * den).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+@q(
+    "simpsons_paradox_slopes",
+    """
+    WITH b AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+        FROM lineitem),
+    m AS (
+        SELECT coalesce(g, 'ALL') AS scope, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+               CAST(SUM(x * yc) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM b GROUP BY ROLLUP (g)),
+    sl AS (
+        SELECT scope, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0 AS slope
+        FROM m),
+    sl2 AS (SELECT scope, n, slope,
+                   (SELECT slope FROM sl WHERE scope = 'ALL') AS overall
+            FROM sl)
+    SELECT scope, n, round(slope, 6) AS slope,
+           round(overall, 6) AS overall_slope,
+           (sign(slope) <> sign(overall)) AS sign_disagrees
+    FROM sl2 ORDER BY scope
+    """,
+)
+def simpsons_paradox_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the OLS slope of extended price on
+    quantity computed overall AND within each return-flag stratum (one
+    ROLLUP pass), flagging strata whose slope sign contradicts the pooled
+    slope — the aggregation-reversal screen. Moments are exact BIGINTs
+    (price quantized to CENTS, not micros, so sum(x·y) stays inside int64
+    through sf1000); the slope is a fixed double expression over them, so
+    both engines produce identical bits. The SQL CTE references `sl`
+    twice — DuckDB materializes CTEs, Spark's twin uses a 1-row broadcast
+    of the ALL row."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yc"),
+    )
+    m = li.rollup("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).select(F.coalesce("g", F.lit("ALL")).alias("scope"), "n", "sx", "sy", "sxy", "sxx")
+    nd = F.col("n").cast("double")
+    slope = (
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / F.lit(100.0)
+    )
+    sl = m.select("scope", "n", slope.alias("slope"))
+    overall = sl.filter(F.col("scope") == "ALL").select(
+        F.col("slope").alias("overall")
+    )
+    return (
+        sl.crossJoin(F.broadcast(overall))
+        .select(
+            "scope",
+            "n",
+            F.round("slope", 6).alias("slope"),
+            F.round("overall", 6).alias("overall_slope"),
+            (F.signum("slope") != F.signum("overall")).alias("sign_disagrees"),
+        )
+        .orderBy("scope")
+    )
+
+
+@q(
+    "temperature_sampling_weights",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    t AS (SELECT SUM(n_docs) AS total FROM c),
+    p AS (SELECT lang, n_docs,
+                 CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS prob,
+                 CAST(round(1e6 * pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE),
+                                      0.3)) AS BIGINT) AS w_micro
+          FROM c, t),
+    s AS (SELECT SUM(w_micro) AS wsum FROM p)
+    SELECT lang, n_docs, round(prob, 6) AS prob,
+           round(CAST(w_micro AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS sample_weight,
+           round(CAST(w_micro AS DOUBLE) / CAST(wsum AS DOUBLE) / prob, 6) AS boost
+    FROM p, s ORDER BY lang
+    """,
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) multilingual sampling weights — the
+    standard low-resource up-weighting used for multilingual pretraining
+    mixes (w_l ∝ p_l^alpha, public mBERT/XLM-R recipe): per-language doc
+    share, re-scaled weight, and the resulting boost factor over natural
+    sampling. Per-language powers micro-round before the normalizing sum;
+    corpus scalars ride 1-row broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("total"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total").cast("double")).alias("prob"),
+        F.round(
+            F.lit(1e6)
+            * F.pow(
+                F.col("n_docs").cast("double") / F.col("total").cast("double"),
+                F.lit(0.3),
+            )
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    s = p.agg(F.sum("w_micro").alias("wsum"))
+    return (
+        p.crossJoin(F.broadcast(s))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("prob", 6).alias("prob"),
+            F.round(F.col("w_micro").cast("double") / F.col("wsum").cast("double"), 6).alias(
+                "sample_weight"
+            ),
+            F.round(
+                F.col("w_micro").cast("double") / F.col("wsum").cast("double") / F.col("prob"),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "repeated_ngram_span_coverage",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS gpos,
+               md5(array_to_string(t[u.i:u.i + 7], ' ')) AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+    shared AS (SELECT g FROM grams GROUP BY g
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, gpos AS s, gpos + 7 AS e
+            FROM grams JOIN shared USING (g)),
+    mk AS (SELECT doc_id, s, e,
+                  CASE WHEN max(e) OVER prevw IS NULL
+                            OR s > max(e) OVER prevw + 1
+                       THEN 1 ELSE 0 END AS brk
+           FROM dup
+           WINDOW prevw AS (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (SELECT doc_id, s, e,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM mk),
+    mg AS (SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me,
+                  CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM isl GROUP BY 1, 2),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(n_grams) AS BIGINT) AS n_dup_grams,
+                   CAST(SUM(me - ms + 1) AS BIGINT) AS dup_tokens
+            FROM mg GROUP BY doc_id)
+    SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS total_tokens,
+           coalesce(n_dup_grams, 0) AS n_dup_grams,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(dup_tokens, 0) AS dup_tokens,
+           round(CAST(coalesce(dup_tokens, 0) AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE), 6) AS dup_pct
+    FROM toks LEFT JOIN per USING (doc_id)
+    """,
+)
+def repeated_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage per document
+    (``operators.curation.repeated_ngram_spans``): token 8-grams hashed
+    map-side from the token array, grams shared by >=2 documents mark
+    their [pos, pos+7] span, spans merge via one gaps-and-islands window
+    into maximal duplicated regions — the bounded-length, shuffle-friendly
+    re-expression of the Lee-et-al. suffix-array dedup pass. Only
+    (doc_id, pos, hash) rows ever shuffle; raw text never moves."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import (
+        repeated_ngram_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(d, n=8, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 39 (round 3): Jaro-Winkler fuzzy matching (pandas-UDF
+# tier vs DuckDB's native implementation), Fellegi-Sunter record-linkage
+# weights, cross-source trigram novelty, count-min-sketch heavy hitters,
+# graph modularity, quality-stratified sampling
+# --------------------------------------------------------------------------
+
+
+@q(
+    "jaro_winkler_blocked_pairs",
+    """
+    WITH c AS (SELECT c_name, substr(c_name, 10, 9) AS sfx FROM customer),
+         s AS (SELECT s_name, substr(s_name, 10, 9) AS sfx FROM supplier),
+    pr AS (
+        SELECT c_name, s_name,
+               round(jaro_winkler_similarity(c.sfx, s.sfx), 6) AS jw
+        FROM c JOIN s ON substr(c.sfx, 1, 7) = substr(s.sfx, 1, 7))
+    SELECT c_name, s_name, jw FROM pr WHERE jw >= 0.95
+    """,
+)
+def jaro_winkler_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching with Jaro-Winkler similarity on BLOCKED
+    customer-supplier id-suffix pairs (the `fuzzy_name_match_blocked`
+    blocking: 7-char prefix equi-join keeps candidates at ~100 per block
+    — never all pairs; candidate count is linear in rows at constant
+    block size). Spark has no JW builtin, so this exercises the
+    sanctioned Python tier: an Arrow-batched ``pandas_udf``
+    (``functions.text.jaro_winkler``) whose pure-Python scorer is
+    fuzz-verified bit-identical to DuckDB's native
+    ``jaro_winkler_similarity`` — the oracle checks the UDF's arithmetic
+    itself, not just row plumbing."""
+    from unified_firmographic_data_pipeline_spark.functions.text import jaro_winkler
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_name", F.substring("c_name", 10, 9).alias("c_sfx")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_name", F.substring("s_name", 10, 9).alias("s_sfx")
+    )
+    pairs = c.join(
+        s, F.substring("c_sfx", 1, 7) == F.substring("s_sfx", 1, 7)
+    ).select(
+        "c_name",
+        "s_name",
+        F.round(jaro_winkler(F.col("c_sfx"), F.col("s_sfx")), 6).alias("jw"),
+    )
+    return pairs.filter(F.col("jw") >= 0.95)
+
+
+@q(
+    "fellegi_sunter_weights",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               c_custkey // 50 AS blk
+        FROM customer),
+    pr AS (
+        SELECT (x.c_nationkey = y.c_nationkey) AS is_match,
+               (x.c_mktsegment = y.c_mktsegment) AS seg_agree,
+               (x.bal_bucket = y.bal_bucket) AS bal_agree
+        FROM c x JOIN c y ON x.blk = y.blk AND x.c_custkey < y.c_custkey),
+    f AS (
+        SELECT 'mktsegment' AS field,
+               CAST(count_if(is_match) AS BIGINT) AS n_match,
+               CAST(count_if(NOT is_match) AS BIGINT) AS n_unmatch,
+               CAST(count_if(is_match AND seg_agree) AS BIGINT) AS agree_m,
+               CAST(count_if(NOT is_match AND seg_agree) AS BIGINT) AS agree_u
+        FROM pr
+        UNION ALL
+        SELECT 'bal_bucket',
+               CAST(count_if(is_match) AS BIGINT),
+               CAST(count_if(NOT is_match) AS BIGINT),
+               CAST(count_if(is_match AND bal_agree) AS BIGINT),
+               CAST(count_if(NOT is_match AND bal_agree) AS BIGINT)
+        FROM pr),
+    w AS (
+        SELECT field, n_match, n_unmatch,
+               (CAST(agree_m AS DOUBLE) + 0.5) / (CAST(n_match AS DOUBLE) + 1.0) AS m,
+               (CAST(agree_u AS DOUBLE) + 0.5) / (CAST(n_unmatch AS DOUBLE) + 1.0) AS u
+        FROM f)
+    SELECT field, n_match, n_unmatch, round(m, 6) AS m, round(u, 6) AS u,
+           round(log2(m / u), 6) AS w_agree,
+           round(log2((1 - m) / (1 - u)), 6) AS w_disagree
+    FROM w ORDER BY field
+    """,
+)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage match/unmatch weights (the public
+    1969 probabilistic-linkage model behind every modern ER scorer):
+    over bounded-size candidate blocks (custkey DIV 50 — block size is
+    constant, so pair fan-out stays linear in rows at any sf), label each
+    pair matched iff nations agree, then estimate per-field agreement
+    probabilities m = P(agree|M), u = P(agree|U) with Laplace smoothing
+    and emit the log2 agreement/disagreement weights. One block-key
+    self-join + one aggregation; every input to the logs is an exact
+    integer ratio."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.col("c_custkey") / 50).cast("long").alias("blk"),
+    )
+    x, y = c.alias("x"), c.alias("y")
+    pr = x.join(
+        y,
+        (F.col("x.blk") == F.col("y.blk"))
+        & (F.col("x.c_custkey") < F.col("y.c_custkey")),
+    ).select(
+        (F.col("x.c_nationkey") == F.col("y.c_nationkey")).alias("is_match"),
+        (F.col("x.c_mktsegment") == F.col("y.c_mktsegment")).alias("seg_agree"),
+        (F.col("x.bal_bucket") == F.col("y.bal_bucket")).alias("bal_agree"),
+    )
+    rows = []
+    for field, agree in [("mktsegment", "seg_agree"), ("bal_bucket", "bal_agree")]:
+        rows.append(
+            pr.agg(
+                F.count_if(F.col("is_match")).cast("long").alias("n_match"),
+                F.count_if(~F.col("is_match")).cast("long").alias("n_unmatch"),
+                F.count_if(F.col("is_match") & F.col(agree)).cast("long").alias("agree_m"),
+                F.count_if(~F.col("is_match") & F.col(agree)).cast("long").alias("agree_u"),
+            ).select(F.lit(field).alias("field"), "*")
+        )
+    f = rows[0].unionByName(rows[1])
+    m = (F.col("agree_m").cast("double") + 0.5) / (F.col("n_match").cast("double") + 1.0)
+    u = (F.col("agree_u").cast("double") + 0.5) / (F.col("n_unmatch").cast("double") + 1.0)
+    return f.select(
+        "field",
+        "n_match",
+        "n_unmatch",
+        F.round(m, 6).alias("m"),
+        F.round(u, 6).alias("u"),
+        F.round(F.log2(m / u), 6).alias("w_agree"),
+        F.round(F.log2((1 - m) / (1 - u)), 6).alias("w_disagree"),
+    ).orderBy("field")
+
+
+@q(
+    "trigram_novelty_by_source",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+    tri AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(t[u.i:u.i + 2], ' ')) AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+    srcs AS (SELECT g, COUNT(*) AS ns FROM tri GROUP BY g),
+    per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(count_if(ns = 1) AS BIGINT) AS n_exclusive
+        FROM tri JOIN srcs USING (g) GROUP BY source)
+    SELECT source, n_trigrams, n_exclusive,
+           round(CAST(n_exclusive AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6)
+               AS novelty
+    FROM per ORDER BY source
+    """,
+)
+def trigram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus novelty: the fraction of each source's DISTINCT
+    token trigrams that appear in NO other source — the inverse of the
+    inter-source contamination matrix (`dup_overlap_sources_matrix`),
+    reduced to a per-source independence score. Only 16-byte md5 trigram
+    keys shuffle (raw text never moves); since (source, g) is distinct,
+    sources-per-trigram is a plain COUNT — no distinct-aggregation
+    Expand."""
+    d = _t(spark, sf_dir, "documents")
+    tri = (
+        d.select("source", tokens("text").alias("t"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    " i -> md5(array_join(slice(t, i, 3), ' ')))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    srcs = tri.groupBy("g").agg(F.count("*").alias("ns"))
+    per = (
+        tri.join(srcs, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.count_if(F.col("ns") == 1).cast("long").alias("n_exclusive"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_trigrams",
+        "n_exclusive",
+        F.round(
+            F.col("n_exclusive").cast("double") / F.col("n_trigrams").cast("double"), 6
+        ).alias("novelty"),
+    ).orderBy("source")
+
+
+@q(
+    "cms_heavy_hitters",
+    f"""
+    WITH tk AS (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents),
+    ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact FROM tk GROUP BY tok),
+    rb AS (
+        SELECT tok, exact, t.r,
+               CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || tok), 1, 13))
+                    AS BIGINT) % 512 AS b
+        FROM ex, UNNEST(generate_series(0, 3)) AS t(r)),
+    ctr AS (SELECT r, b, SUM(exact) AS counter FROM rb GROUP BY r, b),
+    est AS (
+        SELECT tok, exact, CAST(MIN(counter) AS BIGINT) AS est
+        FROM rb JOIN ctr USING (r, b) GROUP BY tok, exact)
+    SELECT tok, exact, est, est - exact AS overestimate
+    FROM est ORDER BY est DESC, tok LIMIT 20
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream
+    (``operators.sketches.cms_estimates``, depth 4 × width 512, md5-derived
+    buckets so BOTH engines rebuild the identical sketch): top-20 tokens by
+    CMS estimate with the exact count and the collision overestimate
+    alongside — the mergeable-sketch path whose counter table (4×512
+    cells) stays map-side-combinable at any corpus size, vs the exact
+    `heavy_hitter_tokens` twin. The estimate >= exact invariant is pinned
+    by the batch tests."""
+    from unified_firmographic_data_pipeline_spark.operators.sketches import cms_estimates
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(F.explode(tokens("text")).alias("tok"), F.lit(1).alias("w"))
+    est = cms_estimates(tk, "tok", "w", depth=4, width=512)
+    return est.orderBy(F.col("est").desc(), "tok").limit(20)
+
+
+@q(
+    "modularity_onehop_communities",
+    """
+    WITH bsk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT a.pk AS a, b.pk AS b
+            FROM bsk a JOIN bsk b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sym AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    lab AS (SELECT node, LEAST(node, MIN(nbr)) AS lbl FROM sym GROUP BY node),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY node),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    within AS (
+        SELECT la.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS lc
+        FROM und JOIN lab la ON la.node = und.a
+        JOIN lab lb ON lb.node = und.b
+        WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+    dsum AS (
+        SELECT lab.lbl, CAST(SUM(deg.deg) AS BIGINT) AS dc
+        FROM lab JOIN deg USING (node) GROUP BY lab.lbl),
+    terms AS (
+        SELECT dsum.lbl,
+               CAST(round(1e9 * (CAST(coalesce(within.lc, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+                    - (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                      * (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))) AS BIGINT)
+                   AS q_nano
+        FROM dsum LEFT JOIN within USING (lbl) CROSS JOIN tot)
+    SELECT (SELECT COUNT(*) FROM lab) AS n_nodes,
+           (SELECT m FROM tot) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           round(CAST(SUM(q_nano) AS DOUBLE) / 1e9, 6) AS modularity
+    FROM terms
+    """,
+)
+def modularity_onehop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the one-hop min-label partition of the
+    co-purchase graph (label(v) = min(v, min neighbor) — the first
+    synchronized round of min-label propagation, a deterministic cheap
+    community seed): Q = Σ_c [L_c/m − (D_c/2m)²] with within-community
+    edge counts L_c and degree sums D_c as exact integers, per-community
+    terms nano-rounded to BIGINT for an order-free sum. Costs: one
+    adjacency aggregate for labels, two label joins, one degree join —
+    every shuffle on uniform node/label keys."""
+    edges = _edges2(spark, sf_dir)
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    lab = sym.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("lbl")
+    )
+    deg = sym.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    tot = und.agg(F.count("*").cast("long").alias("m"))
+    n_nodes = lab.agg(F.count("*").cast("long").alias("n_nodes"))
+    within = (
+        und.join(lab.withColumnRenamed("node", "a").withColumnRenamed("lbl", "la"), "a")
+        .join(lab.withColumnRenamed("node", "b").withColumnRenamed("lbl", "lb"), "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("lc"))
+    )
+    dsum = (
+        lab.join(deg, "node")
+        .groupBy("lbl")
+        .agg(F.sum("deg").cast("long").alias("dc"))
+    )
+    md = F.col("m").cast("double")
+    q_nano = F.round(
+        F.lit(1e9)
+        * (
+            F.coalesce(F.col("lc"), F.lit(0)).cast("double") / md
+            - (F.col("dc").cast("double") / (2.0 * md))
+            * (F.col("dc").cast("double") / (2.0 * md))
+        )
+    ).cast("long")
+    terms = (
+        dsum.join(within, "lbl", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(q_nano.alias("q_nano"))
+    )
+    return (
+        terms.agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.round(F.sum("q_nano").cast("double") / 1e9, 6).alias("modularity"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(tot.withColumnRenamed("m", "n_edges")))
+        .select("n_nodes", "n_edges", "n_communities", "modularity")
+    )
+
+
+@q(
+    "stratified_decile_sample_counts",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source, {_QUALITY_SQL} AS score FROM documents),
+    d AS (
+        SELECT doc_id, source, score,
+               ntile(10) OVER (PARTITION BY source ORDER BY score, doc_id)
+                   AS decile
+        FROM s),
+    k AS (
+        SELECT source, decile,
+               (CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                     AS BIGINT) / CAST(16 ** 13 AS DOUBLE)
+                < CAST(decile AS DOUBLE) / 10.0) AS kept
+        FROM d)
+    SELECT source, CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(kept) AS BIGINT) AS n_kept,
+           round(CAST(count_if(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS keep_rate,
+           round(CAST(decile AS DOUBLE) / 10.0, 6) AS target_rate
+    FROM k GROUP BY source, decile ORDER BY source, decile
+    """,
+)
+def stratified_decile_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus sampling: per-source quality deciles
+    (partitioned ntile — each source sorts independently, the RFM
+    parallelism pattern) with a deterministic hash-Bernoulli keep whose
+    rate RISES with quality (decile/10 — the quality-temperature mix every
+    pretraining data recipe applies). The md5-uniform keep decision
+    reproduces identically on both engines, so the oracle verifies the
+    sampler's randomness source itself. Per (source, decile): population,
+    kept count, realized vs target rate."""
+    from unified_firmographic_data_pipeline_spark.functions.text import quality_score
+    from unified_firmographic_data_pipeline_spark.operators.sampling import hash_uniform
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.round(quality_score("text"), 6).alias("score")
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    dd = d.withColumn("decile", F.ntile(10).over(w))
+    kept = dd.select(
+        "source",
+        "decile",
+        (
+            hash_uniform(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+            < F.col("decile").cast("double") / 10.0
+        ).alias("kept"),
+    )
+    return (
+        kept.groupBy("source", F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_if(F.col("kept")).cast("long").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "decile",
+            "n_docs",
+            "n_kept",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+                "keep_rate"
+            ),
+            F.round(F.col("decile").cast("double") / 10.0, 6).alias("target_rate"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 40 (round 3): STL-style seasonal decomposition with
+# residual outliers, cohort LTV curves, relational Bloom filter with
+# measured FPR, one-iteration BPE pair merge, local bridges, and
+# nth-purchase latency percentiles
+# --------------------------------------------------------------------------
+
+
+@q(
+    "stl_residual_outliers",
+    """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+    tr AS (
+        SELECT day, c,
+               CAST(isodow(day) - 1 AS INTEGER) AS dow,
+               CASE WHEN COUNT(*) OVER w7 = 7
+                    THEN CAST(SUM(c) OVER w7 AS DOUBLE) / 7.0 END AS trend
+        FROM d WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+        SELECT day, c, dow, trend,
+               CAST(round(1e6 * (CAST(c AS DOUBLE) - trend)) AS BIGINT) AS det_micro
+        FROM tr WHERE trend IS NOT NULL),
+    sea AS (
+        SELECT dow, CAST(round(CAST(SUM(det_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS sea_micro
+        FROM det GROUP BY dow),
+    res AS (
+        SELECT day, c, det.dow, trend, sea_micro,
+               det_micro - sea_micro AS res_micro
+        FROM det JOIN sea ON det.dow = sea.dow),
+    sd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(res_micro) AS BIGINT) AS s1,
+               CAST(SUM(res_micro * res_micro) AS BIGINT) AS s2
+        FROM res)
+    SELECT CAST(day AS VARCHAR) AS day, c AS n_events, dow,
+           round(trend, 6) AS trend,
+           round(CAST(sea_micro AS DOUBLE) / 1e6, 6) AS seasonal,
+           round(CAST(res_micro AS DOUBLE) / 1e6, 6) AS residual,
+           (CAST(res_micro AS DOUBLE) * CAST(res_micro AS DOUBLE)
+            > 4.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS is_outlier
+    FROM res, sd ORDER BY day
+    """,
+)
+def stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily event series —
+    trend (centered 7-day moving average, defined only where the full
+    window exists), weekday seasonal index (mean of the detrended series
+    per weekday), residual — flagging days whose residual exceeds 2
+    sample standard deviations (compared in SQUARED integer space so no
+    sqrt enters the cross-engine comparison). Detrended values
+    micro-round to BIGINT between stages, making every downstream moment
+    exact. One day-level aggregate, one ordered window, one 7-row
+    seasonal broadcast."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = d.select(
+        "day",
+        "c",
+        F.weekday("day").cast("int").alias("dow"),
+        F.when(
+            F.count("*").over(w7) == 7, F.sum("c").over(w7).cast("double") / 7.0
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    det = tr.withColumn(
+        "det_micro",
+        F.round(F.lit(1e6) * (F.col("c").cast("double") - F.col("trend"))).cast("long"),
+    )
+    sea = det.groupBy("dow").agg(
+        F.round(F.sum("det_micro").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("sea_micro")
+    )
+    res = det.join(F.broadcast(sea), "dow").withColumn(
+        "res_micro", F.col("det_micro") - F.col("sea_micro")
+    )
+    sd = res.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("res_micro").cast("long").alias("s1"),
+        F.sum(F.col("res_micro") * F.col("res_micro")).cast("long").alias("s2"),
+    )
+    rm = F.col("res_micro").cast("double")
+    var4 = (
+        F.lit(4.0)
+        * (
+            F.col("n").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    return (
+        res.crossJoin(F.broadcast(sd))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("c").alias("n_events"),
+            "dow",
+            F.round("trend", 6).alias("trend"),
+            F.round(F.col("sea_micro").cast("double") / 1e6, 6).alias("seasonal"),
+            F.round(rm / 1e6, 6).alias("residual"),
+            (rm * rm > var4).alias("is_outlier"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "cohort_cumulative_ltv",
+    """
+    WITH fo AS (
+        SELECT o_custkey,
+               MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+        FROM orders GROUP BY o_custkey),
+    sz AS (SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM fo GROUP BY cohort_m),
+    rev AS (
+        SELECT fo.cohort_m,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - fo.cohort_m
+                   AS age_m,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT cohort_m, age_m, n_orders,
+               CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_m
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM rev)
+    SELECT CAST(cohort_m AS BIGINT) AS cohort_m, CAST(age_m AS BIGINT) AS age_m,
+           cohort_size, n_orders,
+           round(CAST(cum_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
+           round(CAST(cum_cents AS DOUBLE) / 100.0
+                 / CAST(cohort_size AS DOUBLE), 6) AS ltv_per_customer
+    FROM cum JOIN sz USING (cohort_m)
+    WHERE age_m <= 12 ORDER BY cohort_m, age_m
+    """,
+)
+def cohort_cumulative_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month (integer year*12+month arithmetic — no interval semantics to
+    disagree on), per-cohort cumulative revenue by months-of-age and
+    LTV-per-customer, first 13 ages. Revenue sums in exact CENTS; the
+    cumulative is one ordered window per cohort. The first-order lookup
+    is a key-shuffle aggregate joined back — the same two-pass shape as
+    `first_touch_attribution`."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("om"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    fo = o.groupBy("o_custkey").agg(F.min("om").alias("cohort_m"))
+    sz = fo.groupBy("cohort_m").agg(F.count("*").cast("long").alias("cohort_size"))
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy("cohort_m", (F.col("om") - F.col("cohort_m")).alias("age_m"))
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    wc = Window.partitionBy("cohort_m").orderBy("age_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.withColumn("cum_cents", F.sum("rev_cents").over(wc).cast("long"))
+    return (
+        cum.join(sz, "cohort_m")
+        .filter(F.col("age_m") <= 12)
+        .select(
+            F.col("cohort_m").cast("long").alias("cohort_m"),
+            F.col("age_m").cast("long").alias("age_m"),
+            "cohort_size",
+            "n_orders",
+            F.round(F.col("cum_cents").cast("double") / 100.0, 2).alias("cum_revenue"),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / 100.0
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_m", "age_m")
+    )
+
+
+@q(
+    "bloom_filter_fpr",
+    """
+    WITH members AS (
+        SELECT c_custkey AS k FROM customer WHERE c_nationkey = 5),
+    bits AS (
+        SELECT DISTINCT t.r,
+               CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':'
+                                        || CAST(k AS VARCHAR)), 1, 13))
+                    AS BIGINT) % 4096 AS b
+        FROM members, UNNEST(generate_series(0, 2)) AS t(r)),
+    probes AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    ph AS (
+        SELECT probes.k, t.r,
+               CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':'
+                                        || CAST(probes.k AS VARCHAR)), 1, 13))
+                    AS BIGINT) % 4096 AS b
+        FROM probes, UNNEST(generate_series(0, 2)) AS t(r)),
+    hits AS (
+        SELECT ph.k, COUNT(bits.b) AS n_hit
+        FROM ph LEFT JOIN bits ON bits.r = ph.r AND bits.b = ph.b
+        GROUP BY ph.k),
+    lab AS (
+        SELECT hits.k, (n_hit = 3) AS bloom_pass,
+               (members.k IS NOT NULL) AS is_member
+        FROM hits LEFT JOIN members ON members.k = hits.k)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(count_if(bloom_pass) AS BIGINT) AS n_pass,
+           CAST(count_if(bloom_pass AND is_member) AS BIGINT) AS n_true_pos,
+           CAST(count_if(bloom_pass AND NOT is_member) AS BIGINT) AS n_false_pos,
+           CAST(count_if(NOT bloom_pass AND is_member) AS BIGINT) AS n_false_neg,
+           round(CAST(count_if(bloom_pass AND NOT is_member) AS DOUBLE)
+                 / CAST(count_if(NOT is_member) AS DOUBLE), 6) AS fpr
+    FROM lab
+    """,
+)
+def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter built as pure relational algebra (k=3 md5-derived
+    hash rows, m=4096 bits — the bit set is just a DISTINCT (row, bucket)
+    table, broadcastable at any member count that fits a real filter) and
+    probed by every ordering customer: true/false positive counts and the
+    measured false-positive rate, with the zero-false-negative guarantee
+    pinned by the batch test. The same engine-independent md5 bucket
+    derivation as the CMS sketch, so both engines build the identical
+    filter. This is the join-pruning primitive Spark's runtime row-level
+    filtering uses; here it is observable and verifiable."""
+    c = _t(spark, sf_dir, "customer")
+    members = c.filter(F.col("c_nationkey") == 5).select(F.col("c_custkey").alias("k"))
+    from unified_firmographic_data_pipeline_spark.operators.sketches import cms_bucket
+
+    def buckets(df):
+        rows = []
+        for r in range(3):
+            rows.append(
+                df.select(
+                    "k",
+                    F.lit(r).alias("r"),
+                    (cms_bucket(F.col("k"), r, 4096)).cast("long").alias("b"),
+                )
+            )
+        out = rows[0]
+        for x in rows[1:]:
+            out = out.unionByName(x)
+        return out
+
+    bits = buckets(members).select("r", "b").distinct()
+    probes = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    ph = buckets(probes)
+    hits = (
+        ph.join(F.broadcast(bits.withColumn("__hit", F.lit(1))), ["r", "b"], "left")
+        .groupBy("k")
+        .agg(F.count("__hit").alias("n_hit"))
+    )
+    lab = hits.join(
+        members.withColumn("__m", F.lit(1)), "k", "left"
+    ).select(
+        (F.col("n_hit") == 3).alias("bloom_pass"),
+        F.col("__m").isNotNull().alias("is_member"),
+    )
+    n_members = members.agg(F.count("*").cast("long").alias("n_members"))
+    return (
+        lab.agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.count_if(F.col("bloom_pass")).cast("long").alias("n_pass"),
+            F.count_if(F.col("bloom_pass") & F.col("is_member"))
+            .cast("long")
+            .alias("n_true_pos"),
+            F.count_if(F.col("bloom_pass") & ~F.col("is_member"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.count_if(~F.col("bloom_pass") & F.col("is_member"))
+            .cast("long")
+            .alias("n_false_neg"),
+            F.round(
+                F.count_if(F.col("bloom_pass") & ~F.col("is_member")).cast("double")
+                / F.count_if(~F.col("is_member")).cast("double"),
+                6,
+            ).alias("fpr"),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .select(
+            "n_members", "n_probes", "n_pass", "n_true_pos", "n_false_pos",
+            "n_false_neg", "fpr",
+        )
+    )
+
+
+@q(
+    "bpe_first_merge",
+    f"""
+    WITH tf AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+        GROUP BY tok),
+    pairs AS (
+        SELECT substr(tok, u.i, 2) AS pair, freq, tok
+        FROM tf, UNNEST(generate_series(1, length(tok) - 1)) AS u(i)),
+    agg AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_vocab_tokens
+        FROM pairs GROUP BY pair)
+    SELECT pair, pair_count, n_vocab_tokens
+    FROM agg ORDER BY pair_count DESC, pair LIMIT 5
+    """,
+)
+def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of byte-pair-encoding vocabulary induction
+    (Sennrich et al. 2016): corpus-frequency-weighted counts of adjacent
+    character pairs inside tokens, top-5 merge candidates. The pair scan
+    runs over the DISTINCT token vocabulary (freq rides along from one
+    token-count aggregate), so the character fan-out is vocabulary-sized,
+    not corpus-sized — the trick that makes repeated BPE iterations
+    feasible at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    pairs = tf.select(
+        "tok",
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(tok) - 1, 0)),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("pair_count"),
+        F.countDistinct("tok").cast("long").alias("n_vocab_tokens"),
+    )
+    return agg.orderBy(F.col("pair_count").desc(), "pair").limit(5).select(
+        "pair", "pair_count", "n_vocab_tokens"
+    )
+
+
+@q(
+    "local_bridges_count",
+    """
+    WITH bsk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT a.pk AS a, b.pk AS b
+            FROM bsk a JOIN bsk b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    wedge AS (
+        SELECT DISTINCT x.node AS i, y.node AS j
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node),
+    br AS (
+        SELECT und.a, und.b FROM und
+        WHERE NOT EXISTS (SELECT 1 FROM wedge
+                          WHERE wedge.i = und.a AND wedge.j = und.b))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_local_bridges,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM und), 6) AS bridge_pct
+    FROM br
+    """,
+)
+def local_bridges_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges of the co-purchase graph — edges whose endpoints
+    share NO other neighbor (span > 2, Granovetter's weak-tie structure;
+    every local bridge is an edge on no triangle). Wedge pairs generate
+    map-side from per-center sorted neighbor lists (the triangle-count
+    fan-out); bridges are one anti-join of the edge list against them.
+    Reported as count + share of edges."""
+    edges = _edges2(spark, sf_dir)
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    centers = sym.groupBy("nbr").agg(F.sort_array(F.collect_set("node")).alias("ns"))
+    left = centers.select("ns", F.posexplode("ns").alias("i", "a"))
+    wedge = left.select(
+        "a", F.explode(F.expr("slice(ns, i + 2, size(ns))")).alias("b")
+    ).distinct()
+    br = und.join(wedge, ["a", "b"], "left_anti")
+    tot = und.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        br.agg(F.count("*").cast("long").alias("n_local_bridges"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_edges",
+            "n_local_bridges",
+            F.round(
+                F.col("n_local_bridges").cast("double") / F.col("n_edges").cast("double"),
+                6,
+            ).alias("bridge_pct"),
+        )
+    )
+
+
+@q(
+    "nth_purchase_latency",
+    """
+    WITH p AS (
+        SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events WHERE event_type = 'purchase'),
+    gaps AS (
+        SELECT CAST(rn AS BIGINT) AS nth,
+               CAST(epoch_us(ts) - epoch_us(first_ts) AS BIGINT) AS lat_us
+        FROM p WHERE rn IN (2, 3))
+    SELECT nth, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(quantile_disc(lat_us, 0.5) AS BIGINT) AS median_us,
+           CAST(quantile_disc(lat_us, 0.9) AS BIGINT) AS p90_us,
+           round(CAST(quantile_disc(lat_us, 0.5) AS DOUBLE) / 3.6e9, 6)
+               AS median_hours
+    FROM gaps GROUP BY nth ORDER BY nth
+    """,
+)
+def nth_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from a user's FIRST purchase to their 2nd and 3rd (repeat-
+    purchase latency — the activation metric behind retention curves):
+    one keyed window pass (row_number + running min), exact microsecond
+    gaps, discrete percentiles (`percentile_disc` semantics match
+    DuckDB's `quantile_disc` exactly on BIGINT — no interpolation to
+    disagree on)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    p = e.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.min("ts").over(wall).alias("first_ts"),
+    ).filter(F.col("rn").isin(2, 3))
+    gaps = p.select(
+        F.col("rn").cast("long").alias("nth"),
+        (F.unix_micros("ts") - F.unix_micros("first_ts")).cast("long").alias("lat_us"),
+    )
+    return (
+        gaps.groupBy("nth")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_us)")
+            .cast("long")
+            .alias("median_us"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_us)")
+            .cast("long")
+            .alias("p90_us"),
+        )
+        .withColumn(
+            "median_hours",
+            F.round(F.col("median_us").cast("double") / 3.6e9, 6),
+        )
+        .orderBy("nth")
+    )
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 41 (round 3): kNN label-accuracy evaluation on the
+# embedding table, Markov-chain stationary distribution by unrolled
+# power iteration, and the MapType higher-order-function surface
+# --------------------------------------------------------------------------
+
+
+@q(
+    "knn_label_accuracy",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+               FROM embeddings WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label AS nl
+          FROM embeddings),
+    scored AS (
+        SELECT qid, ql, nl,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 6) DESC, nid)
+                   AS rank
+        FROM q, c WHERE qid <> nid),
+    votes AS (
+        SELECT qid, ql, nl AS vote, COUNT(*) AS n_votes
+        FROM scored WHERE rank <= 3 GROUP BY qid, ql, nl),
+    pred AS (
+        SELECT qid, ql,
+               first(vote ORDER BY n_votes DESC, vote) AS predicted
+        FROM votes GROUP BY qid, ql)
+    SELECT CAST(ql AS INTEGER) AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(count_if(predicted = ql) AS BIGINT) AS n_correct,
+           round(CAST(count_if(predicted = ql) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM pred GROUP BY ql ORDER BY true_label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation by 3-NN label agreement — the
+    standard probe for "do these embeddings cluster by class": a 10%
+    deterministic query sample (vec_id % 10), exact cosine top-3 from
+    the broadcast-queries corpus scan (`operators.similarity.cosine_topk`),
+    majority vote with (count desc, label asc) tiebreak, per-label
+    accuracy. The vote and the accuracy are exact integer ratios."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+    nn = cosine_topk(e, q, k=3)
+    labels = e.select(F.col("vec_id"), F.col("label"))
+    votes = (
+        nn.join(labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "vote"), "neighbor_id")
+        .join(
+            labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed("label", "ql"),
+            "query_id",
+        )
+        .groupBy("query_id", "ql", "vote")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("vote"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "ql", F.col("vote").alias("predicted"))
+    )
+    return (
+        pred.groupBy(F.col("ql").cast("int").alias("true_label"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.count_if(F.col("predicted") == F.col("ql")).cast("long").alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries").cast("double"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )
+
+
+@q(
+    "markov_stationary_distribution",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS nxt
+        FROM events),
+    tr AS (
+        SELECT event_type AS s, nxt AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT s, SUM(n) AS row_n FROM tr GROUP BY s),
+    p AS (SELECT tr.s, tr.d,
+                 CAST(tr.n AS DOUBLE) / CAST(tot.row_n AS DOUBLE) AS p
+          FROM tr JOIN tot USING (s)),
+    states AS (SELECT DISTINCT s FROM tr),
+    x0 AS (SELECT s, CAST(round(1e9 / (SELECT COUNT(*) FROM states)) AS BIGINT)
+                  AS x FROM states),
+    x1 AS (SELECT p.d AS s,
+                  CAST(round(SUM(CAST(x0.x AS DOUBLE) * p.p)) AS BIGINT) AS x
+           FROM x0 JOIN p ON p.s = x0.s GROUP BY p.d),
+    x2 AS (SELECT p.d AS s,
+                  CAST(round(SUM(CAST(x1.x AS DOUBLE) * p.p)) AS BIGINT) AS x
+           FROM x1 JOIN p ON p.s = x1.s GROUP BY p.d),
+    x3 AS (SELECT p.d AS s,
+                  CAST(round(SUM(CAST(x2.x AS DOUBLE) * p.p)) AS BIGINT) AS x
+           FROM x2 JOIN p ON p.s = x2.s GROUP BY p.d)
+    SELECT x3.s AS event_type,
+           round(CAST(x3.x AS DOUBLE) / 1e9, 6) AS stationary_p,
+           round(CAST(x3.x AS DOUBLE) / CAST(x2.x AS DOUBLE), 6) AS delta_ratio
+    FROM x3 JOIN x2 ON x2.s = x3.s ORDER BY event_type
+    """,
+)
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by THREE
+    unrolled synchronized power iterations from the uniform vector
+    (states are the 5 event types, so each iteration is a 25-row
+    broadcast join — the iterative-algorithm pattern of pagerank at toy
+    state count, with nano-quantized BIGINT vectors between rounds so
+    the oracle's unrolled CTEs match bit-exactly). delta_ratio (x3/x2)
+    shows convergence. Transition estimation itself is one lead()
+    window + one pair aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lead("event_type").over(w).alias("nxt"))
+    tr = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("s"), F.col("nxt").alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = tr.groupBy("s").agg(F.sum("n").alias("row_n"))
+    p = tr.join(tot, "s").select(
+        "s", "d", (F.col("n").cast("double") / F.col("row_n").cast("double")).alias("p")
+    ).localCheckpoint(eager=False)
+    states = tr.select("s").distinct()
+    n_states = states.agg(F.count("*").alias("k"))
+    x = states.crossJoin(F.broadcast(n_states)).select(
+        "s", F.round(F.lit(1e9) / F.col("k").cast("double")).cast("long").alias("x")
+    )
+    prev = None
+    for _ in range(3):
+        prev = x
+        x = (
+            x.join(p, "s")
+            .groupBy(F.col("d").alias("s"))
+            .agg(F.round(F.sum(F.col("x").cast("double") * F.col("p"))).cast("long").alias("x"))
+        )
+    return (
+        x.join(prev.withColumnRenamed("x", "x_prev"), "s")
+        .select(
+            F.col("s").alias("event_type"),
+            F.round(F.col("x").cast("double") / 1e9, 6).alias("stationary_p"),
+            F.round(F.col("x").cast("double") / F.col("x_prev").cast("double"), 6).alias(
+                "delta_ratio"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "map_functions_token_stats",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+            WHERE doc_id < 200)
+        GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(count_if(c > 1) AS BIGINT) AS n_repeated_tokens,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS repeated_occurrences
+    FROM tk GROUP BY doc_id
+    """,
+)
+def map_functions_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType higher-order-function surface: per-document token
+    counts built as a map<string,long> INSIDE one projection
+    (aggregate over the token array into a map accumulator), then
+    map_filter / transform_values / map_values fold out the statistics —
+    zero shuffles for the whole computation (the oracle computes the same
+    values relationally; the driver compares VALUES, which is the
+    contract — the Spark plan demonstrates the map-expression tier).
+    Bounded to 200 docs because the map accumulator is quadratic in
+    distinct tokens per doc (each insert copies the map) — the
+    documented tradeoff vs the explode+groupBy path (`explode_token_counts`)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    m = toks.withColumn(
+        "cnts",
+        F.expr(
+            "aggregate(t, cast(map() as map<string,bigint>), "
+            "(acc, x) -> map_concat(map_filter(acc, (k, v) -> k != x), "
+            "            map(x, coalesce(element_at(acc, x), 0L) + 1L)))"
+        ),
+    )
+    return m.select(
+        "doc_id",
+        F.size("cnts").cast("long").alias("n_distinct_tokens"),
+        F.size(F.map_filter("cnts", lambda k, v: v > 1)).cast("long").alias(
+            "n_repeated_tokens"
+        ),
+        F.array_max(F.map_values("cnts")).cast("long").alias("max_count"),
+        F.aggregate(
+            F.map_values(F.map_filter("cnts", lambda k, v: v > 1)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("repeated_occurrences"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate

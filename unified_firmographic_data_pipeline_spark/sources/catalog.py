@@ -21,7 +21,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
-def atomic_swap_write(df: DataFrame, final: str, partition_by: list[str] | None = None) -> str:
+def atomic_swap_write(
+    df: DataFrame,
+    final: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> str:
     """Write ``df`` to ``final`` atomically: write to a sibling temp dir,
     ``os.replace`` the old dir aside, ``os.replace`` the temp in, then remove
     the old dir. The original data is never deleted before the replacement is
@@ -34,7 +39,10 @@ def atomic_swap_write(df: DataFrame, final: str, partition_by: list[str] | None 
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+    if fmt == "csv":
+        writer.option("header", "true").csv(tmp)
+    else:
+        getattr(writer, fmt)(tmp)
     old = final + ".old-" + uuid.uuid4().hex[:8]
     if os.path.exists(final):
         os.replace(final, old)
@@ -43,14 +51,26 @@ def atomic_swap_write(df: DataFrame, final: str, partition_by: list[str] | None 
     return final
 
 
-class Catalog:
-    """Path-addressed parquet catalog rooted at ``root``; schema/table
-    naming mirrors the reference's RAW/STAGING/CORE/ANALYTICS layout
-    (reference README.md:520-527)."""
+#: Formats the catalog can serve. Parquet is the default/perf tier (column
+#: pruning + predicate pushdown + page stats); ORC is the columnar
+#: alternative with the same pushdown story; JSON/CSV are interchange
+#: tiers — schema round-trips via an embedded `_schema.json` sidecar since
+#: the formats carry none (CSV) or lossy (JSON: everything widens) types.
+CATALOG_FORMATS = ("parquet", "orc", "json", "csv")
 
-    def __init__(self, spark: SparkSession, root: str):
+
+class Catalog:
+    """Path-addressed table catalog rooted at ``root``; schema/table
+    naming mirrors the reference's RAW/STAGING/CORE/ANALYTICS layout
+    (reference README.md:520-527). ``fmt`` selects the storage format
+    (default parquet; see CATALOG_FORMATS)."""
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        if fmt not in CATALOG_FORMATS:
+            raise ValueError(f"unsupported catalog format {fmt!r}")
         self.spark = spark
         self.root = root
+        self.fmt = fmt
 
     def path(self, schema: str, table: str) -> str:
         return os.path.join(self.root, schema.lower(), table.lower())
@@ -58,11 +78,32 @@ class Catalog:
     def exists(self, schema: str, table: str) -> bool:
         p = self.path(schema, table)
         return os.path.exists(p) and bool(
-            [f for f in os.listdir(p) if f.endswith(".parquet") or f == "_SUCCESS"]
+            [
+                f
+                for f in os.listdir(p)
+                if f.endswith((".parquet", ".orc", ".json", ".csv")) or f == "_SUCCESS"
+            ]
         )
 
+    def _schema_sidecar(self, schema: str, table: str) -> str:
+        return self.path(schema, table) + "._schema.json"
+
     def read(self, schema: str, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(schema, table))
+        p = self.path(schema, table)
+        if self.fmt == "parquet":
+            return self.spark.read.parquet(p)
+        if self.fmt == "orc":
+            return self.spark.read.orc(p)
+        # schema-free interchange formats: restore exact types from the
+        # sidecar written at overwrite time (header-only CSV inference
+        # would widen ints/timestamps; JSON loses decimals and dates)
+        from pyspark.sql.types import StructType
+
+        with open(self._schema_sidecar(schema, table), encoding="utf-8") as fh:
+            st = StructType.fromJson(__import__("json").load(fh))
+        if self.fmt == "json":
+            return self.spark.read.schema(st).json(p)
+        return self.spark.read.schema(st).option("header", "true").csv(p)
 
     def read_or_none(self, schema: str, table: str) -> DataFrame | None:
         return self.read(schema, table) if self.exists(schema, table) else None
@@ -72,10 +113,19 @@ class Catalog:
         self-referencing incremental pattern (read prior output while
         computing the new one) requires this — a direct overwrite would
         truncate its own input before reading it."""
-        atomic_swap_write(df, self.path(schema, table), partition_by)
+        atomic_swap_write(df, self.path(schema, table), partition_by, fmt=self.fmt)
+        if self.fmt in ("json", "csv"):
+            import json as _json
+
+            with open(self._schema_sidecar(schema, table), "w", encoding="utf-8") as fh:
+                _json.dump(df.schema.jsonValue(), fh)
 
     def append(self, df: DataFrame, schema: str, table: str) -> None:
-        df.write.mode("append").parquet(self.path(schema, table))
+        w = df.write.mode("append")
+        if self.fmt == "csv":
+            w.option("header", "true").csv(self.path(schema, table))
+        else:
+            getattr(w, self.fmt)(self.path(schema, table))
 
     def overwrite_partitions(
         self, df: DataFrame, schema: str, table: str, partition_by: list[str]
