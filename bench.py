@@ -255,6 +255,15 @@ HEADLINE = [
     "knn_label_accuracy",
     "markov_stationary_distribution",
     "map_functions_token_stats",
+    # round 3 batch 42: dq report, RAKE keywords, decayed trending
+    "dq_report_all_tables",
+    "rake_keyword_scores",
+    "decayed_event_scores",
+    # round 3 batch 43: kappa, path edit distance, 2-prop z, detector PR
+    "cohens_kappa_langid",
+    "session_path_edit_distance",
+    "two_proportion_ztest",
+    "dedup_detector_pr",
 ]
 
 

@@ -108,6 +108,17 @@ BNLJ_ALLOWED = {
     "knn_label_accuracy",
     # 1-row state-count broadcast seeding the uniform start vector
     "markov_stationary_distribution",
+    # 1-row corpus-max-timestamp broadcast into the decay expression —
+    # the kaplan_meier_order_gaps shape
+    "decayed_event_scores",
+    # 1-row agreement total x 1-row marginal product -> one kappa row
+    "cohens_kappa_langid",
+    # 1-row modal-path broadcast onto the session-path table
+    "session_path_edit_distance",
+    # two 1-row variant aggregates pivoted into one summary row
+    "two_proportion_ztest",
+    # three 1-row pair-set cardinalities -> one P/R/F1 row
+    "dedup_detector_pr",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

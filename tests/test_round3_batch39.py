@@ -44,10 +44,13 @@ def test_jaro_winkler_classic_values():
 
 def test_jw_blocked_pairs_sane(spark, sf_small):
     rows = QUERIES["jaro_winkler_blocked_pairs"](spark, sf_small).collect()
-    assert rows, "blocking should admit at least some similar part names"
+    assert rows, "blocking should admit some similar id suffixes"
     for r in rows:
-        assert r["a_key"] < r["b_key"]
-        assert 0.85 <= r["jw"] <= 1.0
+        assert r["c_name"].startswith("Customer#")
+        assert r["s_name"].startswith("Supplier#")
+        assert 0.95 <= r["jw"] <= 1.0
+        # blocked pairs share the 7-char suffix prefix
+        assert r["c_name"][9:16] == r["s_name"][9:16]
 
 
 def test_fellegi_sunter_matches_direct(spark, sf_small):

@@ -12001,6 +12001,619 @@ def map_functions_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 42 (round 3): the declarative data-quality suite as one
+# report (the reference's §5 dbt-test run, lazily unioned), RAKE keyword
+# extraction, exponential time-decayed trending scores
+# --------------------------------------------------------------------------
+
+
+@q(
+    "dq_report_all_tables",
+    """
+    SELECT 'orders' AS tbl, 'not_null(o_custkey)' AS test,
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS n_violations,
+           COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'accepted(o_orderstatus)',
+           CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+                AS BIGINT),
+           COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'unique(o_orderkey)',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orders', 'fk(o_custkey)',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'lineitem', 'in_range(l_discount)',
+           CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+                AS BIGINT),
+           COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'in_range(l_quantity)',
+           CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+                AS BIGINT),
+           COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'fk(l_orderkey)',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'customer', 'not_null(c_name)',
+           CAST(COUNT(CASE WHEN c_name IS NULL THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN c_name IS NULL THEN 1 END) = 0
+    FROM customer
+    UNION ALL
+    SELECT 'customer', 'unique(c_custkey)',
+           CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'events', 'not_null(user_id)',
+           CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN user_id IS NULL THEN 1 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'events', 'accepted(event_type)',
+           CAST(COUNT(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                ('click','view','signup','purchase','error') THEN 1 END)
+                AS BIGINT),
+           COUNT(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                ('click','view','signup','purchase','error') THEN 1 END) = 0
+    FROM events
+    """,
+)
+def dq_report_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's declarative test suite (§5: dbt `not_null` /
+    `unique` / `relationships` / `accepted_values` / `accepted_range`)
+    run across four tables and emitted as ONE report frame —
+    ``quality.expect.Expectation.report()``: all expression checks per
+    table fold into a single aggregate pass (stack-melted), unique/fk
+    contribute their own 1-row count plans, and the union stays lazy, so
+    11 tests cost 6 jobs, not 11. Reference:
+    firmographics_dbt/models/staging/schema.yml test blocks."""
+    from unified_firmographic_data_pipeline_spark.quality.expect import expect
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    reports = [
+        expect(o)
+        .not_null(["o_custkey"])
+        .accepted("o_orderstatus", ["O", "F", "P"])
+        .unique(["o_orderkey"])
+        .fk("o_custkey", c, "c_custkey")
+        .report("orders"),
+        expect(li)
+        .in_range("l_discount", 0, 0.1)
+        .in_range("l_quantity", 1, 50)
+        .fk("l_orderkey", o, "o_orderkey")
+        .report("lineitem"),
+        expect(c).not_null(["c_name"]).unique(["c_custkey"]).report("customer"),
+        expect(e)
+        .not_null(["user_id"])
+        .accepted("event_type", ["click", "view", "signup", "purchase", "error"])
+        .report("events"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.withColumnRenamed("table", "tbl")
+
+
+_RAKE_STOPS = "'the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'"
+
+
+@q(
+    "rake_keyword_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    pos AS (SELECT doc_id, u.i AS i, t[u.i] AS w
+            FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+    mk AS (SELECT doc_id, i, w,
+                  CASE WHEN w IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END AS is_stop
+           FROM pos),
+    isl AS (SELECT doc_id, i, w, is_stop,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS UNBOUNDED PRECEDING) AS island
+            FROM mk),
+    ph AS (SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS plen,
+                  array_to_string(list(w ORDER BY i), ' ') AS phrase
+           FROM isl WHERE is_stop = 0 GROUP BY doc_id, island),
+    pw AS (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM ph),
+    ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                  CAST(SUM(plen) AS BIGINT) AS deg
+           FROM pw GROUP BY w),
+    wsc AS (SELECT w, CAST(round(1e6 * CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
+                           AS BIGINT) AS s_micro
+            FROM ws),
+    pocc AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                    CAST(MAX(plen) AS BIGINT) AS n_words
+             FROM ph GROUP BY phrase),
+    pws AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+            FROM (SELECT DISTINCT phrase FROM ph)),
+    psc AS (SELECT phrase, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+            FROM pws JOIN wsc USING (w) GROUP BY phrase)
+    SELECT phrase, n_occurrences, n_words,
+           round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS rake_score
+    FROM pocc JOIN psc USING (phrase)
+    ORDER BY score_micro DESC, phrase LIMIT 10
+    """,
+)
+def rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (one gaps-and-islands window per
+    doc), word score = degree/frequency over all phrase occurrences
+    (micro-rounded), phrase score = sum of member word scores; global
+    top-10 phrases. Everything is one position explode + two uniform-key
+    aggregates — no per-pair work; phrase strings are short (runs between
+    stopwords), so the phrase shuffle stays narrow."""
+    stops = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select("doc_id", F.posexplode(tokens("text")).alias("i", "w"))
+    mk = pos.withColumn("is_stop", F.when(F.col("w").isin(stops), 1).otherwise(0))
+    wisl = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = mk.withColumn("island", F.sum("is_stop").over(wisl))
+    ph = (
+        isl.filter(F.col("is_stop") == 0)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.count("*").cast("long").alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    pw = ph.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
+    ws = pw.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    wsc = ws.select(
+        "w",
+        F.round(F.lit(1e6) * F.col("deg").cast("double") / F.col("freq").cast("double"))
+        .cast("long")
+        .alias("s_micro"),
+    )
+    pocc = ph.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.max("plen").cast("long").alias("n_words"),
+    )
+    pws = pocc.select("phrase").select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    psc = pws.join(wsc, "w").groupBy("phrase").agg(
+        F.sum("s_micro").cast("long").alias("score_micro")
+    )
+    return (
+        pocc.join(psc, "phrase")
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(10)
+        .select(
+            "phrase",
+            "n_occurrences",
+            "n_words",
+            F.round(F.col("score_micro").cast("double") / 1e6, 6).alias("rake_score"),
+        )
+    )
+
+
+@q(
+    "decayed_event_scores",
+    """
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    per AS (
+        SELECT event_type,
+               CAST(round(1e6 * pow(0.5,
+                    CAST(epoch_us(mts) - epoch_us(ts) AS DOUBLE)
+                    / (7.0 * 86400.0 * 1e6))) AS BIGINT) AS w
+        FROM events, mx)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(w) AS DOUBLE) / 1e6, 6) AS decayed_count,
+           round(CAST(SUM(w) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE), 6)
+               AS recency_index
+    FROM per GROUP BY event_type ORDER BY event_type
+    """,
+)
+def decayed_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decayed activity scores (half-life 7 days,
+    anchored at the corpus max timestamp): the trending/recency metric
+    behind hot-item ranking. Each event's decay weight micro-rounds to
+    BIGINT at the row level, so the per-type totals are exact; the
+    recency index (decayed / raw count, 0..1) shows how front-loaded each
+    event type's activity is. One scan, one 1-row max broadcast, one
+    aggregate."""
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mts"))
+    per = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.round(
+            F.lit(1e6)
+            * F.pow(
+                F.lit(0.5),
+                (F.unix_micros("mts") - F.unix_micros("ts")).cast("double")
+                / F.lit(7.0 * 86400.0 * 1e6),
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_events"), F.sum("w").alias("sw"))
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("sw").cast("double") / 1e6, 6).alias("decayed_count"),
+            F.round(
+                F.col("sw").cast("double") / 1e6 / F.col("n_events").cast("double"), 6
+            ).alias("recency_index"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Coverage batch 43 (round 3): Cohen's kappa for the lang-ID classifier,
+# session-path edit distance to the modal path, two-proportion z-test,
+# and near-dup detector precision/recall against a prefix-dup truth set
+# --------------------------------------------------------------------------
+
+
+@q(
+    "cohens_kappa_langid",
+    f"""
+    WITH conf AS (
+        SELECT lang, detected, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT lang,
+                   CASE WHEN best.score >= 1 THEN best.lang ELSE 'und' END AS detected
+            FROM (
+                SELECT lang, list_aggregate([
+                    {{'score': {_lang_score_sql('en')}, 'lang': 'en'}},
+                    {{'score': {_lang_score_sql('es')}, 'lang': 'es'}},
+                    {{'score': {_lang_score_sql('de')}, 'lang': 'de'}},
+                    {{'score': {_lang_score_sql('fr')}, 'lang': 'fr'}}], 'max') AS best
+                FROM documents))
+        GROUP BY lang, detected),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN lang = detected THEN n ELSE 0 END) AS BIGINT)
+                   AS agree
+        FROM conf),
+    marg AS (
+        SELECT CAST(coalesce(SUM(r.rn * c.cn), 0) AS BIGINT) AS exp_scaled
+        FROM (SELECT lang AS l, SUM(n) AS rn FROM conf GROUP BY lang) r
+        JOIN (SELECT detected AS l, SUM(n) AS cn FROM conf GROUP BY detected) c
+          USING (l))
+    SELECT nn AS n_docs, agree AS n_agree,
+           round(CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+           round(CAST(exp_scaled AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS pe,
+           round((CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE)
+                  - CAST(exp_scaled AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+                 / (1.0 - CAST(exp_scaled AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6)
+               AS kappa
+    FROM tot, marg
+    """,
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the n-gram language-ID heuristic against the
+    labeled lang — chance-corrected agreement (kappa = (po − pe)/(1 − pe)
+    with pe from the row×column marginals), the single-number companion
+    to `lang_id_confusion`'s full matrix. Every input is an exact BIGINT
+    (agreements, marginal products); three fixed divisions at the end."""
+    from unified_firmographic_data_pipeline_spark.functions.text import detect_lang
+
+    d = _t(spark, sf_dir, "documents")
+    conf = (
+        d.select("lang", detect_lang("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("detected"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    r = conf.groupBy(F.col("lang").alias("l")).agg(F.sum("n").alias("rn"))
+    c = conf.groupBy(F.col("detected").alias("l")).agg(F.sum("n").alias("cn"))
+    marg = (
+        r.join(c, "l")
+        .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).cast("long").alias("exp_scaled"))
+    )
+    nn = F.col("nn").cast("double")
+    pe = F.col("exp_scaled").cast("double") / (nn * nn)
+    po = F.col("agree").cast("double") / nn
+    return (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("nn").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+@q(
+    "session_path_edit_distance",
+    """
+    WITH s AS (
+        SELECT user_id, event_id, event_type, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS path
+        FROM s GROUP BY user_id, session_id),
+    modal AS (
+        SELECT path AS modal_path FROM (
+            SELECT path, COUNT(*) AS n FROM paths GROUP BY path
+            ORDER BY n DESC, path LIMIT 1)),
+    d AS (SELECT CAST(levenshtein(path, modal_path) AS BIGINT) AS edit_distance,
+                 modal_path
+          FROM paths, modal)
+    SELECT edit_distance, CAST(COUNT(*) AS BIGINT) AS n_sessions, modal_path
+    FROM d GROUP BY edit_distance, modal_path ORDER BY edit_distance
+    """,
+)
+def session_path_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far does each session stray from the corpus's MODAL path?
+    Sessions (30-min gap) collapse to first-letter path strings; the most
+    frequent path (count desc, lexicographic tiebreak) is the mode; each
+    session's Levenshtein distance to it histograms the behavioral spread
+    — sequence-alignment analytics with the builtin edit distance (no
+    UDF). Path strings are short (events per session), so the distance
+    is cheap; one session window + two aggregates + a 1-row modal
+    broadcast."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch"))
+                        )
+                    ),
+                    lambda t: t["ch"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    modal = (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(1)
+        .select(F.col("path").alias("modal_path"))
+    )
+    d = paths.crossJoin(F.broadcast(modal)).select(
+        F.levenshtein("path", "modal_path").cast("long").alias("edit_distance"),
+        "modal_path",
+    )
+    return (
+        d.groupBy("edit_distance", "modal_path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .select("edit_distance", "n_sessions", "modal_path")
+        .orderBy("edit_distance")
+    )
+
+
+@q(
+    "two_proportion_ztest",
+    """
+    WITH u AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    g AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS k
+        FROM u GROUP BY variant),
+    w AS (
+        SELECT a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2
+        FROM g a JOIN g b ON a.variant = 0 AND b.variant = 1)
+    SELECT n1, k1, n2, k2,
+           round(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+           round(CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+           round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                        * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                        * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+               AS z,
+           (abs((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                       * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                       * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))))
+            > 1.959964) AS significant_95
+    FROM w
+    """,
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test on USER-DAY purchase conversion
+    between the deterministic hash split (user_id % 2) — the classic A/B
+    readout: conversion rates, pooled-variance z, and a 95% significance
+    flag (|z| > 1.959964). The unit is an active user-day (per-user
+    conversion is degenerate here — every user eventually purchases).
+    Counts are exact BIGINTs folded by one user-day aggregate + one
+    2-row pivot join; the statistic is a single fixed expression."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "converted")
+    g = u.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"), F.sum("converted").cast("long").alias("k")
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n2"), F.col("k").alias("k2")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    p1 = F.col("k1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("k2").cast("double") / F.col("n2").cast("double")
+    pp = (F.col("k1") + F.col("k2")).cast("double") / (F.col("n1") + F.col("n2")).cast(
+        "double"
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1").cast("double") + F.lit(1.0) / F.col("n2").cast("double"))
+    )
+    return w.select(
+        "n1", "k1", "n2", "k2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959964).alias("significant_95"),
+    )
+
+
+@q(
+    "dedup_detector_pr",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    u AS (SELECT DISTINCT doc_id, md5(array_to_string(t[u.i:u.i + 2], ' ')) AS w
+          FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS x, b.doc_id AS y, CAST(COUNT(*) AS BIGINT) AS i
+        FROM u a JOIN u b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    det AS (
+        SELECT x, y FROM inter
+        JOIN sz sa ON sa.doc_id = x JOIN sz sb ON sb.doc_id = y
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1),
+    pfx AS (SELECT doc_id, md5(array_to_string(t[1:16], ' ')) AS p FROM toks),
+    truth AS (
+        SELECT a.doc_id AS x, b.doc_id AS y
+        FROM pfx a JOIN pfx b ON a.p = b.p AND a.doc_id < b.doc_id),
+    cts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM det) AS n_detected,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM det
+                JOIN truth ON det.x = truth.x AND det.y = truth.y) AS tp)
+    SELECT n_truth, n_detected, tp,
+           round(CAST(tp AS DOUBLE) / CAST(n_detected AS DOUBLE), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+           round(CAST(2 * tp AS DOUBLE)
+                 / CAST(n_detected + n_truth AS DOUBLE), 6) AS f1
+    FROM cts
+    """,
+)
+def dedup_detector_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the near-dup DETECTOR itself: trigram-shingle Jaccard >=
+    0.1 (inverted index — only shingle-sharing pairs are ever scored,
+    never doc×doc) against a 16-token-prefix-duplicate truth set, scored
+    as pair-level precision / recall / F1 — the calibration every dedup
+    pipeline needs before it deletes data at 100 TB. All three counts
+    are exact pair-set cardinalities; F1 folds to 2·tp/(det+truth)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    u = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> md5(array_join(slice(t, i, 3), ' ')))"
+            )
+        ).alias("w"),
+    ).distinct()
+    sz = u.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    ua = u.select(F.col("doc_id").alias("x"), "w")
+    ub = u.select(F.col("doc_id").alias("y"), "w")
+    inter = (
+        ua.join(ub, "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    det = (
+        inter.join(sz.withColumnRenamed("doc_id", "x").withColumnRenamed("n", "na"), "x")
+        .join(sz.withColumnRenamed("doc_id", "y").withColumnRenamed("n", "nb"), "y")
+        .filter(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+            >= 0.1
+        )
+        .select("x", "y")
+    )
+    pfx = toks.select(
+        "doc_id", F.md5(F.array_join(F.slice("t", 1, 16), " ")).alias("p")
+    )
+    pa = pfx.select(F.col("doc_id").alias("x"), "p")
+    pb = pfx.select(F.col("doc_id").alias("y"), "p")
+    truth = pa.join(pb, "p").filter(F.col("x") < F.col("y")).select("x", "y")
+    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_det = det.agg(F.count("*").cast("long").alias("n_detected"))
+    tp = det.join(truth, ["x", "y"]).agg(F.count("*").cast("long").alias("tp"))
+    cts = n_truth.crossJoin(F.broadcast(n_det)).crossJoin(F.broadcast(tp))
+    return cts.select(
+        "n_truth",
+        "n_detected",
+        "tp",
+        F.round(F.col("tp").cast("double") / F.col("n_detected").cast("double"), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("tp").cast("double") / F.col("n_truth").cast("double"), 6).alias(
+            "recall"
+        ),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (F.col("n_detected") + F.col("n_truth")).cast("double"),
+            6,
+        ).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate

@@ -31,6 +31,9 @@ class _Check:
     # standalone counting thunk for checks needing their own plan (unique/fk)
     agg: Column | None = None
     thunk: object | None = None
+    # lazy builder returning a 1-row DataFrame with BIGINT column `n` —
+    # the plan-native twin of `thunk`, used by report()
+    frame: object | None = None
 
 
 @dataclass
@@ -56,7 +59,15 @@ class Expectation:
                     df.groupBy(c).count().filter(F.col("count") > 1).limit(1).count()
                 )
 
-            self.checks.append(_Check(f"unique({c})", thunk=_count))
+            def _frame(df=df, c=c) -> DataFrame:
+                return (
+                    df.groupBy(c)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .agg(F.count("*").cast("long").alias("n"))
+                )
+
+            self.checks.append(_Check(f"unique({c})", thunk=_count, frame=_frame))
         return self
 
     def fk(self, key: str, dim: DataFrame, dim_key: str | None = None) -> "Expectation":
@@ -73,7 +84,14 @@ class Expectation:
                 .count()
             )
 
-        self.checks.append(_Check(f"fk({key})", thunk=_count))
+        def _frame(df=df, key=key, dim=dim, dim_key=dim_key) -> DataFrame:
+            return (
+                df.select(F.col(key)).where(F.col(key).isNotNull())
+                .join(dim.select(F.col(dim_key).alias(key)), key, "left_anti")
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+
+        self.checks.append(_Check(f"fk({key})", thunk=_count, frame=_frame))
         return self
 
     def accepted(self, col: str, values: Sequence) -> "Expectation":
@@ -124,6 +142,49 @@ class Expectation:
 
     def passes(self) -> bool:
         return not self.collect_failures()
+
+    def report(self, table: str) -> DataFrame:
+        """The dbt-`test`-run artifact as ONE lazy DataFrame: (table,
+        test, n_violations, passed) with a row per registered check.
+        All expression checks fold into a single aggregate pass over the
+        base frame (then melt via stack); unique/fk contribute their own
+        1-row count plans — so N checks still cost one job per
+        underlying plan when the union executes, the same batching
+        contract as run()."""
+        frames: list[DataFrame] = []
+        agg_checks = [c for c in self.checks if c.agg is not None]
+        if agg_checks:
+            one = self.df.agg(
+                *[c.agg.cast("long").alias(f"c{i}") for i, c in enumerate(agg_checks)]
+            )
+            pairs = ", ".join(
+                "'" + c.name.replace("'", "") + f"', c{i}"
+                for i, c in enumerate(agg_checks)
+            )
+            frames.append(
+                one.select(
+                    F.expr(
+                        f"stack({len(agg_checks)}, {pairs}) AS (test, n_violations)"
+                    )
+                )
+            )
+        for c in self.checks:
+            if c.frame is not None:
+                frames.append(
+                    c.frame().select(
+                        F.lit(c.name).alias("test"),
+                        F.col("n").alias("n_violations"),
+                    )
+                )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.select(
+            F.lit(table).alias("table"),
+            "test",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
 
 
 def expect(df: DataFrame) -> Expectation:
