@@ -264,6 +264,13 @@ HEADLINE = [
     "session_path_edit_distance",
     "two_proportion_ztest",
     "dedup_detector_pr",
+    # round 3 batch 44: drift, power planning, fertility, LSH planner,
+    # attribution comparison
+    "psi_drift_sources",
+    "ab_sample_size_planner",
+    "tokenizer_fertility_by_lang",
+    "lsh_s_curve_planner",
+    "attribution_first_vs_last",
 ]
 
 

@@ -119,6 +119,13 @@ BNLJ_ALLOWED = {
     "two_proportion_ztest",
     # three 1-row pair-set cardinalities -> one P/R/F1 row
     "dedup_detector_pr",
+    # 1-row baseline decile-edge array broadcast onto the scan, then the
+    # bounded bin axis joins the baseline fractions
+    "psi_drift_sources",
+    # 1-row measured-baseline aggregate x fixed 3-row MDE grid
+    "ab_sample_size_planner",
+    # constant 48-row parameter grid (4x3x4 literal cross) — no scan
+    "lsh_s_curve_planner",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -207,6 +207,16 @@ if __name__ == "__main__":
         "strata, vocabulary ranks) absorbing row growth in map-side partial"
     )
     lines.append("aggregation — the designed behavior.")
+    lines.append(
+        "`jaro_winkler_blocked_pairs` tracks its CANDIDATE count (pairs per"
+    )
+    lines.append(
+        "7-char block x blocks), not row count — the pandas-UDF cost is"
+    )
+    lines.append(
+        "linear in candidates by construction, which is the blocking"
+    )
+    lines.append("contract the oracle mirrors.")
     with open(os.path.join(REPO, "SCALE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALE.md")

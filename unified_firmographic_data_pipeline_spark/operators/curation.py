@@ -324,10 +324,14 @@ def repeated_ngram_spans(
     grams = toks.select(
         "doc_id",
         F.size("t").alias("total_tokens"),
+        # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
+        # empty, so docs shorter than n need an explicit empty-array branch
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(size(t) - {n - 1}, 0)), "
-                f"i -> md5(array_join(slice(t, i, {n}), ' ')))"
+                f"CASE WHEN size(t) >= {n} THEN "
+                f"transform(sequence(1, size(t) - {n - 1}), "
+                f"i -> md5(array_join(slice(t, i, {n}), ' '))) "
+                "ELSE array() END"
             )
         ).alias("gpos", "g"),
     )

@@ -12614,6 +12614,364 @@ def dedup_detector_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 44 (round 3): PSI distribution drift, A/B sample-size
+# planning, tokenizer fertility, LSH S-curve parameter planning, and
+# first-vs-last-touch attribution comparison
+# --------------------------------------------------------------------------
+
+
+@q(
+    "psi_drift_sources",
+    """
+    WITH v AS (SELECT source, n_chars FROM documents),
+    edges AS (
+        SELECT quantile_disc(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                   AS e
+        FROM v WHERE source = 'src0'),
+    binned AS (
+        SELECT source,
+               1 + len(list_filter(e, x -> x < n_chars)) AS bin
+        FROM v, edges),
+    cnt AS (
+        SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM binned GROUP BY source, bin),
+    tot AS (SELECT source, SUM(n) AS tn FROM cnt GROUP BY source),
+    base AS (
+        SELECT bin, CAST(n AS DOUBLE) / CAST(tn AS DOUBLE) AS p
+        FROM cnt JOIN tot USING (source) WHERE source = 'src0'),
+    comp AS (
+        SELECT source, bin, CAST(n AS DOUBLE) / CAST(tn AS DOUBLE) AS q
+        FROM cnt JOIN tot USING (source) WHERE source <> 'src0'),
+    grid AS (
+        SELECT s.source, base.bin, base.p
+        FROM (SELECT DISTINCT source FROM v WHERE source <> 'src0') s
+        CROSS JOIN base),
+    terms AS (
+        SELECT grid.source, grid.bin,
+               CAST(round(1e9 * (coalesce(comp.q, 0.0) - grid.p)
+                          * ln(GREATEST(coalesce(comp.q, 0.0), 1e-9)
+                               / GREATEST(grid.p, 1e-9))) AS BIGINT) AS t_nano
+        FROM grid LEFT JOIN comp
+          ON comp.source = grid.source AND comp.bin = grid.bin)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(CAST(SUM(t_nano) AS DOUBLE) / 1e9, 6) AS psi,
+           (CAST(SUM(t_nano) AS DOUBLE) / 1e9 > 0.2) AS major_shift
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def psi_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against src0 (the reference population) — the standard
+    model-monitoring drift score: decile edges from the baseline
+    (`percentile_disc` 9-point), per-bin (q−p)·ln(q/p) terms
+    nano-rounded to BIGINT (epsilon-floored at 1e-9, the conventional
+    PSI guard), PSI > 0.2 = major shift. One baseline quantile pass
+    (broadcast 9 edges), one binned count per source."""
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    qs = [i / 10 for i in range(1, 10)]
+    edges = d.filter(F.col("source") == "src0").agg(
+        F.expr(
+            "percentile_disc(array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            " WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("e")
+    )
+    binned = d.crossJoin(F.broadcast(edges)).select(
+        "source",
+        (
+            F.lit(1)
+            + F.size(F.filter("e", lambda x: x < F.col("n_chars")))
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("source", "bin").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("tn"))
+    frac = (F.col("n").cast("double") / F.col("tn").cast("double"))
+    base = (
+        cnt.join(tot, "source")
+        .filter(F.col("source") == "src0")
+        .select("bin", frac.alias("p"))
+    )
+    comp = (
+        cnt.join(tot, "source")
+        .filter(F.col("source") != "src0")
+        .select("source", "bin", frac.alias("q"))
+    )
+    t_nano = F.round(
+        F.lit(1e9)
+        * (F.coalesce(F.col("q"), F.lit(0.0)) - F.col("p"))
+        * F.log(
+            F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(1e-9))
+            / F.greatest(F.col("p"), F.lit(1e-9))
+        )
+    ).cast("long")
+    # every baseline bin counts for every source — a comp bin with zero
+    # rows still contributes its (0 - p)ln(eps/p) term (PSI convention)
+    srcs = d.filter(F.col("source") != "src0").select("source").distinct()
+    grid = srcs.crossJoin(F.broadcast(base))
+    terms = grid.join(comp, ["source", "bin"], "left").select(
+        "source", t_nano.alias("t_nano")
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("t_nano").alias("s"),
+        )
+        .select(
+            "source",
+            "n_bins",
+            F.round(F.col("s").cast("double") / 1e9, 6).alias("psi"),
+            (F.col("s").cast("double") / 1e9 > 0.2).alias("major_shift"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "ab_sample_size_planner",
+    """
+    WITH u AS (
+        SELECT MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(c) AS BIGINT) AS k FROM u),
+    g AS (SELECT n, k, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM base),
+    mde AS (SELECT CAST(unnest([0.01, 0.02, 0.05]) AS DOUBLE) AS delta)
+    SELECT round(p, 6) AS baseline_rate, delta,
+           CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * p * (1.0 - p) / (delta * delta)) AS BIGINT)
+               AS n_per_arm,
+           n AS observed_units,
+           (n >= 2 * CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * p * (1.0 - p) / (delta * delta)) AS BIGINT)) AS powered_today
+    FROM g, mde ORDER BY delta
+    """,
+)
+def ab_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planning from the MEASURED baseline: units per arm
+    to detect an absolute lift delta at alpha=0.05 (two-sided,
+    z=1.959964) with 80% power (z=0.841621) — n = 2(z_a+z_b)²p(1−p)/δ²,
+    the standard two-proportion approximation — for a 3-point MDE grid,
+    plus whether the current corpus already carries enough user-days.
+    Pairs with `two_proportion_ztest` (same conversion unit)."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c")
+    )
+    base = u.agg(
+        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("k")
+    )
+    g = base.select(
+        "n", "k", (F.col("k").cast("double") / F.col("n").cast("double")).alias("p")
+    )
+    mde = spark.createDataFrame([(0.01,), (0.02,), (0.05,)], "delta double")
+    # spell the z-sum square as the same (a+b)*(a+b) product the SQL uses —
+    # a python ** could differ from the engines' multiply in the last ULP
+    zs = F.lit(1.959964) + F.lit(0.841621)
+    npa = F.ceil(
+        F.lit(2.0) * zs * zs * F.col("p") * (F.lit(1.0) - F.col("p"))
+        / (F.col("delta") * F.col("delta"))
+    ).cast("long")
+    return (
+        g.crossJoin(F.broadcast(mde))
+        .select(
+            F.round("p", 6).alias("baseline_rate"),
+            "delta",
+            npa.alias("n_per_arm"),
+            F.col("n").alias("observed_units"),
+            (F.col("n") >= 2 * npa).alias("powered_today"),
+        )
+        .orderBy("delta")
+    )
+
+
+@q(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH t AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+                    AS BIGINT) AS n_bpe,
+               CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                    AS BIGINT) AS n_ws,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           round(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE), 6)
+               AS fertility,
+           round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — sub-word (BPE-ish regex) tokens
+    per whitespace word, and characters per token: the standard
+    multilingual tokenizer-efficiency report (high fertility = the
+    tokenizer fragments that language, inflating training cost). Pure
+    expressions on one scan; exact BIGINT token totals, two divisions."""
+    from unified_firmographic_data_pipeline_spark.functions.text import (
+        bpe_ish_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+        token_count("text").cast("long").alias("n_ws"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+        )
+        .join(
+            t.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("chars")), "lang"
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "bpe_tokens",
+            "ws_tokens",
+            F.round(
+                F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("chars").cast("double") / F.col("bpe_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "lsh_s_curve_planner",
+    """
+    WITH grid AS (
+        SELECT b.b, r.r, s.s
+        FROM (SELECT CAST(unnest([4, 8, 16, 32]) AS INTEGER) AS b) b
+        CROSS JOIN (SELECT CAST(unnest([2, 4, 8]) AS INTEGER) AS r) r
+        CROSS JOIN (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS s) s)
+    SELECT CAST(b AS INTEGER) AS n_bands, CAST(r AS INTEGER) AS rows_per_band,
+           s AS jaccard,
+           round(1.0 - pow(1.0 - pow(s, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6)
+               AS p_candidate,
+           round(pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE)), 6)
+               AS s_threshold
+    FROM grid ORDER BY n_bands, rows_per_band, jaccard
+    """,
+)
+def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: the S-curve candidate probability
+    1−(1−s^r)^b and the threshold (1/b)^(1/r) for a (bands, rows,
+    similarity) grid — the design table behind
+    `near_dup_candidates_md5`'s banding choice (Leskovec/Rajaraman/Ullman
+    ch.3, public). Pure closed-form expressions on a 48-row constant
+    grid; no table scan at all (the planner runs before the data
+    does)."""
+    b = spark.createDataFrame([(4,), (8,), (16,), (32,)], "b int")
+    r = spark.createDataFrame([(2,), (4,), (8,)], "r int")
+    s = spark.createDataFrame([(0.5,), (0.7,), (0.8,), (0.9,)], "s double")
+    grid = b.crossJoin(F.broadcast(r)).crossJoin(F.broadcast(s))
+    rd = F.col("r").cast("double")
+    bd = F.col("b").cast("double")
+    return grid.select(
+        F.col("b").alias("n_bands"),
+        F.col("r").alias("rows_per_band"),
+        F.col("s").alias("jaccard"),
+        F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("s"), rd), bd), 6
+        ).alias("p_candidate"),
+        F.round(F.pow(F.lit(1.0) / bd, F.lit(1.0) / rd), 6).alias("s_threshold"),
+    ).orderBy("n_bands", "rows_per_band", "jaccard")
+
+
+@q(
+    "attribution_first_vs_last",
+    f"""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                   AS rrn
+        FROM events WHERE event_type <> 'purchase'),
+    fe AS (SELECT user_id, event_type AS touch FROM ranked WHERE rn = 1),
+    le AS (SELECT user_id, event_type AS touch FROM ranked WHERE rrn = 1),
+    p AS (SELECT user_id, CAST(round(value * 1e6) AS BIGINT) AS v
+          FROM events WHERE event_type = 'purchase'),
+    f AS (SELECT touch, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS sv
+          FROM p JOIN fe USING (user_id) GROUP BY touch),
+    l AS (SELECT touch, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS sv
+          FROM p JOIN le USING (user_id) GROUP BY touch)
+    SELECT coalesce(f.touch, l.touch) AS touch,
+           CAST(coalesce(f.n, 0) AS BIGINT) AS first_touch_purchases,
+           round(CAST(coalesce(f.sv, 0) AS DOUBLE) / 1e6, 6) AS first_touch_value,
+           CAST(coalesce(l.n, 0) AS BIGINT) AS last_touch_purchases,
+           round(CAST(coalesce(l.sv, 0) AS DOUBLE) / 1e6, 6) AS last_touch_value,
+           round((CAST(coalesce(l.sv, 0) AS DOUBLE) - CAST(coalesce(f.sv, 0) AS DOUBLE))
+                 / 1e6, 6) AS value_shift
+    FROM f FULL OUTER JOIN l ON f.touch = l.touch ORDER BY touch
+    """,
+)
+def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution side by side: every purchase
+    credits (a) the user's first and (b) the user's last NON-purchase
+    event type, and the report shows how credit shifts between models —
+    the attribution-sensitivity readout marketing teams run before
+    committing to one. Both touch lookups are rank-1 windows on the SAME
+    user shuffle; purchase values aggregate in exact micros; one full
+    outer join aligns the two models."""
+    e = _t(spark, sf_dir, "events")
+    npch = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = npch.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(wd).alias("rrn"),
+    )
+    fe = ranked.filter(F.col("rn") == 1).select("user_id", F.col("event_type").alias("touch"))
+    le = ranked.filter(F.col("rrn") == 1).select("user_id", F.col("event_type").alias("touch"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.round(F.col("value") * 1e6).cast("long").alias("v")
+    )
+    f = p.join(fe, "user_id").groupBy("touch").agg(
+        F.count("*").cast("long").alias("fn"), F.sum("v").cast("long").alias("fsv")
+    )
+    l = p.join(le, "user_id").groupBy("touch").agg(
+        F.count("*").cast("long").alias("ln"), F.sum("v").cast("long").alias("lsv")
+    )
+    return (
+        f.join(l, "touch", "full_outer")
+        .select(
+            "touch",
+            F.coalesce("fn", F.lit(0)).cast("long").alias("first_touch_purchases"),
+            F.round(F.coalesce("fsv", F.lit(0)).cast("double") / 1e6, 6).alias(
+                "first_touch_value"
+            ),
+            F.coalesce("ln", F.lit(0)).cast("long").alias("last_touch_purchases"),
+            F.round(F.coalesce("lsv", F.lit(0)).cast("double") / 1e6, 6).alias(
+                "last_touch_value"
+            ),
+            F.round(
+                (F.coalesce("lsv", F.lit(0)).cast("double")
+                 - F.coalesce("fsv", F.lit(0)).cast("double")) / 1e6,
+                6,
+            ).alias("value_shift"),
+        )
+        .orderBy("touch")
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
