@@ -143,22 +143,28 @@ def test_driver_registration_order():
     assert names[: len(unverified)] == unverified, (
         "unverified oracle-backed queries must be registered contiguously first"
     )
-    # 2. previously-verified queries come next
+    # 2. previously-verified queries come next, STALEST FIRST (round of
+    #    last green row ascending): once the backlog drops below the
+    #    ~50-slot window, spare slots re-verify the oldest greens
+    #    round-robin so regressions in old greens get external signal
     assert names[len(unverified) : len(unverified) + len(verified)] == verified
+    rounds = dq._green_rounds()
+    verified_rounds = [rounds[n] for n in verified]
+    assert verified_rounds == sorted(verified_rounds), (
+        "verified tail must be ordered by last-confirmed round (stalest first)"
+    )
     # 3. rows-only (no-oracle) entries sit dead last so they never surface
     #    as `no_oracle` rows inside the window
     assert names[-len(rows_only) :] == rows_only
     window = set(names[:50])
     assert not (set(rows_only) & window) or len(unverified) + len(verified) < 50
     # the unverified backlog must stay clearable within THREE ~50-slot
-    # driver rounds. Rationale for 4 (widened from 3 after round-3's
-    # batches 38-40): the run has 20 driver rounds total — at round 3 the
-    # remaining external-verification capacity is ~17 x 50 = 850 slots, so
-    # a 200-deep backlog still clears with >4x headroom; beyond that,
-    # breadth is outpacing external verification and new queries should
-    # pause until the rotation catches up.
-    assert len(unverified) <= 4 * 50, (
-        f"unverified backlog {len(unverified)} cannot clear in ~4 rounds; "
+    # driver rounds (tightened back from round 3's temporary 4: round 3
+    # grew the backlog 58 -> 120 by registering 114 queries against a
+    # 50/round verification cap — round 4 throttles new registrations
+    # until the rotation catches up, per the round-3 verdict).
+    assert len(unverified) <= 3 * 50, (
+        f"unverified backlog {len(unverified)} cannot clear in ~3 rounds; "
         "stop adding queries faster than the driver verifies them"
     )
 

@@ -1,0 +1,152 @@
+"""Round-4 regression tests for the round-3 advisor findings.
+
+The sf fixtures never contain documents shorter than 3 tokens or 1-char
+vocabulary tokens, so the ``sequence(1, 0) == [1, 0]`` (descending, not
+empty) Spark pitfall in trigram_novelty_by_source / dedup_detector_pr /
+bpe_first_merge was invisible to the parity suite. This file re-runs those
+queries against a DEGENERATE documents table (empty doc, 1-token doc,
+2-token doc, frequent 1-char token) and still requires bit-exact DuckDB
+parity, plus unit guards for the catalog fmt dispatch and the empty
+Expectation report.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.test_oracle_parity import TABLES, assert_bit_exact, duck_con
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+DEGENERATE_DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (1, "a", "en", "src0", 1),                      # 1 token, 1 char
+    (2, "ab cd", "en", "src0", 5),                  # 2 tokens -> no trigram
+    (3, "", "en", "src1", 0),                       # empty text
+    (4, "a a a a a a a a", "en", "src1", 15),       # frequent 1-char token
+    (5, "the quick brown fox jumps over the lazy dog again and again ok", "en", "src0", 63),
+    (6, "the quick brown fox jumps over the lazy dog again and again ok", "en", "src1", 63),
+    (7, "one two", "fr", "src2", 7),                # 2 tokens, distinct source
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf(tmp_path_factory) -> str:
+    """sf0.001 with documents.parquet swapped for the degenerate table."""
+    import duckdb
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    src = os.path.join(base, "sf0.001")
+    d = tmp_path_factory.mktemp("sf_degenerate")
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?, ?)", DEGENERATE_DOCS)
+    con.execute(f"COPY docs TO '{d / 'documents.parquet'}' (FORMAT PARQUET)")
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["trigram_novelty_by_source", "dedup_detector_pr", "bpe_first_merge"]
+)
+def test_sequence_guard_on_short_docs(name: str, spark, degenerate_sf: str):
+    """sequence(1, 0) guard: <3-token docs must not throw INVALID_PARAMETER_
+    VALUE.START, and 1-char tokens must emit zero BPE pairs — bit-exact with
+    the DuckDB oracle whose generate_series(1, 0) is empty."""
+    spark_pdf = QUERIES[name](spark, degenerate_sf).toPandas()
+    duck_pdf = duck_con(degenerate_sf).execute(ORACLES[name]).fetchdf()
+    assert_bit_exact(name, spark_pdf, duck_pdf)
+
+
+def test_bpe_no_single_char_pairs(spark, degenerate_sf: str):
+    """A 1-char token ('a' x9 here) contributes NO pair rows (Sennrich BPE
+    pairs need length >= 2) — previously it emitted two spurious pairs."""
+    out = QUERIES["bpe_first_merge"](spark, degenerate_sf).toPandas()
+    assert all(len(p) == 2 for p in out["pair"]), out["pair"].tolist()
+
+
+def test_catalog_overwrite_partitions_respects_fmt(spark, tmp_path):
+    """overwrite_partitions must write the catalog's own format (it
+    hard-coded .parquet() before) and refresh the sidecar for json/csv so
+    read() round-trips typed."""
+    from unified_firmographic_data_pipeline_spark.sources.catalog import Catalog
+
+    df = spark.createDataFrame(
+        [(1, "x", "d1"), (2, "y", "d2")], "id long, v string, day string"
+    )
+    for fmt in ("orc", "json", "csv"):
+        cat = Catalog(spark, str(tmp_path / fmt), fmt=fmt)
+        cat.overwrite_partitions(df, "core", "t", ["day"])
+        got = cat.read("core", "t")
+        assert got.schema["id"].dataType.typeName() == "long"
+        assert sorted(r.id for r in got.collect()) == [1, 2]
+        # dynamic overwrite of one partition leaves the other intact
+        upd = spark.createDataFrame([(3, "z", "d2")], "id long, v string, day string")
+        cat.overwrite_partitions(upd, "core", "t", ["day"])
+        assert sorted(r.id for r in cat.read("core", "t").collect()) == [1, 3]
+
+
+def test_expectation_report_empty(spark):
+    """report() on an Expectation with no registered checks returns an
+    empty typed report instead of IndexError."""
+    from unified_firmographic_data_pipeline_spark.quality.expect import expect
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rep = expect(df).report("t")
+    assert rep.columns == ["table", "test", "n_violations", "passed"]
+    assert rep.count() == 0
+
+
+def test_jpeg_dims_probe(spark):
+    """JPEG SOF-marker dims probe: real header walk on a generated
+    minimal JPEG (through the full decode_media_meta plumbing), and the
+    malformed-stream contract returns NULL dims (falls to _fake_decode)."""
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        decode_media_meta,
+        is_jpeg,
+        jpeg_dims,
+        jpeg_encode_minimal,
+    )
+
+    b = jpeg_encode_minimal(640, 480)
+    assert is_jpeg(b) and jpeg_dims(b) == (640, 480)
+    # progressive (SOF2) and a preceding RST-style standalone marker
+    b2 = b.replace(b"\xff\xc0", b"\xff\xc2")
+    assert jpeg_dims(b2) == (640, 480)
+    assert jpeg_dims(b"\xff\xd8\xff") == (None, None)
+    assert jpeg_dims(b"\xff\xd8" + b"\x00" * 8) == (None, None)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b), "image/jpeg")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    row = decode_media_meta(df).first()
+    assert (row["width"], row["height"]) == (640, 480)
+    assert row["duration_ms"] is None
+
+
+def test_cramers_v_degenerate_dof(spark):
+    """A variable collapsed to one category (dof=0) yields NULL cramers_v,
+    not NaN/inf, in both engines."""
+    import duckdb
+    import math
+
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import _cramers_v_pair
+
+    df = spark.createDataFrame(
+        [("only", "a"), ("only", "b"), ("only", "a")], "x string, y string"
+    )
+    row = _cramers_v_pair(df, "x", "y").first()
+    assert row["dof"] == 0
+    assert row["cramers_v"] is None or (
+        isinstance(row["cramers_v"], float) and math.isnan(row["cramers_v"]) is False
+    )
+    assert row["cramers_v"] is None

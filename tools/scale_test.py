@@ -93,7 +93,34 @@ HEAVY = [
     "jaro_winkler_blocked_pairs", # blocked pairs + Arrow-batched pandas UDF
     "cms_heavy_hitters",          # 4x width-512 counter tables + min
     "modularity_onehop_communities",  # label agg + 2 label joins + degree join
+    # round-3/4 heavies (round-3 verdict item 5)
+    "knn_label_accuracy",         # bounded query sample x corpus scan
+    "dedup_detector_pr",          # inverted-index Jaccard vs prefix truth
+    "session_path_edit_distance", # per-session pair DP (pandas UDF)
+    "cohens_kappa_langid",        # two-rater agreement contingency
 ]
+
+
+def _triangle_shuffled(spark, sf_dir):
+    """triangle_stats with broadcast_closure=False — the shuffle-probe
+    fallback for edge sets too big to broadcast. Measured here so the
+    >memory regime's scale story is tested, not asserted (round-3
+    verdict, What's wrong #2)."""
+    from unified_firmographic_data_pipeline_spark.operators.triangles import triangle_stats
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import (
+        _copurchase_edges,
+        _t,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return triangle_stats(_copurchase_edges(li), broadcast_closure=False)
+
+
+#: plan variants that are not registered queries but whose scale shape
+#: must still be measured
+EXTRA = {
+    "triangle_stats_shuffled_closure": _triangle_shuffled,
+}
 
 
 def generate(spark) -> None:
@@ -153,8 +180,8 @@ if __name__ == "__main__":
     generate(spark)
 
     rows = []
-    for name in HEAVY:
-        fn = QUERIES[name]
+    for name in HEAVY + list(EXTRA):
+        fn = EXTRA.get(name) or QUERIES[name]
         t_small = timeq(fn, SRC)
         t_big = timeq(fn, DST)
         ratio = t_big / t_small if t_small > 0 else float("inf")
@@ -217,6 +244,22 @@ if __name__ == "__main__":
         "linear in candidates by construction, which is the blocking"
     )
     lines.append("contract the oracle mirrors.")
+    lines.append(
+        "`triangle_stats_shuffled_closure` is the broadcast_closure=False"
+    )
+    lines.append(
+        "fallback measured explicitly: the closing-edge probe becomes a"
+    )
+    lines.append(
+        "shuffled sort-merge join on (lo, hi), the regime for edge sets"
+    )
+    lines.append(
+        "beyond executor memory. `knn_label_accuracy` holds its query side"
+    )
+    lines.append(
+        "CONSTANT (first 128 of every-10th vec_id), so retrieval work is"
+    )
+    lines.append("O(corpus x 128) — linear, with a fixed-size broadcast.")
     with open(os.path.join(REPO, "SCALE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALE.md")

@@ -4,7 +4,7 @@ Common-neighbor scores (raw count + Adamic-Adar) for NON-adjacent node
 pairs — "which parts are likely to be co-purchased next" on the
 co-purchase graph the reference's conformed company table would feed
 (reference analogue: the dedup/conform join graph,
-firmographics_dbt/models/marts/dim_company.sql joins; the scoring
+firmographics_dbt/models/star/dim_company.sql joins; the scoring
 itself is the classic Adamic-Adar similarity from public literature).
 
 Scale design (100 TB):

@@ -10604,8 +10604,13 @@ def _cramers_v_pair(df: DataFrame, x: str, y: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         dof.cast("long").alias("dof"),
         F.round(chi2, 6).alias("chi2"),
-        F.round(
-            F.sqrt(chi2 / (F.col("n").cast("double") * dof.cast("double"))), 6
+        # dof=0 guard (a variable collapsed to one category): the
+        # statistic is undefined — emit NULL, not NaN/inf
+        F.when(
+            dof > 0,
+            F.round(
+                F.sqrt(chi2 / (F.col("n").cast("double") * dof.cast("double"))), 6
+            ),
         ).alias("cramers_v"),
     )
 
@@ -10633,9 +10638,10 @@ _CRAMERS_SQL = """
                CAST(n AS BIGINT) AS n,
                CAST(LEAST(r - 1, c - 1) AS BIGINT) AS dof,
                round(CAST(chi2_micro AS DOUBLE) / 1e6, 6) AS chi2,
-               round(sqrt((CAST(chi2_micro AS DOUBLE) / 1e6)
-                     / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
-                   AS cramers_v
+               CASE WHEN LEAST(r - 1, c - 1) > 0 THEN
+                   round(sqrt((CAST(chi2_micro AS DOUBLE) / 1e6)
+                         / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+               END AS cramers_v
         FROM agg
 """
 
@@ -10698,10 +10704,12 @@ def cramers_v_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY event_type)
     SELECT event_type, n_days, s1 AS n_events,
            round(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily,
-           round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
-                 / CAST((n_days - 1) * s1 AS DOUBLE), 6) AS dispersion_index,
-           (CAST(n_days * s2 - s1 * s1 AS DOUBLE)
-            > 1.5 * CAST((n_days - 1) * s1 AS DOUBLE)) AS overdispersed
+           CASE WHEN n_days > 1 THEN
+               round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                     / CAST((n_days - 1) * s1 AS DOUBLE), 6) END AS dispersion_index,
+           CASE WHEN n_days > 1 THEN
+               (CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                > 1.5 * CAST((n_days - 1) * s1 AS DOUBLE)) END AS overdispersed
     FROM m ORDER BY event_type
     """,
 )
@@ -10731,8 +10739,10 @@ def dispersion_index_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s1").cast("double") / F.col("n_days").cast("double"), 6).alias(
             "mean_daily"
         ),
-        F.round(num / den, 6).alias("dispersion_index"),
-        (num > F.lit(1.5) * den).alias("overdispersed"),
+        # n_days=1 guard: the sample variance is undefined for a single
+        # active day (den=0) — NULL in both engines, never NaN/inf
+        F.when(F.col("n_days") > 1, F.round(num / den, 6)).alias("dispersion_index"),
+        F.when(F.col("n_days") > 1, num > F.lit(1.5) * den).alias("overdispersed"),
     ).orderBy("event_type")
 
 
@@ -11095,10 +11105,16 @@ def trigram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", tokens("text").alias("t"))
         .select(
             "source",
+            # size(t) guard: Spark's sequence(1, 0) is the DESCENDING
+            # [1, 0] (not empty like DuckDB's generate_series), and index
+            # 0 would throw INVALID_PARAMETER_VALUE.START inside slice()
+            # for any document shorter than 3 tokens.
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    "CASE WHEN size(t) >= 3 THEN"
+                    " transform(sequence(1, size(t) - 2),"
                     " i -> md5(array_join(slice(t, i, 3), ' ')))"
+                    " ELSE array() END"
                 )
             ).alias("g"),
         )
@@ -11652,10 +11668,15 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = tf.select(
         "tok",
         "freq",
+        # length guard: Spark's sequence(1, 0) is [1, 0] (not empty like
+        # DuckDB's generate_series), so a 1-char vocabulary token would
+        # emit two spurious single-char "pairs" instead of none.
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(tok) - 1, 0)),"
+                "CASE WHEN length(tok) >= 2 THEN"
+                " transform(sequence(1, length(tok) - 1),"
                 " i -> substring(tok, i, 2))"
+                " ELSE array() END"
             )
         ).alias("pair"),
     )
@@ -11794,7 +11815,8 @@ def nth_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_label_accuracy",
     """
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
-               FROM embeddings WHERE vec_id % 10 = 0),
+               FROM embeddings WHERE vec_id % 10 = 0
+               ORDER BY vec_id LIMIT 128),
     c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv, label AS nl
           FROM embeddings),
     scored AS (
@@ -11823,15 +11845,19 @@ def nth_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality evaluation by 3-NN label agreement — the
-    standard probe for "do these embeddings cluster by class": a 10%
-    deterministic query sample (vec_id % 10), exact cosine top-3 from
-    the broadcast-queries corpus scan (`operators.similarity.cosine_topk`),
-    majority vote with (count desc, label asc) tiebreak, per-label
-    accuracy. The vote and the accuracy are exact integer ratios."""
+    standard probe for "do these embeddings cluster by class": a
+    CONSTANT-BOUNDED deterministic query sample (every 10th vec_id,
+    capped at the first 128 — an eval metric needs a fixed-size sample,
+    not one proportional to the corpus, so the retrieval work stays
+    O(N·const) and the broadcast side stays constant at any corpus
+    size), exact cosine top-3 from the broadcast-queries corpus scan
+    (`operators.similarity.cosine_topk`), majority vote with
+    (count desc, label asc) tiebreak, per-label accuracy. The vote and
+    the accuracy are exact integer ratios."""
     from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 10 == 0)
+    q = e.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").limit(128)
     nn = cosine_topk(e, q, k=3)
     labels = e.select(F.col("vec_id"), F.col("label"))
     votes = (
@@ -12559,10 +12585,14 @@ def dedup_detector_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", tokens("text").alias("t"))
     u = toks.select(
         "doc_id",
+        # size guard: sequence(1, 0) in Spark is [1, 0], not empty — a
+        # <3-token doc would hit slice(t, 0, 3) and throw at runtime.
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                "CASE WHEN size(t) >= 3 THEN"
+                " transform(sequence(1, size(t) - 2),"
                 " i -> md5(array_join(slice(t, i, 3), ' ')))"
+                " ELSE array() END"
             )
         ).alias("w"),
     ).distinct()
@@ -12990,15 +13020,19 @@ def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS file automatically produces the right order for the next round.
 
 
-def _externally_verified() -> set[str]:
-    """Names with a green (rows+schema+hash, no err) row in any
-    CORRECTNESS_r*.json at the repo root."""
+def _green_rounds() -> dict[str, int]:
+    """name -> HIGHEST round number with a green (rows+schema+hash, no
+    err) row across the CORRECTNESS_r*.json files at the repo root —
+    i.e. when each query was last externally confirmed."""
     import json
     import pathlib
+    import re
 
     root = pathlib.Path(__file__).resolve().parents[2]
-    green: set[str] = set()
+    green: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -13011,17 +13045,33 @@ def _externally_verified() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green
+
+
+def _externally_verified() -> set[str]:
+    """Names with a green row in any CORRECTNESS_r*.json at the repo root."""
+    return set(_green_rounds())
 
 
 def driver_order() -> list[str]:
     """Registration order the driver should see: unverified-oracle first,
     verified middle, rows-only last. Pure function of the registry + the
-    CORRECTNESS files on disk (exposed for tests/README tooling)."""
-    green = _externally_verified()
+    CORRECTNESS files on disk (exposed for tests/README tooling).
+
+    The verified middle is sorted by the round each query was LAST
+    externally confirmed (stalest first, registration order as tiebreak):
+    once the unverified backlog drops below the ~50-slot window, the
+    spare slots automatically RE-verify the oldest greens round-robin,
+    so a regression in an already-verified query is caught externally
+    instead of only by the local parity suite."""
+    green = _green_rounds()
+    pos = {n: i for i, n in enumerate(QUERIES)}
     unverified = [n for n in QUERIES if n in ORACLES and n not in green]
-    verified = [n for n in QUERIES if n in ORACLES and n in green]
+    verified = sorted(
+        (n for n in QUERIES if n in ORACLES and n in green),
+        key=lambda n: (green[n], pos[n]),
+    )
     rows_only = [n for n in QUERIES if n not in ORACLES]
     return unverified + verified + rows_only
 

@@ -176,6 +176,12 @@ class Expectation:
                         F.col("n").alias("n_violations"),
                     )
                 )
+        if not frames:
+            # no registered checks (or none with an agg/frame): an empty
+            # report with the contract schema, not an IndexError
+            return self.df.sparkSession.createDataFrame(
+                [], "table string, test string, n_violations long, passed boolean"
+            )
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)

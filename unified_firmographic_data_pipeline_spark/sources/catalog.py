@@ -138,12 +138,20 @@ class Catalog:
         mid-write can leave the touched partitions partial. Delta/Iceberg
         `replaceWhere`/`overwritePartitions` close that hole; the
         full-table `overwrite` path here stays swap-atomic.)"""
-        (
+        w = (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
-            .parquet(self.path(schema, table))
         )
+        if self.fmt == "csv":
+            w.option("header", "true").csv(self.path(schema, table))
+        else:
+            getattr(w, self.fmt)(self.path(schema, table))
+        if self.fmt in ("json", "csv"):
+            import json as _json
+
+            with open(self._schema_sidecar(schema, table), "w", encoding="utf-8") as fh:
+                _json.dump(df.schema.jsonValue(), fh)
 
 
 def write_bucketed(

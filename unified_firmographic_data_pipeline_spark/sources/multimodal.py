@@ -98,6 +98,64 @@ def is_wav(b: bytes | None) -> bool:
     return b is not None and len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
 
 
+def is_jpeg(b: bytes | None) -> bool:
+    return b is not None and len(b) >= 4 and b[:2] == b"\xff\xd8"
+
+
+#: SOF markers that carry frame dimensions: C0-CF except C4 (DHT),
+#: C8 (JPG extension) and CC (DAC), per ITU T.81 Table B.1.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dims(b: bytes) -> tuple[int | None, int | None]:
+    """(width, height) of a JPEG payload from its SOF marker segment —
+    a pure-stdlib header walk (no entropy decode): skip FFD8, then step
+    marker segments (big-endian self-inclusive lengths) until any SOFn;
+    the frame header is precision(1) height(2) width(2). Returns
+    (None, None) on truncated/malformed streams, mirroring the PNG/WAV
+    probes' 'unparseable' contract."""
+    import struct
+
+    off = 2
+    n = len(b)
+    while off + 4 <= n:
+        if b[off] != 0xFF:
+            return None, None
+        marker = b[off + 1]
+        if marker == 0xFF:  # fill bytes before a marker
+            off += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone: RST/SOI/EOI/TEM
+            off += 2
+            continue
+        seg_len = struct.unpack(">H", b[off + 2 : off + 4])[0]
+        if seg_len < 2:
+            return None, None
+        if marker in _JPEG_SOF:
+            if off + 9 > n:
+                return None, None
+            h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+            return w, h
+        off += 2 + seg_len
+    return None, None
+
+
+def jpeg_encode_minimal(width: int, height: int) -> bytes:
+    """Test helper: a minimal marker-valid (not renderable) JPEG stream
+    with the given SOF0 dimensions — SOI, an APP0 stub, SOF0, EOI."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + bytes(6)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
 def wav_duration_ms(b: bytes) -> int | None:
     """Duration of a PCM RIFF/WAVE payload from the fmt + data chunk
     headers alone (no sample decode): data_bytes / byte_rate. Returns None
@@ -155,6 +213,10 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
         if kind == "image" and _png.is_png(b):
             w, h = _png.read_dims(b)
             return w, h, None
+        if kind == "image" and is_jpeg(b):
+            w, h = jpeg_dims(b)
+            if w is not None:
+                return w, h, None
         if kind == "audio" and is_wav(b):
             return None, None, wav_duration_ms(b)
         return _fake_decode(digest, kind)
