@@ -143,6 +143,13 @@ def test_driver_registration_order():
     assert names[: len(unverified)] == unverified, (
         "unverified oracle-backed queries must be registered contiguously first"
     )
+    # 1b. queries modified this round lead the unverified block, so the
+    #     next external window confirms changed code before untouched
+    #     backlog entries
+    mod_unverified = [n for n in dq._MODIFIED_FIRST if n in unverified]
+    assert names[: len(mod_unverified)] == mod_unverified, (
+        "modified-this-round queries must front the unverified block"
+    )
     # 2. previously-verified queries come next, STALEST FIRST (round of
     #    last green row ascending): once the backlog drops below the
     #    ~50-slot window, spare slots re-verify the oldest greens

@@ -133,6 +133,32 @@ def test_jpeg_dims_probe(spark):
     assert row["duration_ms"] is None
 
 
+def test_delta_merge_real_runtime_parity(spark, tmp_path):
+    """Runs the REAL Delta MERGE branch iff delta-spark is importable and
+    asserts it produces the same table as the swap fallback. In this
+    container delta-spark is absent and installs are prohibited, so this
+    skips — the skip reason IS the documented env block; on any runtime
+    with Delta on the classpath it becomes the non-mocked parity test the
+    round-3 review asked for."""
+    from unified_firmographic_data_pipeline_spark.operators import incremental as inc
+
+    if not inc.delta_merge_available():
+        pytest.skip(
+            "delta-spark not installed and pip installs prohibited in this "
+            "container; MERGE branch covered by dispatch + condition tests"
+        )
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upd = spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"])
+    d_path, s_path = str(tmp_path / "delta_t"), str(tmp_path / "swap_t")
+    assert inc.materialize_merge(spark, base, ["k"], d_path) == "delta-create"
+    assert inc.materialize_merge(spark, upd, ["k"], d_path) == "delta-merge"
+    inc._merge_with_swap(spark, base, ["k"], s_path)
+    inc._merge_with_swap(spark, upd, ["k"], s_path)
+    got_d = {(r["k"], r["v"]) for r in spark.read.format("delta").load(d_path).collect()}
+    got_s = {(r["k"], r["v"]) for r in spark.read.parquet(s_path).collect()}
+    assert got_d == got_s == {(1, "a"), (2, "B2"), (3, "c")}
+
+
 def test_cramers_v_degenerate_dof(spark):
     """A variable collapsed to one category (dof=0) yields NULL cramers_v,
     not NaN/inf, in both engines."""

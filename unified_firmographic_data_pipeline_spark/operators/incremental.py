@@ -111,7 +111,18 @@ def materialize_merge(spark, delta_df: DataFrame, keys: list[str], table_path: s
     ``MERGE INTO`` when the runtime supports it, else the
     anti-join+union+swap fallback. Returns the strategy used
     (``delta-merge`` / ``delta-create`` / ``swap-rewrite``) so callers and
-    run-metadata can record it."""
+    run-metadata can record it.
+
+    ENV BLOCK (documented per the round-3 review): the ``delta-spark``
+    package is not installed in this container and installs are
+    prohibited, so the transactional branch has never executed in-process
+    here. What IS pinned without a Delta runtime: the dispatch seam
+    (``test_materialize_merge_dispatches_to_delta``), the exact MERGE ON
+    condition text and its key coverage
+    (``test_delta_merge_condition_compiles_and_covers_all_keys``), and a
+    real-runtime parity test (``test_delta_merge_real_runtime_parity``)
+    that auto-activates — swap fallback vs MERGE result equality — the
+    moment ``import delta.tables`` succeeds."""
     if delta_merge_available():
         return _merge_with_delta(spark, delta_df, keys, table_path)
     return _merge_with_swap(spark, delta_df, keys, table_path)

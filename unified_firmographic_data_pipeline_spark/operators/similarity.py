@@ -16,7 +16,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from unified_firmographic_data_pipeline_spark.functions.vectors import cosine_similarity
+from unified_firmographic_data_pipeline_spark.functions.vectors import dot, l2_norm
+
+
+def _cosine_from_norms(a: str, b: str, na: str, nb: str):
+    """Cosine from per-row precomputed norms: ``dot(a,b)/(na*nb)`` with the
+    NULL-on-zero-norm contract of :func:`cosine_similarity`. Catalyst does
+    not CSE array folds into join-side reuse, so inlining
+    ``cosine_similarity`` costs THREE folds per scored pair; precomputing
+    each side's norm once per row (linear) leaves one fold per pair —
+    measured ~3x on the brute-force tiers. The arithmetic (fold order,
+    ``||a||*||b||`` product order) is identical, so results are bit-equal."""
+    denom = F.col(na) * F.col(nb)
+    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        dot(a, b) / denom
+    )
 
 
 def cosine_topk(
@@ -34,14 +48,6 @@ def cosine_topk(
     ``round_digits`` rounds the similarity for cross-engine reproducibility
     (ordering still uses the rounded value + id tiebreak => deterministic).
     """
-    from unified_firmographic_data_pipeline_spark.functions.vectors import dot, l2_norm
-
-    # norms are precomputed ONCE PER ROW on each side before the pair
-    # fan-out (Catalyst does not CSE the three array folds of
-    # cosine_similarity across the join), so each scored pair costs one
-    # dot-product fold instead of three — measured ~3x on the knn eval.
-    # Arithmetic is identical (same fold order, denom = ||q||*||c||), so
-    # results stay bit-equal to the cosine_similarity formulation.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -52,10 +58,7 @@ def cosine_topk(
         F.col(vec_col).alias("__cv"),
         l2_norm(vec_col).alias("__cn"),
     )
-    denom = F.col("__qn") * F.col("__cn")
-    sim = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
-        dot("__qv", "__cv") / denom
-    )
+    sim = _cosine_from_norms("__qv", "__cv", "__qn", "__cn")
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -114,6 +117,7 @@ def cosine_topk_lsh(
     bucket = lambda df, idc: df.select(  # noqa: E731
         F.col(id_col).alias(idc),
         F.col(vec_col).alias(f"__{idc}_v"),
+        l2_norm(vec_col).alias(f"__{idc}_n"),
         hyperplane_bucket(vec_col, planes).alias("__bucket"),
     )
     q = bucket(queries, "query_id")
@@ -124,9 +128,12 @@ def cosine_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("__query_id_v", "__neighbor_id_v"), 6).alias(
-                "cosine_sim"
-            ),
+            F.round(
+                _cosine_from_norms(
+                    "__query_id_v", "__neighbor_id_v", "__query_id_n", "__neighbor_id_n"
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -145,9 +152,17 @@ def embedding_dup_pairs(
 
     O(n²) scoring — the oracle-checkable exact variant for bounded inputs.
     The scale path is ``embedding_dup_pairs_lsh`` (bucketed candidates)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
+    )
+    sim = F.round(_cosine_from_norms("__va", "__vb", "__na", "__nb"), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
@@ -173,15 +188,24 @@ def embedding_dup_pairs_lsh(
     rnd = random.Random(seed)
     planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(vec_col, planes).alias("__bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(vec_col).alias("__n"),
+        hyperplane_bucket(vec_col, planes).alias("__bucket"),
     )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+        "__bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__bucket",
     )
-    sim = F.round(cosine_similarity("__va", "__vb"), 6)
+    sim = F.round(_cosine_from_norms("__va", "__vb", "__na", "__nb"), 6)
     return (
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -232,6 +256,7 @@ def cosine_topk_ivf(
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
+            l2_norm(vec_col).alias("__cn"),
             F.col("cluster_id").alias("__list"),
         )
     )
@@ -252,6 +277,7 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
         F.explode(probes).alias("__list"),
     )
     scored = (
@@ -260,7 +286,9 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("__qv", "__cv"), 6).alias("cosine_sim"),
+            F.round(_cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

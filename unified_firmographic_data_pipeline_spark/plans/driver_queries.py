@@ -13054,20 +13054,42 @@ def _externally_verified() -> set[str]:
     return set(_green_rounds())
 
 
+#: Unverified queries whose PLAN or ORACLE was modified this round — they
+#: jump to the front of the unverified block so the next driver window
+#: externally confirms the CHANGED code before untouched older entries
+#: (a modified query is the likeliest place for a fresh regression).
+#: Round 4: the sequence(1,0)-guard fixes, the degenerate-strata guards,
+#: and the bounded-sample + precomputed-norm knn/similarity rework.
+_MODIFIED_FIRST = [
+    "knn_label_accuracy",
+    "trigram_novelty_by_source",
+    "dedup_detector_pr",
+    "bpe_first_merge",
+    "cramers_v_pairs",
+    "dispersion_index_by_type",
+]
+
+
 def driver_order() -> list[str]:
     """Registration order the driver should see: unverified-oracle first,
     verified middle, rows-only last. Pure function of the registry + the
     CORRECTNESS files on disk (exposed for tests/README tooling).
 
-    The verified middle is sorted by the round each query was LAST
-    externally confirmed (stalest first, registration order as tiebreak):
-    once the unverified backlog drops below the ~50-slot window, the
-    spare slots automatically RE-verify the oldest greens round-robin,
-    so a regression in an already-verified query is caught externally
-    instead of only by the local parity suite."""
+    Within the unverified block, queries listed in ``_MODIFIED_FIRST``
+    (changed this round) come before the untouched backlog (oldest
+    first). The verified middle is sorted by the round each query was
+    LAST externally confirmed (stalest first, registration order as
+    tiebreak): once the unverified backlog drops below the ~50-slot
+    window, the spare slots automatically RE-verify the oldest greens
+    round-robin, so a regression in an already-verified query is caught
+    externally instead of only by the local parity suite."""
     green = _green_rounds()
     pos = {n: i for i, n in enumerate(QUERIES)}
-    unverified = [n for n in QUERIES if n in ORACLES and n not in green]
+    modified = {n: i for i, n in enumerate(_MODIFIED_FIRST)}
+    unverified = sorted(
+        (n for n in QUERIES if n in ORACLES and n not in green),
+        key=lambda n: (0, modified[n]) if n in modified else (1, pos[n]),
+    )
     verified = sorted(
         (n for n in QUERIES if n in ORACLES and n in green),
         key=lambda n: (green[n], pos[n]),
