@@ -11,10 +11,16 @@ Data layout notes (all shifts deterministic, so reruns are stable):
 - every table gets 10 disjoint key-shifted copies (the TPC-H scaling
   model: 10x rows, constant per-key density — co-purchase degree, events
   per user per day, docs per source all stay flat);
-- document text is prefixed with ``i`` replica-pad tokens so 10-token
-  chunk fingerprints do NOT collide across replicas (otherwise chunk-
-  sharing near-dup graphs densify 100x, which is not what "10x data"
-  means).
+- document text is rewritten per replica by suffixing EVERY token with a
+  replica tag, so replica text is genuinely NEW data: no token, shingle,
+  chunk or prefix collides across replicas. The previous prefix-pad
+  scheme left document BODIES identical across replicas, which made
+  shingle-sharing dup graphs densify ~100x at "10x" (10 exact copies of
+  every document is not 10x data — it is a 10x-duplicated corpus, and a
+  dup DETECTOR is supposed to blow up on it: dedup_detector_pr measured
+  39.7x under that scheme, 100x true pairs). Token-suffixing keeps
+  per-token frequency constant (the TPC-H constant-density model) and
+  scales true near-dup pairs linearly, like real corpus growth.
 """
 
 from __future__ import annotations
@@ -34,6 +40,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.path.join(REPO, ".scale_sf1")
 REPLICAS = 10
+#: bump when the generation scheme changes so a stale cached dataset is
+#: regenerated (v2: per-replica token suffixing replaced prefix pads)
+GENVER = 2
 
 #: (table, key columns to shift). Offsets are table-global maxima rounded
 #: up to a power of ten so shifted ids never collide.
@@ -124,8 +133,13 @@ EXTRA = {
 
 
 def generate(spark) -> None:
-    if os.path.exists(os.path.join(DST, "_DONE")):
+    import shutil
+
+    marker = os.path.join(DST, f"_DONE_v{GENVER}")
+    if os.path.exists(marker):
         return
+    if os.path.exists(DST):  # stale generation scheme: rebuild from scratch
+        shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
     for table, keys in SHIFT.items():
         src = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -143,9 +157,11 @@ def generate(spark) -> None:
             for k, off in offs.items():
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * off))
             if table == "documents" and i > 0:
-                pad = " ".join(f"pad{i}x{j}" for j in range(i))
+                # suffix EVERY token with a replica tag: replica text is
+                # new data (no cross-replica shingle/chunk/prefix
+                # collisions; per-token frequency stays constant)
                 rep = rep.withColumn(
-                    "text", F.concat(F.lit(pad + " "), F.col("text"))
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1q{i}z")
                 ).withColumn("n_chars", F.length("text"))
             parts.append(rep)
         out = parts[0]
@@ -155,7 +171,7 @@ def generate(spark) -> None:
             out = src  # dimension tables don't replicate
         out.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
         print(f"  generated {table}", file=sys.stderr)
-    open(os.path.join(DST, "_DONE"), "w").write("ok")
+    open(marker, "w").write("ok")
 
 
 def timeq(fn, sf_dir: str) -> float:
@@ -260,6 +276,22 @@ if __name__ == "__main__":
         "CONSTANT (first 128 of every-10th vec_id), so retrieval work is"
     )
     lines.append("O(corpus x 128) — linear, with a fixed-size broadcast.")
+    lines.append(
+        "The 10x text is generated by per-replica token suffixing (new"
+    )
+    lines.append(
+        "tokens/shingles per replica, constant per-token frequency), so"
+    )
+    lines.append(
+        "dup-detector pair counts scale with TRUE duplicates — under the"
+    )
+    lines.append(
+        "old identical-body replication, `dedup_detector_pr` correctly"
+    )
+    lines.append(
+        "exploded to ~100x pairs (39.7x time), which measured corpus"
+    )
+    lines.append("duplication, not plan scaling.")
     with open(os.path.join(REPO, "SCALE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALE.md")
