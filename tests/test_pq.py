@@ -1,0 +1,101 @@
+"""Product-quantization tier: determinism, ADC exactness on the table
+lookups, and recall against the exact cosine baseline on the embeddings
+fixture."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from unified_firmographic_data_pipeline_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, m=8, k=16, n_iter=1)
+
+
+def test_train_shape_and_determinism(emb, books):
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(cw) == 8 for b in books for cw in b)
+    # integer-micro Lloyd sums -> a second run is bit-identical
+    assert pq_train(emb, m=8, k=16, n_iter=1) == books
+
+
+def test_encode_codes_in_range(emb, books):
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c <= 15 for r in rows for c in r["codes"])
+
+
+def test_adc_distance_matches_python(spark, emb, books):
+    """The ADC sum must equal the Python table-lookup computation for the
+    same codes — the plan does lookups, not math, on the corpus side."""
+    q = emb.orderBy("vec_id").limit(2)
+    codes = pq_encode(emb, books)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist_micro"]
+        for r in pq_topk(codes, q, books, k=3).collect()
+    }
+    qv = {r["vec_id"]: list(r["embedding"]) for r in q.collect()}
+    cv = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+
+    def table(v):
+        t = []
+        for j, book in enumerate(books):
+            svec = v[j * 8 : (j + 1) * 8]
+            t.append(
+                [
+                    sum(
+                        int(round((float(x) - y) * (float(x) - y) * 1e6))
+                        for x, y in zip(svec, cw)
+                    )
+                    for cw in book
+                ]
+            )
+        return t
+
+    for (qid, nid), d in got.items():
+        t = table(qv[qid])
+        expect = sum(t[j][cv[nid][j]] for j in range(8))
+        assert d == expect, (qid, nid, d, expect)
+
+
+def test_rerank_recall_vs_exact_baseline(spark, emb):
+    """The deployed shape — L2-normalize, ADC shortlist, exact re-rank —
+    must recover most of the exact cosine top-10. Raw ADC@10 measured
+    0.25-0.38 on this tightly-clustered fixture (quantization reorders
+    near-ties; that is why the re-rank stage exists); shortlist-50 +
+    re-rank measured 0.75. Deterministic data + integer-micro codebooks
+    => a fixed number; 0.6 is the floor."""
+    from unified_firmographic_data_pipeline_spark.operators.pq import (
+        l2_normalized,
+        pq_topk_rerank,
+    )
+    from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
+
+    norm = l2_normalized(emb)
+    nbooks = pq_train(norm, m=8, k=32, n_iter=4)
+    q = norm.filter((norm.vec_id % 25) == 0)
+    exact = cosine_topk(emb, emb.filter((emb.vec_id % 25) == 0), k=10)
+    approx = pq_topk_rerank(
+        pq_encode(norm, nbooks), norm, q, nbooks, k=10, shortlist=50
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall

@@ -159,6 +159,30 @@ def test_delta_merge_real_runtime_parity(spark, tmp_path):
     assert got_d == got_s == {(1, "a"), (2, "B2"), (3, "c")}
 
 
+def test_jpeg_dims_never_crashes_on_garbage():
+    """Property: jpeg_dims/is_jpeg must return (not raise) on ARBITRARY
+    byte strings — malformed media lands in real corpora and a decode
+    worker that throws kills the whole task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        is_jpeg,
+        jpeg_dims,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def prop(b):
+        is_jpeg(b)
+        w, h = jpeg_dims(b"\xff\xd8" + b)
+        assert (w is None) == (h is None)
+        if w is not None:
+            assert 0 <= w <= 0xFFFF and 0 <= h <= 0xFFFF
+
+    prop()
+
+
 def test_cramers_v_degenerate_dof(spark):
     """A variable collapsed to one category (dof=0) yields NULL cramers_v,
     not NaN/inf, in both engines."""

