@@ -31,6 +31,7 @@ DEGENERATE_DOCS = [
     (5, "the quick brown fox jumps over the lazy dog again and again ok", "en", "src0", 63),
     (6, "the quick brown fox jumps over the lazy dog again and again ok", "en", "src1", 63),
     (7, "one two", "fr", "src2", 7),                # 2 tokens, distinct source
+    (8, "   ", "en", "src2", 3),                    # whitespace-only text
 ]
 
 
@@ -65,6 +66,28 @@ def test_sequence_guard_on_short_docs(name: str, spark, degenerate_sf: str):
     spark_pdf = QUERIES[name](spark, degenerate_sf).toPandas()
     duck_pdf = duck_con(degenerate_sf).execute(ORACLES[name]).fetchdf()
     assert_bit_exact(name, spark_pdf, duck_pdf)
+
+
+def test_degenerate_docs_full_sweep(spark, degenerate_sf: str):
+    """EVERY oracle-backed query that touches `documents` stays bit-exact
+    on the degenerate corpus (empty / whitespace-only / 1-token / 2-token
+    docs, frequent 1-char token). This sweep found the round-4 empty-text
+    token-count divergence (DuckDB string_split('') is [''] with len 1 vs
+    token_count's 0) in text_stats / pack_sequences_256 /
+    tokenizer_fertility_by_lang — the class of data-dependent drift the
+    sf fixtures can't see."""
+    con = duck_con(degenerate_sf)
+    targets = [n for n, sql in ORACLES.items() if "documents" in sql]
+    assert len(targets) >= 60  # the sweep must keep covering the family
+    failures = []
+    for name in targets:
+        try:
+            spark_pdf = QUERIES[name](spark, degenerate_sf).toPandas()
+            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            assert_bit_exact(name, spark_pdf, duck_pdf)
+        except Exception as e:  # collect all, report once
+            failures.append(f"{name}: {e!r}"[:300])
+    assert not failures, "\n".join(failures)
 
 
 def test_bpe_no_single_char_pairs(spark, degenerate_sf: str):

@@ -803,11 +803,22 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_SQL = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 
+#: token COUNT with the empty-text guard: DuckDB's string_split('') is
+#: [''] (len 1), but functions.text.token_count defines 0 tokens for
+#: empty/whitespace-only text — oracles that COUNT tokens must use this
+#: guarded form (oracles that index/filter the token LIST are unaffected:
+#: Spark's tokens() also yields [''] there). Found by the round-4
+#: degenerate-corpus sweep (tests/test_round4_fixes.py).
+_NTOK_SQL = (
+    "(CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0"
+    f" ELSE len({_TOKENS_SQL}) END)"
+)
+
 @q(
     "text_stats",
     f"""
     SELECT doc_id,
-           CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens,
+           CAST({_NTOK_SQL} AS INTEGER) AS n_tokens,
            CAST(length(text) AS INTEGER) AS n_chars_measured,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INTEGER) AS n_bpe_ish,
            CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS INTEGER) AS n_stopwords,
@@ -2671,7 +2682,7 @@ def contamination_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 @q(
     "pack_sequences_256",
     rf"""
-    WITH n AS (SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS INT) AS n_tokens
+    WITH n AS (SELECT source, doc_id, CAST({_NTOK_SQL} AS INT) AS n_tokens
                FROM documents)
     SELECT source, doc_id, n_tokens,
            CAST(floor(COALESCE(SUM(n_tokens) OVER (
@@ -12821,8 +12832,10 @@ def ab_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
                     AS BIGINT) AS n_bpe,
-               CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
-                    AS BIGINT) AS n_ws,
+               CAST(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = ''
+                         THEN 0
+                         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                    END AS BIGINT) AS n_ws,
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -13067,6 +13080,7 @@ _MODIFIED_FIRST = [
     "bpe_first_merge",
     "cramers_v_pairs",
     "dispersion_index_by_type",
+    "tokenizer_fertility_by_lang",  # empty-text token-count oracle guard
 ]
 
 
