@@ -129,6 +129,80 @@ def test_expectation_report_empty(spark):
     assert rep.count() == 0
 
 
+def _degenerate_events_rows():
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(d, h=0, mi=0):
+        return t0 + dt.timedelta(days=d, hours=h, minutes=mi)
+
+    rows, eid = [], 0
+
+    def add(t, uid, et, val, props='{"k": 1}'):
+        nonlocal eid
+        rows.append((eid, t, uid, et, val, props))
+        eid += 1
+
+    types = ["view", "purchase", "signup", "error", "click"]
+    for u in (1, 2, 3):  # a small normal population
+        for d in range(3):
+            for i, et in enumerate(types):
+                add(ts(d, h=u, mi=i * 7), u, et, 10.0 * (i + 1) + u, '{"k": %d}' % (u * 10 + i))
+    add(ts(0, h=5), 9001, "purchase", 42.0)  # single-event user
+    for _ in range(5):
+        add(ts(1, h=6), 9002, "view", 7.0)  # 5 events, IDENTICAL ts + type
+    for i in range(8):
+        add(ts(2, h=7, mi=i), 9003, "error", 0.0)  # one active day, one type
+    add(ts(0, h=8), 9004, "click", -5.5, "{}")  # negative value, empty props
+    add(ts(0, h=9), 9004, "click", 0.0, '{"k": null}')
+    return rows
+
+
+@pytest.fixture(scope="module")
+def degenerate_events_sf(tmp_path_factory) -> str:
+    """sf0.001 with events.parquet swapped for degenerate shapes:
+    single-event users (lag/lead NULL), identical-timestamp bursts
+    (all-zero gaps), one-active-day one-type users, zero/negative
+    values, empty/null props."""
+    import duckdb
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    src = os.path.join(base, "sf0.001")
+    d = tmp_path_factory.mktemp("sf_degenerate_events")
+    for t in TABLES:
+        if t != "events":
+            os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)", _degenerate_events_rows())
+    con.execute(f"COPY ev TO '{d / 'events.parquet'}' (FORMAT PARQUET)")
+    return str(d)
+
+
+def test_degenerate_events_full_sweep(spark, degenerate_events_sf: str):
+    """EVERY oracle-backed query that touches `events` stays bit-exact on
+    the degenerate events table. This sweep found the round-4
+    all-zero-gap crash in interevent_burstiness_buckets (sigma = mu = 0
+    -> NaN -> ANSI int cast throws) that the sf fixtures' sub-second
+    timestamps could not trigger."""
+    con = duck_con(degenerate_events_sf)
+    targets = [n for n, sql in ORACLES.items() if "events" in sql]
+    assert len(targets) >= 80
+    failures = []
+    for name in targets:
+        try:
+            spark_pdf = QUERIES[name](spark, degenerate_events_sf).toPandas()
+            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            assert_bit_exact(name, spark_pdf, duck_pdf)
+        except Exception as e:
+            failures.append(f"{name}: {e!r}"[:300])
+    assert not failures, "\n".join(failures)
+
+
 def test_jpeg_dims_probe(spark):
     """JPEG SOF-marker dims probe: real header walk on a generated
     minimal JPEG (through the full decode_media_meta plumbing), and the

@@ -6994,7 +6994,7 @@ def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFram
                CAST(SUM(gap) AS BIGINT) AS s,
                CAST(SUM(gap * gap) AS BIGINT) AS ss
         FROM g WHERE gap IS NOT NULL
-        GROUP BY user_id HAVING COUNT(*) >= 2),
+        GROUP BY user_id HAVING COUNT(*) >= 2 AND SUM(gap) > 0),
     b AS (
         SELECT user_id,
                round((sqrt(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
@@ -7026,7 +7026,12 @@ def interevent_burstiness_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("gap").alias("s"),
             F.sum(F.col("gap") * F.col("gap")).alias("ss"),
         )
-        .filter(F.col("n") >= 2)
+        # s > 0 guard: a user whose gaps are ALL zero (burst of identical
+        # timestamps) has sigma = mu = 0 -> 0/0 -> NaN, and the ANSI
+        # int cast of NaN throws; burstiness is undefined there in both
+        # engines, so such users are excluded (gaps are non-negative, so
+        # s > 0 iff the denominator sigma + mu > 0)
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
     )
     sigma_scaled = F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
     bness = F.round(
@@ -13081,6 +13086,7 @@ _MODIFIED_FIRST = [
     "cramers_v_pairs",
     "dispersion_index_by_type",
     "tokenizer_fertility_by_lang",  # empty-text token-count oracle guard
+    "interevent_burstiness_buckets",  # all-zero-gap user exclusion
 ]
 
 
