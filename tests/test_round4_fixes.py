@@ -203,6 +203,95 @@ def test_degenerate_events_full_sweep(spark, degenerate_events_sf: str):
     assert not failures, "\n".join(failures)
 
 
+def _degenerate_tpch_rows():
+    import datetime as dt
+
+    D = dt.datetime
+    orders, li = [], []
+
+    def o(ok, ck, st, tp, date, prio):
+        orders.append((ok, ck, st, tp, date, prio))
+
+    def l(ok, pk, sk, ln, qty, price, disc, tax, rf, ls, ship):
+        li.append((ok, pk, sk, ln, qty, price, disc, tax, rf, ls, ship))
+
+    for i in range(10):  # customer 1: 10 identical orders (zero variance)
+        o(100 + i, 1, "F", 1000.0, D(1995, 3, 1), "3-MEDIUM")
+        l(100 + i, 5, 1, 1, 1.0, 500.0, 0.0, 0.0, "A", "F", D(1995, 3, 5))
+    o(200, 2, "O", 42.0, D(1996, 1, 10), "1-URGENT")  # single order+lineitem
+    l(200, 7, 2, 1, 3.0, 42.0, 0.05, 0.02, "N", "O", D(1996, 1, 12))
+    o(300, 3, "F", 700.0, D(1994, 6, 1), "5-LOW")  # 7 lineitems, ONE part
+    for i in range(7):
+        l(300, 11, 3, i + 1, 2.0, 100.0, 0.1, 0.04, "R", "F", D(1994, 6, 3))
+    for i, ok in enumerate((400, 401, 402)):  # part 20: constant unit price
+        o(ok, 4 + i, "P", 250.0, D(1993, 2, 1 + i), "2-HIGH")
+        l(ok, 20, 4, 1, float(i + 1), 99.99, 0.0, 0.0, "A", "F", D(1993, 2, 10))
+    o(500, 10, "O", 0.0, D(1997, 7, 7), "4-NOT SPECIFIED")  # zero totalprice
+    l(500, 30, 5, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", D(1997, 7, 7))  # zero price
+    for i in range(12):  # background mass
+        ok = 600 + i
+        o(ok, 20 + i, "OFP"[i % 3], 100.0 + 37.5 * i, D(1995, 1 + (i % 6), 2 + i), f"{1 + i % 5}-X")
+        for j in range(1 + i % 3):
+            l(ok, 40 + (i * 3 + j) % 50, 1 + i % 10, j + 1, 1.0 + (i + j) % 5,
+              50.0 + 13.3 * ((i + j) % 7), 0.01 * (i % 8), 0.01 * (j % 6),
+              "ANR"[(i + j) % 3], "OF"[i % 2], D(1995, 1 + (i % 6), 5 + i))
+    return orders, li
+
+
+@pytest.fixture(scope="module")
+def degenerate_tpch_sf(tmp_path_factory) -> str:
+    """sf0.001 with orders+lineitem swapped for degenerate shapes:
+    zero-variance customers, single-order customers, one-part baskets,
+    constant-price parts, zero prices/totals — the variance-denominator
+    and ln-domain failure class."""
+    import duckdb
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    src = os.path.join(base, "sf0.001")
+    d = tmp_path_factory.mktemp("sf_degenerate_tpch")
+    for t in TABLES:
+        if t not in ("orders", "lineitem"):
+            os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    orders, li = _degenerate_tpch_rows()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE o2 (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR)"
+    )
+    con.executemany("INSERT INTO o2 VALUES (?, ?, ?, ?, ?, ?)", orders)
+    con.execute(f"COPY o2 TO '{d / 'orders.parquet'}' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE l2 (l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR,"
+        " l_linestatus VARCHAR, l_shipdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO l2 VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)", li)
+    con.execute(f"COPY l2 TO '{d / 'lineitem.parquet'}' (FORMAT PARQUET)")
+    return str(d)
+
+
+def test_degenerate_tpch_full_sweep(spark, degenerate_tpch_sf: str):
+    """EVERY oracle-backed query touching orders/lineitem stays bit-exact
+    on the degenerate tables. This sweep found four round-4 defects: ANSI
+    DIVIDE_BY_ZERO in q14 (zero window revenue), elasticity (zero price
+    variance) and local_bridges (empty graph), and DuckDB ln(0) erroring
+    where Spark yields NULL (theil, elasticity) — all now guarded with
+    agreed NULL/exclusion semantics in BOTH engines."""
+    con = duck_con(degenerate_tpch_sf)
+    targets = [n for n, sql in ORACLES.items() if "lineitem" in sql or "orders" in sql]
+    assert len(targets) >= 85
+    failures = []
+    for name in targets:
+        try:
+            spark_pdf = QUERIES[name](spark, degenerate_tpch_sf).toPandas()
+            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            assert_bit_exact(name, spark_pdf, duck_pdf)
+        except Exception as e:
+            failures.append(f"{name}: {e!r}"[:300])
+    assert not failures, "\n".join(failures)
+
+
 def test_jpeg_dims_probe(spark):
     """JPEG SOF-marker dims probe: real header walk on a generated
     minimal JPEG (through the full decode_media_meta plumbing), and the

@@ -1098,8 +1098,10 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q14_promo_revenue_share",
     f"""
-    SELECT CAST(100.0 * {_S("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
-                / {_S('l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE) AS promo_share_pct
+    SELECT CASE WHEN {_S('l.l_extendedprice * (1 - l.l_discount)')} <> 0 THEN
+               CAST(100.0 * {_S("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+                    / {_S('l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE)
+           END AS promo_share_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
     """,
@@ -1113,9 +1115,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    # zero-revenue guard (degenerate-corpus sweep): an all-zero window
+    # would THROW under ANSI division — the share is undefined, NULL
+    share = F.when(_dsum(rev) != 0, F.lit(100.0) * _dsum(promo) / _dsum(rev))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .agg((F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("promo_share_pct"))
+        .agg(share.alias("promo_share_pct"))
     )
 
 
@@ -7781,7 +7786,8 @@ def kaplan_meier_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
-        GROUP BY 1, 2),
+        GROUP BY 1, 2
+        HAVING SUM(CAST(round(o.o_totalprice * 1e6) AS BIGINT)) > 0),
     m AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tot
           FROM rev GROUP BY region),
     terms AS (
@@ -7817,6 +7823,10 @@ def theil_index_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("c_custkey").alias("ck"), F.col("r_name").alias("region"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).cast("long").alias("x"))
+        # x > 0 guard (degenerate-corpus sweep): Theil terms take ln(x);
+        # non-positive customer revenue is outside the index's domain and
+        # DuckDB's ln(0) ERRORS where Spark's yields NULL
+        .filter(F.col("x") > 0)
     )
     m = rev.groupBy("region").agg(
         F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("tot")
@@ -9184,7 +9194,8 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.p_brand AS brand,
                CAST(round(ln(l.l_quantity) * 1e6) AS BIGINT) AS lq,
                CAST(round(ln(l.l_extendedprice / l.l_quantity) * 1e6) AS BIGINT) AS lp
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
     m AS (
         SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(lp) AS BIGINT) AS sx, CAST(SUM(lq) AS BIGINT) AS sy,
@@ -9192,10 +9203,13 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(lp * lq) AS BIGINT) AS sxy
         FROM b GROUP BY brand)
     SELECT brand, n,
-           round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
-                   / CAST(n AS DOUBLE))
-                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                     / CAST(n AS DOUBLE))), 6) AS elasticity
+           CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE)) <> 0 THEN
+               round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))), 6)
+           END AS elasticity
     FROM m ORDER BY brand
     """,
 )
@@ -9209,6 +9223,9 @@ def elasticity_loglog_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
+    # positive-domain guard (degenerate-corpus sweep): ln needs qty and
+    # price > 0 — DuckDB's ln(0) ERRORS where Spark's yields NULL
+    li = li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
     b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
         F.col("p_brand").alias("brand"),
         F.round(F.log(F.col("l_quantity")) * 1e6).cast("long").alias("lq"),
@@ -9224,12 +9241,16 @@ def elasticity_loglog_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lp") * F.col("lq")).cast("long").alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    slope = (
-        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
-    ) / (
+    den = (
         F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
     )
-    return m.select("brand", "n", F.round(slope, 6).alias("elasticity")).orderBy("brand")
+    num = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    )
+    # zero-variance guard: a brand with one distinct unit price has no
+    # defined slope — NULL in both engines (ANSI division would THROW)
+    slope = F.when(den != 0, F.round(num / den, 6))
+    return m.select("brand", "n", slope.alias("elasticity")).orderBy("brand")
 
 
 @q(
@@ -11722,8 +11743,10 @@ def bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE wedge.i = und.a AND wedge.j = und.b))
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
            CAST(COUNT(*) AS BIGINT) AS n_local_bridges,
-           round(CAST(COUNT(*) AS DOUBLE)
-                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM und), 6) AS bridge_pct
+           CASE WHEN (SELECT COUNT(*) FROM und) > 0 THEN
+               round(CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT CAST(COUNT(*) AS DOUBLE) FROM und), 6)
+           END AS bridge_pct
     FROM br
     """,
 )
@@ -11752,9 +11775,15 @@ def local_bridges_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_edges",
             "n_local_bridges",
-            F.round(
-                F.col("n_local_bridges").cast("double") / F.col("n_edges").cast("double"),
-                6,
+            # empty-graph guard (degenerate-corpus sweep): 0 edges would
+            # THROW under ANSI division — the share is undefined, NULL
+            F.when(
+                F.col("n_edges") > 0,
+                F.round(
+                    F.col("n_local_bridges").cast("double")
+                    / F.col("n_edges").cast("double"),
+                    6,
+                ),
             ).alias("bridge_pct"),
         )
     )
@@ -13087,6 +13116,9 @@ _MODIFIED_FIRST = [
     "dispersion_index_by_type",
     "tokenizer_fertility_by_lang",  # empty-text token-count oracle guard
     "interevent_burstiness_buckets",  # all-zero-gap user exclusion
+    "theil_index_by_region",  # non-positive-revenue exclusion
+    "elasticity_loglog_by_brand",  # ln domain + zero-variance guards
+    "local_bridges_count",  # empty-graph share guard
 ]
 
 
