@@ -292,6 +292,56 @@ def test_degenerate_tpch_full_sweep(spark, degenerate_tpch_sf: str):
     assert not failures, "\n".join(failures)
 
 
+@pytest.fixture(scope="module")
+def degenerate_emb_sf(tmp_path_factory) -> str:
+    """sf0.001 with embeddings.parquet swapped for degenerate vectors:
+    two zero vectors (NULL-cosine contract), an exact duplicate, a
+    near-zero vector, five identical vectors (rank ties)."""
+    import duckdb
+    import random
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    src = os.path.join(base, "sf0.001")
+    d = tmp_path_factory.mktemp("sf_degenerate_emb")
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        lab = i % 4
+        rows.append((i, [round(lab + rnd.gauss(0, 0.1), 3) for _ in range(64)], lab))
+    rows.append((100, [0.0] * 64, 1))
+    rows.append((101, [0.0] * 64, 2))
+    rows.append((102, rows[0][1][:], 0))
+    rows.append((110, [1e-6] * 64, 3))
+    for i in range(5):
+        rows.append((120 + i, [2.5] * 64, 2))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e2 (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO e2 VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY e2 TO '{d / 'embeddings.parquet'}' (FORMAT PARQUET)")
+    return str(d)
+
+
+def test_degenerate_embeddings_full_sweep(spark, degenerate_emb_sf: str):
+    """Every oracle-backed embeddings query stays bit-exact on zero
+    vectors (the NULL-on-zero-norm cosine contract, cross-engine),
+    duplicates and rank ties."""
+    con = duck_con(degenerate_emb_sf)
+    targets = [n for n, sql in ORACLES.items() if "embeddings" in sql]
+    assert len(targets) >= 7
+    failures = []
+    for name in targets:
+        try:
+            spark_pdf = QUERIES[name](spark, degenerate_emb_sf).toPandas()
+            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            assert_bit_exact(name, spark_pdf, duck_pdf)
+        except Exception as e:
+            failures.append(f"{name}: {e!r}"[:300])
+    assert not failures, "\n".join(failures)
+
+
 def test_jpeg_dims_probe(spark):
     """JPEG SOF-marker dims probe: real header walk on a generated
     minimal JPEG (through the full decode_media_meta plumbing), and the
