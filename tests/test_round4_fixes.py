@@ -342,6 +342,63 @@ def test_degenerate_embeddings_full_sweep(spark, degenerate_emb_sf: str):
     assert not failures, "\n".join(failures)
 
 
+MALFORMED_PROPS_CASES = [
+    '{"k": 1}', '{"k": 0}', "{}", '{"k": null}', "null", "", None,
+    "{", "not json", "[1, 2, 3]", '{"k": "12"}', '{"k": 1e308}',
+    '{"other": 5}', '{"k": {"nested": 1}}',
+]
+
+
+@pytest.fixture(scope="module")
+def malformed_props_sf(tmp_path_factory) -> str:
+    """sf0.001 with events.parquet swapped for one row per props edge
+    case: malformed JSON, empty string, SQL NULL, JSON null, arrays,
+    string-typed numbers, overflow doubles, missing keys, nested
+    objects."""
+    import datetime as dt
+    import duckdb
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    src = os.path.join(base, "sf0.001")
+    d = tmp_path_factory.mktemp("sf_malformed_props")
+    for t in TABLES:
+        if t != "events":
+            os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 5, i % 24), 1 + i % 5,
+         ["view", "purchase", "click"][i % 3], 10.0 + i, pr)
+        for i, pr in enumerate(MALFORMED_PROPS_CASES)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{d / 'events.parquet'}' (FORMAT PARQUET)")
+    return str(d)
+
+
+def test_malformed_props_full_sweep(spark, malformed_props_sf: str):
+    """Every props-touching oracle query stays bit-exact on dirty JSON.
+    This sweep found the round-4 crashes in the whole JSON/VARIANT
+    family: parse_json and ANSI casts RAISE on malformed/non-castable
+    payloads (now the try_ tier, NULL), and DuckDB's json_extract ERRORS
+    on malformed input (now json_valid-guarded in the oracles)."""
+    con = duck_con(malformed_props_sf)
+    targets = [n for n, sql in ORACLES.items() if "props" in sql]
+    assert len(targets) >= 5
+    failures = []
+    for name in targets:
+        try:
+            spark_pdf = QUERIES[name](spark, malformed_props_sf).toPandas()
+            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            assert_bit_exact(name, spark_pdf, duck_pdf)
+        except Exception as e:
+            failures.append(f"{name}: {e!r}"[:300])
+    assert not failures, "\n".join(failures)
+
+
 def test_jpeg_dims_probe(spark):
     """JPEG SOF-marker dims probe: real header walk on a generated
     minimal JPEG (through the full decode_media_meta plumbing), and the

@@ -53,18 +53,23 @@ def flatten_variant(
     parent_cols: Sequence[str] = (),
     array_path: str | None = None,
     out_col: str = "value",
+    lenient: bool = False,
 ) -> DataFrame:
     """Spark-4 VARIANT-native flatten — the closest analogue of Snowflake's
     ``LATERAL FLATTEN(input => payload)`` (``stg_wiki_sp500.sql:16-17``):
     ``parse_json`` produces a VariantType and ``LATERAL variant_explode``
     unnests it, keeping elements as variants (schema-on-read preserved all
-    the way; extract typed fields later with ``variant_get``)."""
+    the way; extract typed fields later with ``variant_get``).
+    ``lenient=True`` swaps in ``try_parse_json``: malformed payloads
+    become NULL variants and contribute ZERO exploded rows instead of
+    failing the job — the right contract for dirty event streams."""
     import uuid
 
     spark = df.sparkSession
     view = f"__flatten_variant_{uuid.uuid4().hex[:8]}"
     df.createOrReplaceTempView(view)
-    expr = f"parse_json({payload_col})"
+    fn = "try_parse_json" if lenient else "parse_json"
+    expr = f"{fn}({payload_col})"
     if array_path is not None:
         expr = f"variant_get({expr}, '$.{array_path}')"
     cols = ", ".join([*parent_cols, f"f.value AS {out_col}"])

@@ -356,17 +356,25 @@ def fk_violations_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     "json_extract_props",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                                  THEN json_extract_string(props, '$.k') END
+                             AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: JSON path extraction from the VARIANT-like ``props`` string
-    (``get_json_object`` = Snowflake ``payload:k`` = DuckDB ->>)."""
+    (``get_json_object`` = Snowflake ``payload:k`` = DuckDB ->>).
+    Malformed JSON or a non-numeric value extracts to NULL (try_cast —
+    an ANSI cast would THROW on e.g. a nested object; the oracle guards
+    with json_valid because DuckDB's json_extract ERRORS on malformed
+    input where get_json_object yields NULL). Found by the round-4
+    malformed-props sweep."""
     e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
-        e.select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        e.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
     )
@@ -1294,19 +1302,24 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "variant_json_extract",
     """
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+    SELECT TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n
     FROM events GROUP BY 1
     """,
 )
 def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT path (the true Snowflake-VARIANT analogue):
-    parse_json + variant_get instead of get_json_object string-walking."""
+    try_parse_json + try_variant_get instead of get_json_object
+    string-walking — the try_ tiers make malformed JSON and
+    non-castable values NULL instead of throwing (parse_json RAISES on
+    a bad payload; round-4 malformed-props sweep)."""
     e = _t(spark, sf_dir, "events")
     e.createOrReplaceTempView("events_v")
     return spark.sql(
         """
-        SELECT variant_get(parse_json(props), '$.k', 'long') % 10 AS k_bucket,
+        SELECT try_variant_get(try_parse_json(props), '$.k', 'long') % 10 AS k_bucket,
                COUNT(*) AS n
         FROM events_v GROUP BY 1
         """
@@ -1475,25 +1488,36 @@ def embedding_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_lateral_flatten",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(*) AS n
-    FROM events GROUP BY event_type
+    FROM events
+    WHERE props IS NOT NULL AND json_valid(props)
+    GROUP BY event_type
     """,
 )
 def variant_lateral_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake LATERAL FLATTEN parity on the Spark-4 VARIANT type:
     wrap props into a 1-element JSON array, ``LATERAL variant_explode`` it,
-    then ``variant_get`` the typed field out of the exploded element."""
+    then ``variant_get`` the typed field out of the exploded element.
+    FLATTEN semantics on dirty payloads: a malformed props produces ZERO
+    exploded rows (lenient try_parse_json + LATERAL drop), so the oracle
+    restricts to json_valid rows; non-castable values are NULL via the
+    try_ tier (round-4 malformed-props sweep)."""
     from unified_firmographic_data_pipeline_spark.operators.flatten import flatten_variant
 
     e = _t(spark, sf_dir, "events").select(
-        "event_type", F.concat(F.lit("["), F.col("props"), F.lit("]")).alias("payload")
+        "event_type",
+        F.when(
+            F.col("props").isNotNull(),
+            F.concat(F.lit("["), F.col("props"), F.lit("]")),
+        ).alias("payload"),
     )
-    flat = flatten_variant(e, "payload", parent_cols=("event_type",))
+    flat = flatten_variant(e, "payload", parent_cols=("event_type",), lenient=True)
     return (
         flat.select(
             "event_type",
-            F.expr("variant_get(value, '$.k', 'long')").alias("k"),
+            F.expr("try_variant_get(value, '$.k', 'long')").alias("k"),
         )
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
@@ -9836,8 +9860,11 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
         SELECT event_type,
-               CAST(json_extract(props, '$.k') AS INTEGER) AS k,
-               json_extract(props, '$.absent') AS missing
+               TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS INTEGER) AS k,
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN json_extract(props, '$.absent') END AS missing
         FROM events)
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(k) AS BIGINT) AS k_sum,
@@ -9859,13 +9886,16 @@ def variant_type_get_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant_json_extract / json_extract_props — this pins the third,
     Spark-4-native tier."""
     e = _t(spark, sf_dir, "events")
+    # try_ tier throughout (round-4 malformed-props sweep): parse_json
+    # RAISES on malformed payloads and variant_get RAISES on a value not
+    # castable to the target type; the lenient contract is NULL for both
     v = e.select(
         "event_type",
-        F.parse_json("props").alias("__v"),
+        F.try_parse_json("props").alias("__v"),
     ).select(
         "event_type",
-        F.variant_get("__v", "$.k", "int").alias("k"),
-        F.variant_get("__v", "$.absent", "string").alias("missing"),
+        F.try_variant_get("__v", "$.k", "int").alias("k"),
+        F.try_variant_get("__v", "$.absent", "string").alias("missing"),
     )
     return v.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
@@ -13119,6 +13149,7 @@ _MODIFIED_FIRST = [
     "theil_index_by_region",  # non-positive-revenue exclusion
     "elasticity_loglog_by_brand",  # ln domain + zero-variance guards
     "local_bridges_count",  # empty-graph share guard
+    "variant_type_get_stats",  # try_parse_json / try_variant_get tier
 ]
 
 
