@@ -399,6 +399,82 @@ def test_malformed_props_full_sweep(spark, malformed_props_sf: str):
     assert not failures, "\n".join(failures)
 
 
+@pytest.fixture(scope="module")
+def degenerate_dims_sf(tmp_path_factory) -> str:
+    """sf0.001 with customer/supplier/part swapped for degenerate dims:
+    zero and negative account balances, duplicate names across customers
+    AND suppliers (entity-resolution blocking), empty market segments,
+    zero retail prices, shared part names. FK keys stay 1..150/1..10/
+    1..200 so the fact tables still join."""
+    import duckdb
+
+    base = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    src = os.path.join(base, "sf0.001")
+    d = tmp_path_factory.mktemp("sf_degenerate_dims")
+    for t in TABLES:
+        if t not in ("customer", "supplier", "part"):
+            os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    cust = []
+    for k in range(1, 151):
+        seg = ["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"][k % 5]
+        name, bal, nk = f"Customer#{k:09d}", 1000.0 + k, k % 25
+        if k <= 5:
+            bal = 0.0
+        elif k <= 10:
+            bal = -999.99
+        elif k <= 15:
+            name = "Smith Jones"
+        elif k <= 18:
+            seg = ""
+        cust.append((k, name, nk, bal, seg))
+    supp = [
+        (k, "Supplier#%09d" % k if k > 2 else "Smith Jones", k % 25,
+         0.0 if k <= 2 else 500.0 + k)
+        for k in range(1, 11)
+    ]
+    part = [
+        (k, "widget gadget thing" if k <= 6 else f"part name {k}",
+         f"Brand#{1 + k % 5}{1 + k % 3}", "PROMO" if k % 4 == 0 else "STANDARD",
+         k % 50, 0.0 if k <= 3 else 900.0 + k)
+        for k in range(1, 201)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c2 (c_custkey BIGINT, c_name VARCHAR, c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
+    con.executemany("INSERT INTO c2 VALUES (?, ?, ?, ?, ?)", cust)
+    con.execute(f"COPY c2 TO '{d / 'customer.parquet'}' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE s2 (s_suppkey BIGINT, s_name VARCHAR, s_nationkey INTEGER, s_acctbal DOUBLE)")
+    con.executemany("INSERT INTO s2 VALUES (?, ?, ?, ?)", supp)
+    con.execute(f"COPY s2 TO '{d / 'supplier.parquet'}' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE p2 (p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR, p_type VARCHAR, p_size INTEGER, p_retailprice DOUBLE)")
+    con.executemany("INSERT INTO p2 VALUES (?, ?, ?, ?, ?, ?)", part)
+    con.execute(f"COPY p2 TO '{d / 'part.parquet'}' (FORMAT PARQUET)")
+    return str(d)
+
+
+def test_degenerate_dims_full_sweep(spark, degenerate_dims_sf: str):
+    """Every oracle-backed query touching customer/supplier/part stays
+    bit-exact on degenerate dims (found nothing new in round 4 — the
+    ER/fuzzy-match and balance paths hold; kept as regression
+    insurance)."""
+    con = duck_con(degenerate_dims_sf)
+    targets = [
+        n
+        for n, sql in ORACLES.items()
+        if "customer" in sql or "supplier" in sql
+        or " part" in sql.replace("(", " ").replace("\n", " ")
+    ]
+    assert len(targets) >= 45
+    failures = []
+    for name in targets:
+        try:
+            spark_pdf = QUERIES[name](spark, degenerate_dims_sf).toPandas()
+            duck_pdf = con.execute(ORACLES[name]).fetchdf()
+            assert_bit_exact(name, spark_pdf, duck_pdf)
+        except Exception as e:
+            failures.append(f"{name}: {e!r}"[:300])
+    assert not failures, "\n".join(failures)
+
+
 def test_jpeg_dims_probe(spark):
     """JPEG SOF-marker dims probe: real header walk on a generated
     minimal JPEG (through the full decode_media_meta plumbing), and the
