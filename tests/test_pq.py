@@ -75,6 +75,33 @@ def test_adc_distance_matches_python(spark, emb, books):
         assert d == expect, (qid, nid, d, expect)
 
 
+def test_ivfpq_recall_and_candidate_bound(spark, emb):
+    """IVF-PQ end to end: candidates only come from probed lists (the
+    scan-reduction contract), and shortlist + re-rank still recovers a
+    solid share of the exact top-10 despite BOTH loss sources (unprobed
+    lists + quantization)."""
+    from unified_firmographic_data_pipeline_spark.operators.pq import (
+        l2_normalized,
+        pq_topk_ivf,
+    )
+    from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
+
+    norm = l2_normalized(emb)
+    nbooks = pq_train(norm, m=8, k=32, n_iter=4)
+    q = norm.filter((norm.vec_id % 25) == 0)
+    got = pq_topk_ivf(norm, q, nbooks, k=10, n_lists=8, n_probe=2, shortlist=50)
+    rows = got.collect()
+    nq = q.count()
+    assert {r["query_id"] for r in rows} == {r["vec_id"] for r in q.collect()}
+    assert all(1 <= r["rank"] <= 10 for r in rows)
+    exact = cosine_topk(emb, emb.filter((emb.vec_id % 25) == 0), k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, recall
+    assert len(rows) == nq * 10
+
+
 def test_rerank_recall_vs_exact_baseline(spark, emb):
     """The deployed shape — L2-normalize, ADC shortlist, exact re-rank —
     must recover most of the exact cosine top-10. Raw ADC@10 measured
