@@ -125,10 +125,31 @@ def _triangle_shuffled(spark, sf_dir):
     return triangle_stats(_copurchase_edges(li), broadcast_closure=False)
 
 
+def _ivfpq_rerank(spark, sf_dir):
+    """pq_topk_ivf end to end — normalize, train codebooks (2 Lloyd
+    rounds), coarse-assign + encode, probe 2/8 lists, ADC shortlist,
+    exact re-rank — on a constant-bounded query sample. Training cost is
+    corpus-linear (one explode + partial-agg shuffle per round); the
+    probe join carries only probed-list code rows, so retrieval is
+    (n_probe/n_lists)·N in ~3% of the bytes."""
+    from unified_firmographic_data_pipeline_spark.operators.pq import (
+        l2_normalized,
+        pq_topk_ivf,
+        pq_train,
+    )
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import _t
+
+    norm = l2_normalized(_t(spark, sf_dir, "embeddings"))
+    books = pq_train(norm, m=8, k=32, n_iter=2)
+    q = norm.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").limit(128)
+    return pq_topk_ivf(norm, q, books, k=10, n_lists=8, n_probe=2, shortlist=50)
+
+
 #: plan variants that are not registered queries but whose scale shape
 #: must still be measured
 EXTRA = {
     "triangle_stats_shuffled_closure": _triangle_shuffled,
+    "ivfpq_rerank_topk": _ivfpq_rerank,
 }
 
 

@@ -71,21 +71,73 @@ def l2_normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def _sub(vec_col: str, j: int, sub: int):
-    """Subvector j (1-based slice) of a vector column."""
-    return F.slice(F.col(vec_col), j * sub + 1, sub)
+def _books_lit(books: Codebooks):
+    """The whole codebook as ONE nested (m × k × d/m) array literal.
+
+    Plan-size discipline: expanding per-codeword expressions inline (one
+    ``aggregate(zip_with(...))`` node per (subspace, codeword)) puts
+    m·k ≈ 256 distinct higher-order functions — each with its own lambda
+    variables to resolve — into every projection, and Catalyst analysis
+    alone then costs ~30 s per query at m=8, k=32 (measured). As a
+    nested literal traversed by index-lambdas the plan carries ~4 HOF
+    nodes regardless of m·k, and the same measurement drops to ~2 s."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in cw]) for cw in book])
+            for book in books
+        ]
+    )
 
 
-def _sq_dist_micro_arr(arr, codeword: list[float]):
-    lit = F.array(*[F.lit(float(v)) for v in codeword])
+def _sq_dist_micro_arr(arr, codeword):
+    """Integer-micro squared L2 between two array<double> expressions
+    (``codeword`` may be a plain Python list or a Column)."""
+    if isinstance(codeword, list):
+        codeword = F.array(*[F.lit(float(v)) for v in codeword])
     sq = F.zip_with(
         arr,
-        lit,
+        codeword,
         lambda x, y: F.round(
-            (x.cast("double") - y) * (x.cast("double") - y) * 1e6
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+            * 1e6
         ).cast("long"),
     )
     return F.aggregate(sq, F.lit(0).cast("long"), lambda acc, s: acc + s)
+
+
+def _subvec(vec_col: str, j, sub: int):
+    """Subvector ``j`` (0-based Column or int) of a vector column."""
+    return F.slice(F.col(vec_col), j * F.lit(sub) + 1, F.lit(sub))
+
+
+def _codes_expr(books_col, vec_col: str, sub: int):
+    """array<int> of per-subspace argmin codeword ids for one row —
+    index-lambda traversal of the codebook literal (ties break to the
+    lowest codeword id via the (d, cid) struct min)."""
+    return F.transform(
+        books_col,
+        lambda book, j: F.array_min(
+            F.transform(
+                book,
+                lambda cw, c: F.struct(
+                    _sq_dist_micro_arr(_subvec(vec_col, j, sub), cw).alias("d"),
+                    c.alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+
+
+def _adc_table_expr(books_col, vec_col: str, sub: int):
+    """array<array<long>> ADC table for one query row: exact integer-micro
+    subspace distances to every codeword, computed ONCE per query."""
+    return F.transform(
+        books_col,
+        lambda book, j: F.transform(
+            book, lambda cw: _sq_dist_micro_arr(_subvec(vec_col, j, sub), cw)
+        ),
+    )
 
 
 def pq_train(
@@ -115,27 +167,26 @@ def pq_train(
         # per-subspace argmin BEFORE the explode (m·k folds per row, the
         # same count as encoding), then one row per (row, subspace) into
         # the (subspace, code, dim) partial-agg shuffle
-        pieces = [
-            F.struct(
-                F.lit(j).alias("j"),
+        bl = _books_lit(books)
+        pieces = F.transform(
+            bl,
+            lambda book, j: F.struct(
+                j.alias("j"),
                 F.array_min(
-                    F.array(
-                        *[
-                            F.struct(
-                                _sq_dist_micro_arr(
-                                    _sub(vec_col, j, sub), books[j][c]
-                                ).alias("d"),
-                                F.lit(c).alias("cid"),
-                            )
-                            for c in range(k)
-                        ]
+                    F.transform(
+                        book,
+                        lambda cw, c: F.struct(
+                            _sq_dist_micro_arr(_subvec(vec_col, j, sub), cw).alias(
+                                "d"
+                            ),
+                            c.alias("cid"),
+                        ),
                     )
                 )["cid"].alias("code"),
-                _sub(vec_col, j, sub).alias("sv"),
-            )
-            for j in range(m)
-        ]
-        assigned = corpus.select(F.explode(F.array(*pieces)).alias("p")).select(
+                _subvec(vec_col, j, sub).alias("sv"),
+            ),
+        )
+        assigned = corpus.select(F.explode(pieces).alias("p")).select(
             F.col("p.j").alias("j"), F.col("p.code").alias("code"), F.col("p.sv").alias("sv")
         )
         sums = (
@@ -174,25 +225,10 @@ def pq_encode(
     """(id, codes) with ``codes[j]`` = argmin codeword of subspace j —
     one codegen'd projection, the compressed representation that gets
     materialized next to (or instead of) the raw vectors."""
-    m, k = len(books), len(books[0])
     sub = len(books[0][0])
-    code_j = [
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist_micro_arr(_sub(vec_col, j, sub), books[j][c]).alias(
-                            "d"
-                        ),
-                        F.lit(c).alias("cid"),
-                    )
-                    for c in range(k)
-                ]
-            )
-        )["cid"]
-        for j in range(m)
-    ]
-    return corpus.select(F.col(id_col), F.array(*code_j).alias("codes"))
+    return corpus.select(
+        F.col(id_col), _codes_expr(_books_lit(books), vec_col, sub).alias("codes")
+    )
 
 
 def pq_topk(
@@ -209,19 +245,8 @@ def pq_topk(
     ``(query_id, neighbor_id, adc_dist_micro, rank)``; approximate by
     construction — the exact tier (``similarity.cosine_topk``) is the
     recall baseline."""
-    m, nk = len(books), len(books[0])
     sub = len(books[0][0])
-    table = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist_micro_arr(_sub(vec_col, j, sub), books[j][c])
-                    for c in range(nk)
-                ]
-            )
-            for j in range(m)
-        ]
-    )
+    table = _adc_table_expr(_books_lit(books), vec_col, sub)
     q = queries.select(
         F.col(id_col).alias("query_id"), table.alias("__tbl")
     )
@@ -279,27 +304,13 @@ def pq_topk_ivf(
     )
 
     centroids = init_centroids_by_id(corpus, n_lists, vec_col, id_col)
-    m, nk = len(books), len(books[0])
     sub = len(books[0][0])
+    bl = _books_lit(books)
     # one projection fused into the scan: coarse list id + PQ codes
     assigned = assign_clusters(corpus, centroids, vec_col)
-    code_j = [
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sq_dist_micro_arr(_sub(vec_col, j, sub), books[j][c]).alias("d"),
-                        F.lit(c).alias("cid"),
-                    )
-                    for c in range(nk)
-                ]
-            )
-        )["cid"]
-        for j in range(m)
-    ]
     codes = assigned.select(
         F.col(id_col).alias("neighbor_id"),
-        F.array(*code_j).alias("codes"),
+        _codes_expr(bl, vec_col, sub).alias("codes"),
         F.col("cluster_id").alias("__list"),
     )
     probes = F.transform(
@@ -320,20 +331,9 @@ def pq_topk_ivf(
         ),
         lambda s: s["cid"],
     )
-    table = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist_micro_arr(_sub(vec_col, j, sub), books[j][c])
-                    for c in range(nk)
-                ]
-            )
-            for j in range(m)
-        ]
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        table.alias("__tbl"),
+        _adc_table_expr(bl, vec_col, sub).alias("__tbl"),
         F.explode(probes).alias("__list"),
     )
     dist = F.aggregate(
