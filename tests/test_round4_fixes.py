@@ -569,3 +569,66 @@ def test_cramers_v_degenerate_dof(spark):
         isinstance(row["cramers_v"], float) and math.isnan(row["cramers_v"]) is False
     )
     assert row["cramers_v"] is None
+
+
+def test_mp4_meta_probe(spark):
+    """MP4 moov-header probe: mvhd duration + video tkhd 16.16 dims on a
+    generated minimal ISO BMFF stream, through the full decode_media_meta
+    plumbing; malformed streams return Nones (fall to _fake_decode)."""
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        decode_media_meta,
+        is_mp4,
+        mp4_encode_minimal,
+        mp4_meta,
+    )
+
+    b = mp4_encode_minimal(1280, 720, duration_ms=2500)
+    assert is_mp4(b) and mp4_meta(b) == (1280, 720, 2500)
+    assert mp4_meta(b"\x00\x00\x00\x08ftyp") == (None, None, None)
+    assert not is_mp4(b"RIFF....AVI ")
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(b), "video/mp4")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    row = decode_media_meta(df).first()
+    assert (row["width"], row["height"], row["duration_ms"]) == (1280, 720, 2500)
+
+
+def test_avi_meta_probe():
+    """RIFF/AVI avih probe: dims + total_frames x us_per_frame duration."""
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        avi_encode_minimal,
+        avi_meta,
+        is_avi,
+    )
+
+    b = avi_encode_minimal(320, 240, n_frames=50, us_per_frame=40_000)
+    assert is_avi(b) and avi_meta(b) == (320, 240, 2000)
+    assert avi_meta(b"RIFF\x04\x00\x00\x00AVI ") == (None, None, None)
+
+
+def test_container_probes_never_crash_on_garbage():
+    """Property: mp4_meta/avi_meta must return (not raise) on arbitrary
+    bytes — a probe that throws kills the whole decode task."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        avi_meta,
+        is_avi,
+        is_mp4,
+        mp4_meta,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def prop(b):
+        is_mp4(b), is_avi(b)
+        for w, h, d in (
+            mp4_meta(b"\x00\x00\x00\x0cftypisom" + b),
+            avi_meta(b"RIFF\xff\x00\x00\x00AVI " + b),
+        ):
+            assert w is None or w >= 0
+            assert d is None or d >= 0
+
+    prop()

@@ -6,13 +6,16 @@ over ``mapInPandas`` so bytes never round-trip through Python row-by-row.
 
 Codec tiers: PIL when installed; else a vendored pure-Python PNG codec
 (``functions/png.py``, stdlib zlib + numpy) so the image decode/resize/
-encode path runs FOR REAL even in codec-less containers. Video runs for
-real over the deterministic RAWV container (length-prefixed PNG frames —
-``rawv_encode``/``frame_sample``); an ffmpeg/av tier would replace one
-demuxer function. Non-PNG image formats and audio still fall back to
-``_fake_decode`` — a deterministic stand-in (shape/duration derived from
-a stable hash of the bytes) keeping the Spark-side plumbing (schema,
-batching, partition behavior) testable.
+encode path runs FOR REAL even in codec-less containers. Header-only
+metadata probes cover the common real formats without any codec: PNG
+IHDR, JPEG SOF markers, RIFF/WAVE fmt+data, MP4/MOV moov(mvhd+tkhd),
+RIFF/AVI avih. Frame-level video decode runs over the deterministic
+RAWV container (length-prefixed PNG frames — ``rawv_encode``/
+``frame_sample``); an ffmpeg/av tier would replace one demuxer
+function. Anything unrecognized falls back to ``_fake_decode`` — a
+deterministic stand-in (shape/duration derived from a stable hash of
+the bytes) keeping the Spark-side plumbing (schema, batching,
+partition behavior) testable.
 
 Scale notes: binary payloads make wide rows — the functions here always
 project metadata *out* of the binary early (so downstream shuffles move
@@ -156,6 +159,157 @@ def jpeg_encode_minimal(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
 
 
+def is_mp4(b: bytes | None) -> bool:
+    """ISO BMFF (mp4/mov/m4a...): first box is ftyp."""
+    return b is not None and len(b) >= 12 and b[4:8] == b"ftyp"
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the ISO BMFF boxes in
+    ``b[start:end]``. Handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0); stops silently on malformed sizes — the
+    probe contract is best-effort, never raise."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(b[off : off + 4], "big")
+        btype = b[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(b[off + 8 : off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def mp4_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, duration_ms) of an MP4/MOV payload from the moov
+    headers alone — a pure-stdlib box walk (no sample decode, no codec):
+    mvhd carries movie timescale + duration (version 0 and 1 layouts),
+    the first video trak's tkhd carries 16.16 fixed-point presentation
+    width/height (audio tracks store 0x0 and are skipped). Returns Nones
+    for anything unparseable, mirroring the PNG/WAV/JPEG probes."""
+    w = h = dur = None
+    for t, s, e in _mp4_boxes(b, 0, len(b)):
+        if t != b"moov":
+            continue
+        for t2, s2, e2 in _mp4_boxes(b, s, e):
+            if t2 == b"mvhd" and dur is None and e2 - s2 >= 20:
+                ver = b[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    ts = int.from_bytes(b[s2 + 20 : s2 + 24], "big")
+                    d = int.from_bytes(b[s2 + 24 : s2 + 32], "big")
+                elif ver == 0:
+                    ts = int.from_bytes(b[s2 + 12 : s2 + 16], "big")
+                    d = int.from_bytes(b[s2 + 16 : s2 + 20], "big")
+                else:
+                    continue
+                if ts:
+                    dur = d * 1000 // ts
+            elif t2 == b"trak" and w is None:
+                for t3, s3, e3 in _mp4_boxes(b, s2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    # width/height trail version/flags + times/ids +
+                    # layer block + the 36-byte matrix (16.16 fixed)
+                    base = s3 + (76 if b[s3] == 0 else 88)
+                    if base + 8 > e3:
+                        continue
+                    tw = int.from_bytes(b[base : base + 4], "big") >> 16
+                    th = int.from_bytes(b[base + 4 : base + 8], "big") >> 16
+                    if tw and th:  # 0x0 = non-visual track
+                        w, h = tw, th
+    return w, h, dur
+
+
+_MP4_UNITY_MATRIX = (
+    (0x00010000).to_bytes(4, "big") + bytes(8)
+    + bytes(4) + (0x00010000).to_bytes(4, "big") + bytes(4)
+    + bytes(8) + (0x40000000).to_bytes(4, "big")
+)
+
+
+def mp4_encode_minimal(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Test helper: a minimal structurally-valid (not playable) MP4 —
+    ftyp + moov(mvhd + one video trak(tkhd)) with the given dimensions
+    and duration, version-0 full boxes."""
+    import struct
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    d = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # ctime/mtime
+        + struct.pack(">II", timescale, d)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + bytes(2) + bytes(8)
+        + _MP4_UNITY_MATRIX
+        + bytes(24)  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 7)  # version 0, flags: enabled|in-movie|in-preview
+        + bytes(8)  # ctime/mtime
+        + struct.pack(">I", 1) + bytes(4)  # track_id, reserved
+        + struct.pack(">I", d)
+        + bytes(8) + bytes(2) * 3 + bytes(2)  # reserved/layer/alt/volume/res
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
+def is_avi(b: bytes | None) -> bool:
+    return b is not None and len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "
+
+
+def avi_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, duration_ms) of a RIFF/AVI payload from the avih
+    main header inside LIST hdrl (same chunk walk as the WAV probe):
+    dwWidth/dwHeight at avih+32/+36, duration = dwTotalFrames x
+    dwMicroSecPerFrame. Nones when malformed."""
+    import struct
+
+    off = 12
+    while off + 8 <= len(b):
+        cid, ln = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
+        if cid == b"LIST" and b[off + 8 : off + 12] == b"hdrl":
+            s, e = off + 12, min(off + 8 + ln, len(b))
+            while s + 8 <= e:
+                c2, l2 = b[s : s + 4], struct.unpack("<I", b[s + 4 : s + 8])[0]
+                if c2 == b"avih" and s + 8 + 40 <= e:
+                    us_pf, frames = struct.unpack("<I", b[s + 8 : s + 12])[0], struct.unpack("<I", b[s + 24 : s + 28])[0]
+                    w, h = struct.unpack("<II", b[s + 40 : s + 48])
+                    dur = frames * us_pf // 1000 if us_pf else None
+                    return (w or None), (h or None), dur
+                s += 8 + l2 + (l2 & 1)
+        off += 8 + ln + (ln & 1)
+    return None, None, None
+
+
+def avi_encode_minimal(width: int, height: int, n_frames: int, us_per_frame: int = 40_000) -> bytes:
+    """Test helper: a minimal RIFF/AVI with just LIST hdrl(avih)."""
+    import struct
+
+    avih = struct.pack("<IIIIIIIIII", us_per_frame, 0, 0, 0, n_frames, 0, 1, 0, width, height) + bytes(16)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_duration_ms(b: bytes) -> int | None:
     """Duration of a PCM RIFF/WAVE payload from the fmt + data chunk
     headers alone (no sample decode): data_bytes / byte_rate. Returns None
@@ -219,6 +373,14 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
                 return w, h, None
         if kind == "audio" and is_wav(b):
             return None, None, wav_duration_ms(b)
+        if kind == "video" and is_mp4(b):
+            w, h, dur = mp4_meta(b)
+            if w is not None or dur is not None:
+                return w, h, dur
+        if kind == "video" and is_avi(b):
+            w, h, dur = avi_meta(b)
+            if w is not None or dur is not None:
+                return w, h, dur
         return _fake_decode(digest, kind)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
