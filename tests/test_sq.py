@@ -1,0 +1,107 @@
+"""Scalar-quantization (SQ8) tier: exactness of the code math vs a
+Python model, and recall vs the exact cosine baseline."""
+
+from __future__ import annotations
+
+import pytest
+
+from unified_firmographic_data_pipeline_spark.operators.pq import l2_normalized
+from unified_firmographic_data_pipeline_spark.operators.sq import (
+    sq_encode,
+    sq_topk,
+    sq_train,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import _t
+
+    return _t(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+def _py_bounds(rows):
+    dim = len(rows[0]["embedding"])
+    lo = [min(float(r["embedding"][i]) for r in rows) for i in range(dim)]
+    hi = [max(float(r["embedding"][i]) for r in rows) for i in range(dim)]
+    return list(zip(lo, hi))
+
+
+def test_sq_train_matches_python_minmax(spark, emb):
+    norm = l2_normalized(emb)
+    bounds = sq_train(norm)
+    expect = _py_bounds(norm.collect())
+    assert len(bounds) == 64
+    for (lo, hi), (elo, ehi) in zip(bounds, expect):
+        assert lo == pytest.approx(elo, abs=1e-12)
+        assert hi == pytest.approx(ehi, abs=1e-12)
+
+
+def test_sq_encode_matches_python_formula(spark, emb):
+    norm = l2_normalized(emb)
+    bounds = sq_train(norm)
+    got = {r["vec_id"]: list(r["codes"]) for r in sq_encode(norm, bounds).collect()}
+    for r in norm.collect():
+        want = []
+        for x, (lo, hi) in zip(r["embedding"], bounds):
+            if hi > lo:
+                s = (hi - lo) / 255.0
+                # Spark F.round = HALF_UP on positive values
+                import decimal
+
+                c = int(
+                    decimal.Decimal((float(x) - lo) / s).quantize(
+                        0, rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+            else:
+                c = 0
+            want.append(max(0, min(255, c)))
+        assert got[r["vec_id"]] == want, r["vec_id"]
+    assert all(0 <= c <= 255 for cs in got.values() for c in cs)
+
+
+def test_sq_topk_distance_matches_python(spark, emb):
+    norm = l2_normalized(emb)
+    bounds = sq_train(norm)
+    codes = sq_encode(norm, bounds)
+    q = norm.filter(norm.vec_id < 5)
+    got = sq_topk(codes, q, bounds, k=3)
+    rows = got.collect()
+    code_map = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in norm.collect()}
+
+    def recon(cs):
+        out = []
+        for c, (lo, hi) in zip(cs, bounds):
+            s = (hi - lo) / 255.0 if hi > lo else 0.0
+            out.append(round(c * s + lo, 6))
+        return out
+
+    for r in rows:
+        rv = recon(code_map[r["neighbor_id"]])
+        expect = sum(
+            int(round((x - y) * (x - y) * 1e6)) for x, y in zip(vecs[r["query_id"]], rv)
+        )
+        assert r["sq_dist_micro"] == expect, (r["query_id"], r["neighbor_id"])
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_sq_recall_vs_exact_cosine(spark, emb):
+    """SQ8 quantizes per component, so raw (un-reranked) recall@10 vs
+    exact cosine should be high — far above the PQ tier's raw ADC
+    recall. Floor pinned at the measured 0.9."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
+
+    norm = l2_normalized(emb)
+    bounds = sq_train(norm)
+    codes = sq_encode(norm, bounds)
+    qf = norm.vec_id % 25 == 0
+    got = sq_topk(codes, norm.filter(qf), bounds, k=10)
+    exact = cosine_topk(emb, emb.filter(emb.vec_id % 25 == 0), k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, recall

@@ -145,11 +145,32 @@ def _ivfpq_rerank(spark, sf_dir):
     return pq_topk_ivf(norm, q, books, k=10, n_lists=8, n_probe=2, shortlist=50)
 
 
+def _sq8_topk(spark, sf_dir):
+    """SQ8 tier end to end — per-dimension bounds (one agg pass), int8
+    encode, asymmetric brute-force search on a constant-bounded query
+    sample. Corpus-linear by construction (every row scored once, fixed
+    query broadcast); compose with IVF lists for scan reduction."""
+    from unified_firmographic_data_pipeline_spark.operators.pq import l2_normalized
+    from unified_firmographic_data_pipeline_spark.operators.sq import (
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import _t
+
+    norm = l2_normalized(_t(spark, sf_dir, "embeddings"))
+    bounds = sq_train(norm)
+    codes = sq_encode(norm, bounds)
+    q = norm.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").limit(128)
+    return sq_topk(codes, q, bounds, k=10)
+
+
 #: plan variants that are not registered queries but whose scale shape
 #: must still be measured
 EXTRA = {
     "triangle_stats_shuffled_closure": _triangle_shuffled,
     "ivfpq_rerank_topk": _ivfpq_rerank,
+    "sq8_topk": _sq8_topk,
 }
 
 

@@ -1,0 +1,143 @@
+"""Scalar quantization (SQ8) — the int8 ANN compression tier.
+
+The standard first rung of the vector-compression ladder (as in FAISS's
+``ScalarQuantizer`` and most vector stores): learn per-dimension
+[min, max] bounds over the corpus, affine-map every component to an
+8-bit code, and search with asymmetric distance — the query stays
+float, corpus components are reconstructed from their codes on the
+fly. 4x smaller than float32 with far milder recall loss than PQ
+(per-component, not per-subspace, quantization), at the cost of a
+smaller compression factor; PQ (``operators/pq.py``) is the next rung.
+
+Scale shape:
+
+- training: ONE pass computing 2·d min/max aggregates (map-side
+  partial agg, bounded 2·d scalars to the driver) — cheaper than PQ's
+  Lloyd rounds, no iteration.
+- encoding: a zip_with projection fused into the scan, no shuffle.
+- search: broadcast queries onto the codes scan; per pair the distance
+  reconstructs each component with one multiply-add from the bounds
+  literal. Per-partition top-k via the same window shape as
+  ``similarity.cosine_topk``.
+
+Plan-size discipline (the ``pq._books_lit`` lesson): the bounds ride
+the plan as TWO d-element array literals traversed by zip_with — HOF
+node count is constant in d.
+
+Distances are integer micro-units (round((q-recon)^2·1e6) summed as
+long), and reconstructions round to 6 digits first — bit-reproducible
+across runs, partitionings and engines. L2 over ``l2_normalized``
+vectors is monotone with cosine (see ``pq.l2_normalized``), so this
+serves cosine queries the same way the PQ tier does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: bounds[i] = (lo, hi) for dimension i
+Bounds = list[tuple[float, float]]
+
+
+def sq_train(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> Bounds:
+    """Per-dimension [min, max] over the corpus — one aggregate pass,
+    2·d bounded scalars back to the driver."""
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs.append(F.min(e).alias(f"lo{i}"))
+        aggs.append(F.max(e).alias(f"hi{i}"))
+    row = corpus.agg(*aggs).collect()[0]
+    return [(float(row[f"lo{i}"]), float(row[f"hi{i}"])) for i in range(dim)]
+
+
+def _lo_lit(bounds: Bounds):
+    return F.array(*[F.lit(float(lo)) for lo, _ in bounds])
+
+
+def _scale_lit(bounds: Bounds):
+    """Per-dimension code->value scale (hi-lo)/255; 0 for degenerate
+    dimensions (constant value: every code decodes to lo)."""
+    return F.array(
+        *[F.lit((float(hi) - float(lo)) / 255.0 if hi > lo else 0.0) for lo, hi in bounds]
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds: Bounds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) with ``codes[i]`` = clamp(round((x-lo)/scale), 0, 255)
+    — one zip_with projection, no shuffle. Out-of-bounds components
+    (queries/new data beyond the trained range) clamp to the edge code,
+    the standard SQ saturation behavior."""
+    lo, sc = _lo_lit(bounds), _scale_lit(bounds)
+    shifted = F.zip_with(F.col(vec_col), lo, lambda x, l: x.cast("double") - l)
+    codes = F.zip_with(
+        shifted,
+        sc,
+        lambda d, s: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.when(s == 0, F.lit(0)).otherwise(F.round(d / s).cast("int")),
+            ),
+        ),
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def _recon(codes_col, bounds: Bounds):
+    """Reconstructed float components from codes: lo + code·scale,
+    rounded to 6 digits for bit-reproducibility."""
+    lo, sc = _lo_lit(bounds), _scale_lit(bounds)
+    return F.zip_with(
+        F.zip_with(codes_col, sc, lambda c, s: c.cast("double") * s),
+        lo,
+        lambda v, l: F.round(v + l, 6),
+    )
+
+
+def sq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    bounds: Bounds,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric SQ search: float query vs reconstructed corpus
+    components, integer-micro squared L2, id-tiebroken top-k. Output
+    ``(query_id, neighbor_id, sq_dist_micro, rank)``; approximate only
+    through quantization (every corpus row is scored — compose with the
+    IVF coarse tier for scan reduction, exactly as ``pq_topk_ivf``
+    does for PQ)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            _recon(F.col("codes"), bounds),
+            lambda x, r: F.round(
+                (x.cast("double") - r) * (x.cast("double") - r) * 1e6
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s,
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", dist.alias("sq_dist_micro"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
