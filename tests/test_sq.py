@@ -105,3 +105,30 @@ def test_sq_recall_vs_exact_cosine(spark, emb):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_sq_saturation_and_zero_span(spark):
+    """Out-of-range components clamp to the edge codes (SQ saturation for
+    data beyond the trained range), and a constant dimension (zero span)
+    encodes to 0 and reconstructs exactly to its value."""
+    train = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [1.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    bounds = sq_train(train, dim=2)
+    assert bounds == [(0.0, 1.0), (5.0, 5.0)]
+    newdata = spark.createDataFrame(
+        [(3, [-2.0, 5.0]), (4, [9.0, 5.0]), (5, [0.5, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {
+        r["vec_id"]: list(r["codes"]) for r in sq_encode(newdata, bounds).collect()
+    }
+    assert codes[3] == [0, 0]      # below range -> floor code; zero-span -> 0
+    assert codes[4] == [255, 0]    # above range -> ceiling code
+    assert codes[5] == [128, 0]    # 0.5 * 255 = 127.5, HALF_UP -> 128
+    got = sq_topk(sq_encode(newdata, bounds), train.filter("vec_id = 1"), bounds, k=3)
+    rows = {r["neighbor_id"]: r["sq_dist_micro"] for r in got.collect()}
+    # query [0,5] vs recon: id3 -> [0,5] dist 0; id5 -> [round(128/255,6),5]
+    assert rows[3] == 0
+    assert rows[4] == 1_000_000    # recon [1.0, 5.0] -> (0-1)^2 = 1.0
+    assert rows[5] == int(round(round(128 * (1.0 / 255.0), 6) ** 2 * 1e6))
