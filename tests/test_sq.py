@@ -132,3 +132,29 @@ def test_sq_saturation_and_zero_span(spark):
     assert rows[3] == 0
     assert rows[4] == 1_000_000    # recon [1.0, 5.0] -> (0-1)^2 = 1.0
     assert rows[5] == int(round(round(128 * (1.0 / 255.0), 6) ** 2 * 1e6))
+
+
+def test_ivfsq_recall_and_shape(spark, emb):
+    """IVF-SQ end to end: output shape (k per query, ranks 1..k), and
+    shortlist + re-rank holds a solid share of the exact top-10. At
+    n_probe=2 of 8 the dominant loss is unprobed lists (same as the
+    IVF-PQ twin — measured 0.43 here vs its 0.4 floor); the int8
+    quantization itself costs almost nothing (raw SQ recall is 0.9+ in
+    test_sq_recall_vs_exact_cosine)."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
+    from unified_firmographic_data_pipeline_spark.operators.sq import sq_topk_ivf
+
+    norm = l2_normalized(emb)
+    bounds = sq_train(norm)
+    q = norm.filter((norm.vec_id % 25) == 0)
+    got = sq_topk_ivf(norm, q, bounds, k=10, n_lists=8, n_probe=2, shortlist=50)
+    rows = got.collect()
+    nq = q.count()
+    assert len(rows) == nq * 10
+    assert {r["query_id"] for r in rows} == {r["vec_id"] for r in q.collect()}
+    assert all(1 <= r["rank"] <= 10 for r in rows)
+    exact = cosine_topk(emb, emb.filter(emb.vec_id % 25 == 0), k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, recall

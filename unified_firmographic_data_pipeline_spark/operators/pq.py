@@ -354,37 +354,11 @@ def pq_topk_ivf(
     cand = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= shortlist
     )
-    from unified_firmographic_data_pipeline_spark.functions.vectors import l2_norm
     from unified_firmographic_data_pipeline_spark.operators.similarity import (
-        _cosine_from_norms,
+        exact_cosine_rerank,
     )
 
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(vec_col).alias("__cn"),
-    )
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(vec_col).alias("__qn"),
-    )
-    rer = (
-        cand.select("query_id", "neighbor_id")
-        .join(cvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return rer.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+    return exact_cosine_rerank(cand, corpus, queries, k, vec_col, id_col)
 
 
 def pq_topk_rerank(
@@ -406,38 +380,9 @@ def pq_topk_rerank(
     quantization noise reorders tightly-packed neighbors, which is
     exactly what the re-rank stage exists to absorb. Returns
     ``(query_id, neighbor_id, cosine_sim, rank)``."""
-    from unified_firmographic_data_pipeline_spark.functions.vectors import l2_norm
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        exact_cosine_rerank,
+    )
 
     cand = pq_topk(codes, queries, books, k=shortlist, vec_col=vec_col, id_col=id_col)
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(vec_col).alias("__cn"),
-    )
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        l2_norm(vec_col).alias("__qn"),
-    )
-    from unified_firmographic_data_pipeline_spark.operators.similarity import (
-        _cosine_from_norms,
-    )
-
-    scored = (
-        cand.select("query_id", "neighbor_id")
-        .join(cvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6).alias(
-                "cosine_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return exact_cosine_rerank(cand, corpus, queries, k, vec_col, id_col)

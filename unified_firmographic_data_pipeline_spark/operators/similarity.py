@@ -33,6 +33,51 @@ def _cosine_from_norms(a: str, b: str, na: str, nb: str):
     )
 
 
+def exact_cosine_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The shared re-rank stage of every shortlist-based ANN tier
+    (PQ/IVF-PQ/IVF-SQ): join ``cand`` — (query_id, neighbor_id) pairs,
+    queries x shortlist rows, never the corpus — back to raw vectors and
+    rank by exact cosine. The query side broadcasts (bounded by the
+    query sample); norms are precomputed per row per
+    :func:`_cosine_from_norms`. Output
+    ``(query_id, neighbor_id, cosine_sim, rank)``, id tiebreaks."""
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    scored = (
+        cand.select("query_id", "neighbor_id")
+        .join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

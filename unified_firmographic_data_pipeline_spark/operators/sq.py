@@ -141,3 +141,100 @@ def sq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def sq_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bounds: Bounds,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-SQ — the coarse-list composition for the SQ8 tier, the exact
+    analogue of ``pq.pq_topk_ivf``: corpus rows file under their nearest
+    of ``n_lists`` coarse centroids and store int8 codes; a query probes
+    its ``n_probe`` nearest lists via the list-id equi-join (only
+    probed-list code rows shuffle), asymmetric SQ distance shortlists
+    ``shortlist`` candidates, and the survivors get the exact cosine
+    re-rank. Scan cost is (n_probe/n_lists) of the corpus in ~25% of
+    the bytes; recall loss comes only from unprobed lists plus the mild
+    per-component quantization. Deterministic end to end. Output
+    ``(query_id, neighbor_id, cosine_sim, rank)``."""
+    from unified_firmographic_data_pipeline_spark.operators.clustering import (
+        _sq_dist_micro,
+        assign_clusters,
+        init_centroids_by_id,
+    )
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        exact_cosine_rerank,
+    )
+
+    centroids = init_centroids_by_id(corpus, n_lists, vec_col, id_col)
+    lo, sc = _lo_lit(bounds), _scale_lit(bounds)
+    shifted = F.zip_with(F.col(vec_col), lo, lambda x, l: x.cast("double") - l)
+    code_col = F.zip_with(
+        shifted,
+        sc,
+        lambda d, s: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.when(s == 0, F.lit(0)).otherwise(F.round(d / s).cast("int")),
+            ),
+        ),
+    )
+    codes = assign_clusters(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        code_col.alias("codes"),
+        F.col("cluster_id").alias("__list"),
+    )
+    probes = F.transform(
+        F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_dist_micro(F.col(vec_col), ce).alias("d"),
+                            F.lit(int(cid)).alias("cid"),
+                        )
+                        for cid, ce in centroids
+                    ]
+                )
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["cid"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("__list"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            _recon(F.col("codes"), bounds),
+            lambda x, r: F.round(
+                (x.cast("double") - r) * (x.cast("double") - r) * 1e6
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s,
+    )
+    scored = (
+        codes.join(q, "__list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("sq_dist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist
+    )
+    return exact_cosine_rerank(cand, corpus, queries, k, vec_col, id_col)
