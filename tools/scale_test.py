@@ -319,6 +319,53 @@ if __name__ == "__main__":
     )
     lines.append("O(corpus x 128) — linear, with a fixed-size broadcast.")
     lines.append(
+        "`ivfpq_rerank_topk` is the full IVF-PQ pipeline (train 2 Lloyd"
+    )
+    lines.append(
+        "rounds + coarse-assign/encode + 2-of-8 list probe + ADC shortlist +"
+    )
+    lines.append(
+        "exact re-rank) on a constant 128-query sample; its near-1x ratio is"
+    )
+    lines.append(
+        "fixed overhead amortizing — training is corpus-linear (one explode +"
+    )
+    lines.append(
+        "partial-agg shuffle per round) and the probe join carries only"
+    )
+    lines.append(
+        "probed-list code rows. The absolute floor is multi-job fixed cost"
+    )
+    lines.append(
+        "(3 driver-roundtrip training jobs + the query job), not data work:"
+    )
+    lines.append(
+        "the codebook rides the plan as ONE nested array literal after the"
+    )
+    lines.append(
+        "plan-size fix in `operators/pq.py:_books_lit` (the per-codeword"
+    )
+    lines.append(
+        "inline-expression form cost ~30 s of Catalyst analysis per query"
+    )
+    lines.append(
+        "at m=8, k=32; the literal+index-lambda form is ~4 HOF nodes"
+    )
+    lines.append("regardless of m·k).")
+    lines.append(
+        "`sq8_topk` is the int8 scalar-quantization tier (bounds agg + encode"
+    )
+    lines.append(
+        "+ asymmetric search, constant 128-query sample): corpus-linear by"
+    )
+    lines.append(
+        "construction; like `ivfpq_rerank_topk` its absolute floor is fixed"
+    )
+    lines.append(
+        "multi-job cost (train collect + broadcast search planning), with the"
+    )
+    lines.append("10x corpus adding ~1 s of actual scoring.")
+    lines.append(
         "The 10x text is generated by per-replica token suffixing (new"
     )
     lines.append(
