@@ -126,3 +126,27 @@ def test_rerank_recall_vs_exact_baseline(spark, emb):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, recall
+
+
+def test_pq_malformed_rows_never_outrank(spark, emb):
+    """Wrong-length / NULL embeddings must yield NULL codes (the
+    null-d argmin struct sorts FIRST, which would otherwise fabricate a
+    codeword id for garbage) and therefore NULL ADC distances, ranked
+    behind every real candidate by asc_nulls_last."""
+    from unified_firmographic_data_pipeline_spark.operators.pq import l2_normalized
+
+    norm = l2_normalized(emb)
+    books = pq_train(norm, m=8, k=16, n_iter=1)
+    corrupt = spark.createDataFrame(
+        [(9_000_001, [1.0] * 8), (9_000_002, None)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = pq_encode(
+        norm.select("vec_id", "embedding").unionByName(corrupt), books
+    )
+    bad = {r["vec_id"]: r["codes"] for r in codes.filter("vec_id >= 9000000").collect()}
+    assert all(c is None for c in bad[9_000_001][1:])  # tail subspaces padded -> NULL
+    assert bad[9_000_002] is None or all(c is None for c in bad[9_000_002])
+    q = norm.filter(norm.vec_id < 3)
+    got = pq_topk(codes, q, books, k=10)
+    assert not any(r["neighbor_id"] >= 9_000_000 for r in got.collect())

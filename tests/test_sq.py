@@ -158,3 +158,22 @@ def test_ivfsq_recall_and_shape(spark, emb):
     a = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, recall
+
+
+def test_null_distance_rows_never_outrank(spark):
+    """A malformed corpus row (wrong-length or NULL embedding) yields a
+    NULL asymmetric distance; Spark's default ``asc`` ordering is NULLS
+    FIRST, which would rank garbage at the top of every shortlist —
+    the windows pin ``asc_nulls_last`` so real candidates always win."""
+    train = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = sq_train(train, dim=2)
+    corrupt = spark.createDataFrame(
+        [(2, [1.0, 1.0]), (3, [0.5, 0.5]), (99, [1.0]), (98, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sq_topk(sq_encode(corrupt, bounds), train.filter("vec_id = 1"), bounds, k=2)
+    rows = sorted((r["rank"], r["neighbor_id"]) for r in got.collect())
+    assert rows == [(1, 3), (2, 2)], rows  # never 99/98 at rank 1

@@ -114,8 +114,17 @@ def _subvec(vec_col: str, j, sub: int):
 def _codes_expr(books_col, vec_col: str, sub: int):
     """array<int> of per-subspace argmin codeword ids for one row —
     index-lambda traversal of the codebook literal (ties break to the
-    lowest codeword id via the (d, cid) struct min)."""
-    return F.transform(
+    lowest codeword id via the (d, cid) struct min).
+
+    NULL-STRICT: a malformed vector (NULL components / wrong length —
+    ``zip_with`` pads the short side) yields NULL subspace distances,
+    and struct ordering puts a NULL ``d`` field FIRST, so the argmin
+    would otherwise fabricate a code for garbage. A NULL ``d`` on the
+    winning struct becomes a NULL code, which nulls the ADC distance,
+    and the ``asc_nulls_last`` ranking keeps such rows behind every
+    real candidate."""
+
+    mins = F.transform(
         books_col,
         lambda book, j: F.array_min(
             F.transform(
@@ -125,7 +134,16 @@ def _codes_expr(books_col, vec_col: str, sub: int):
                     c.alias("cid"),
                 ),
             )
-        )["cid"],
+        ),
+    )
+    # second transform over the MATERIALIZED struct array — referencing
+    # the argmin twice inside one lambda would re-evaluate it (no CSE in
+    # HOF bodies); mapping the produced array costs nothing extra
+    return F.transform(
+        mins,
+        lambda s: F.when(s["d"].isNull(), F.lit(None).cast("int")).otherwise(
+            s["cid"]
+        ),
     )
 
 
@@ -264,7 +282,7 @@ def pq_topk(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id", dist.alias("adc_dist_micro"))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist_micro").asc(), F.col("neighbor_id").asc()
+        F.col("adc_dist_micro").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -349,7 +367,7 @@ def pq_topk_ivf(
         .select("query_id", "neighbor_id", dist.alias("adc_dist_micro"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist_micro").asc(), F.col("neighbor_id").asc()
+        F.col("adc_dist_micro").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     cand = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= shortlist

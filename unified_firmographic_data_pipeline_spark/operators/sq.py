@@ -66,6 +66,33 @@ def _scale_lit(bounds: Bounds):
     )
 
 
+def _codes_col(bounds: Bounds, vec_col: str):
+    """array<int> SQ codes for one row: clamp(round((x-lo)/scale), 0, 255).
+
+    NULL-STRICT on purpose: a missing component (NULL element, or a
+    wrong-length vector — ``zip_with`` pads the short side with NULLs)
+    must produce a NULL code, not a fabricated one. The naive
+    ``least(255, greatest(0, round(null/s)))`` silently becomes 0
+    because Spark's least/greatest IGNORE null arguments — which would
+    let a malformed row reconstruct as a legitimate-looking point and
+    outrank real candidates."""
+    lo, sc = _lo_lit(bounds), _scale_lit(bounds)
+    shifted = F.zip_with(F.col(vec_col), lo, lambda x, l: x.cast("double") - l)
+    return F.zip_with(
+        shifted,
+        sc,
+        lambda d, s: F.when(d.isNull(), F.lit(None).cast("int")).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.when(s == 0, F.lit(0)).otherwise(F.round(d / s).cast("int")),
+                ),
+            )
+        ),
+    )
+
+
 def sq_encode(
     corpus: DataFrame,
     bounds: Bounds,
@@ -75,21 +102,10 @@ def sq_encode(
     """(id, codes) with ``codes[i]`` = clamp(round((x-lo)/scale), 0, 255)
     — one zip_with projection, no shuffle. Out-of-bounds components
     (queries/new data beyond the trained range) clamp to the edge code,
-    the standard SQ saturation behavior."""
-    lo, sc = _lo_lit(bounds), _scale_lit(bounds)
-    shifted = F.zip_with(F.col(vec_col), lo, lambda x, l: x.cast("double") - l)
-    codes = F.zip_with(
-        shifted,
-        sc,
-        lambda d, s: F.least(
-            F.lit(255),
-            F.greatest(
-                F.lit(0),
-                F.when(s == 0, F.lit(0)).otherwise(F.round(d / s).cast("int")),
-            ),
-        ),
-    )
-    return corpus.select(F.col(id_col), codes.alias("codes"))
+    the standard SQ saturation behavior; missing components stay NULL
+    (see :func:`_codes_col`), so malformed rows get NULL distances and
+    sort behind every real candidate."""
+    return corpus.select(F.col(id_col), _codes_col(bounds, vec_col).alias("codes"))
 
 
 def _recon(codes_col, bounds: Bounds):
@@ -136,7 +152,7 @@ def sq_topk(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id", dist.alias("sq_dist_micro"))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("sq_dist_micro").asc(), F.col("neighbor_id").asc()
+        F.col("sq_dist_micro").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -174,22 +190,9 @@ def sq_topk_ivf(
     )
 
     centroids = init_centroids_by_id(corpus, n_lists, vec_col, id_col)
-    lo, sc = _lo_lit(bounds), _scale_lit(bounds)
-    shifted = F.zip_with(F.col(vec_col), lo, lambda x, l: x.cast("double") - l)
-    code_col = F.zip_with(
-        shifted,
-        sc,
-        lambda d, s: F.least(
-            F.lit(255),
-            F.greatest(
-                F.lit(0),
-                F.when(s == 0, F.lit(0)).otherwise(F.round(d / s).cast("int")),
-            ),
-        ),
-    )
     codes = assign_clusters(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        code_col.alias("codes"),
+        _codes_col(bounds, vec_col).alias("codes"),
         F.col("cluster_id").alias("__list"),
     )
     probes = F.transform(
@@ -232,7 +235,7 @@ def sq_topk_ivf(
         .select("query_id", "neighbor_id", dist.alias("sq_dist_micro"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("sq_dist_micro").asc(), F.col("neighbor_id").asc()
+        F.col("sq_dist_micro").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     cand = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= shortlist
