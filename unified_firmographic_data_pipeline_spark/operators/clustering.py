@@ -135,8 +135,11 @@ def semantic_dedup_cap(
     rank-filter."""
     from pyspark.sql import Window
 
+    # asc_nulls_last: Spark's default asc is NULLS FIRST, so a NULL
+    # distance (malformed vector) would hog a cap slot ahead of every
+    # real row — same contract as the PQ/SQ shortlist windows
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("dist_micro").asc(), F.col(id_col).asc()
+        F.col("dist_micro").asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         assigned.withColumn("__rn", F.row_number().over(w))
