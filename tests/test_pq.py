@@ -150,3 +150,12 @@ def test_pq_malformed_rows_never_outrank(spark, emb):
     q = norm.filter(norm.vec_id < 3)
     got = pq_topk(codes, q, books, k=10)
     assert not any(r["neighbor_id"] >= 9_000_000 for r in got.collect())
+
+
+def test_pq_train_rejects_malformed_seeds(spark):
+    bad = spark.createDataFrame(
+        [(i, [0.5] * 64) for i in range(15)] + [(15, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL or <64-dim"):
+        pq_train(bad, m=8, k=16, n_iter=1)

@@ -177,3 +177,14 @@ def test_null_distance_rows_never_outrank(spark):
     got = sq_topk(sq_encode(corrupt, bounds), train.filter("vec_id = 1"), bounds, k=2)
     rows = sorted((r["rank"], r["neighbor_id"]) for r in got.collect())
     assert rows == [(1, 3), (2, 2)], rows  # never 99/98 at rank 1
+
+
+def test_sq_train_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        sq_train(empty, dim=2)
+    short = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension-2"):
+        sq_train(short, dim=2)

@@ -177,6 +177,14 @@ def pq_train(
     seed_rows = corpus.select(vec_col).orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"pq_train: need >= {k} rows, got {len(seed_rows)}")
+    bad = next(
+        (r for r in seed_rows if r[vec_col] is None or len(r[vec_col]) < dim), None
+    )
+    if bad is not None:
+        raise ValueError(
+            f"pq_train: seed row has a NULL or <{dim}-dim vector; clean the "
+            "corpus (or filter size(vec) = dim) before training"
+        )
     books: Codebooks = [
         [[float(r[vec_col][j * sub + t]) for t in range(sub)] for r in seed_rows]
         for j in range(m)

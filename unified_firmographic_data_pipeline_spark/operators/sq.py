@@ -47,10 +47,18 @@ def sq_train(
     2·d bounded scalars back to the driver."""
     aggs = []
     for i in range(dim):
-        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        # try_element_at: ANSI mode's element_at RAISES past the array
+        # end — short/malformed vectors must contribute NULL (skipped by
+        # min/max), not kill the training job
+        e = F.try_element_at(F.col(vec_col), F.lit(i + 1)).cast("double")
         aggs.append(F.min(e).alias(f"lo{i}"))
         aggs.append(F.max(e).alias(f"hi{i}"))
     row = corpus.agg(*aggs).collect()[0]
+    if row["lo0"] is None or row[f"lo{dim - 1}"] is None:
+        raise ValueError(
+            f"sq_train: corpus is empty or has no dimension-{dim} vectors "
+            "(min/max aggregated to NULL)"
+        )
     return [(float(row[f"lo{i}"]), float(row[f"hi{i}"])) for i in range(dim)]
 
 
