@@ -188,3 +188,24 @@ def test_sq_train_empty_corpus_raises(spark):
     )
     with pytest.raises(ValueError, match="dimension-2"):
         sq_train(short, dim=2)
+
+
+def test_sq_quantization_error_bound(spark):
+    """The SQ contract: for in-range components, |recon(encode(x)) - x|
+    <= scale/2 (+ the 6-digit recon rounding slack) per dimension —
+    checked for a seeded batch of random vectors in ONE Spark job."""
+    import random
+
+    rng = random.Random(41)
+    dim = 16
+    base = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(64)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<double>"
+    )
+    bounds = sq_train(df, dim=dim)
+    codes = {r["vec_id"]: r["codes"] for r in sq_encode(df, bounds).collect()}
+    for i, v in enumerate(base):
+        for x, c, (lo, hi) in zip(v, codes[i], bounds):
+            s = (hi - lo) / 255.0 if hi > lo else 0.0
+            recon = round(c * s + lo, 6)
+            assert abs(recon - x) <= s / 2 + 1e-6, (i, x, recon, s)
