@@ -165,12 +165,33 @@ def _sq8_topk(spark, sf_dir):
     return sq_topk(codes, q, bounds, k=10)
 
 
+def _bq_topk(spark, sf_dir):
+    """1-bit BQ tier end to end — mean thresholds (one agg pass), bit
+    signatures, Hamming bit_count(XOR) scan on a constant-bounded query
+    sample, wide shortlist + exact re-rank. Corpus-linear; the cheapest
+    per-pair scan in the repo (no float math before the re-rank)."""
+    from unified_firmographic_data_pipeline_spark.operators.bq import (
+        bq_encode,
+        bq_topk,
+        bq_train,
+    )
+    from unified_firmographic_data_pipeline_spark.operators.pq import l2_normalized
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import _t
+
+    norm = l2_normalized(_t(spark, sf_dir, "embeddings"))
+    thr = bq_train(norm)
+    sigs = bq_encode(norm, thr)
+    q = norm.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").limit(128)
+    return bq_topk(sigs, norm, q, thr, k=10, shortlist=100)
+
+
 #: plan variants that are not registered queries but whose scale shape
 #: must still be measured
 EXTRA = {
     "triangle_stats_shuffled_closure": _triangle_shuffled,
     "ivfpq_rerank_topk": _ivfpq_rerank,
     "sq8_topk": _sq8_topk,
+    "bq_topk": _bq_topk,
 }
 
 
@@ -365,6 +386,19 @@ if __name__ == "__main__":
         "multi-job cost (train collect + broadcast search planning), with the"
     )
     lines.append("10x corpus adding ~1 s of actual scoring.")
+    lines.append(
+        "`bq_topk` is the 1-bit tier (mean thresholds, 32-bit-word"
+    )
+    lines.append(
+        "signatures, Hamming bit_count(XOR) scan, wide shortlist + exact"
+    )
+    lines.append(
+        "re-rank): the cheapest per-pair scan in the repo and the lowest"
+    )
+    lines.append(
+        "fixed floor of the quantized tiers — one agg pass to train, one"
+    )
+    lines.append("projection to encode, integer-only distances.")
     lines.append(
         "The 10x text is generated by per-replica token suffixing (new"
     )
