@@ -186,7 +186,7 @@ def test_sq_train_empty_corpus_raises(spark):
     short = spark.createDataFrame(
         [(1, [1.0])], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="dimension-2"):
+    with pytest.raises(ValueError, match="dimension < 2"):
         sq_train(short, dim=2)
 
 

@@ -50,9 +50,10 @@ def bq_train(
         for i in range(dim)
     ]
     row = corpus.agg(*aggs).collect()[0]
-    if row["t0"] is None or row[f"t{dim - 1}"] is None:
+    if any(row[f"t{i}"] is None for i in range(dim)):
         raise ValueError(
-            f"bq_train: corpus is empty or has no dimension-{dim} vectors"
+            f"bq_train: corpus is empty or some dimension < {dim} has no "
+            "non-NULL values"
         )
     return [float(row[f"t{i}"]) for i in range(dim)]
 

@@ -54,10 +54,10 @@ def sq_train(
         aggs.append(F.min(e).alias(f"lo{i}"))
         aggs.append(F.max(e).alias(f"hi{i}"))
     row = corpus.agg(*aggs).collect()[0]
-    if row["lo0"] is None or row[f"lo{dim - 1}"] is None:
+    if any(row[f"lo{i}"] is None for i in range(dim)):
         raise ValueError(
-            f"sq_train: corpus is empty or has no dimension-{dim} vectors "
-            "(min/max aggregated to NULL)"
+            f"sq_train: corpus is empty or some dimension < {dim} has no "
+            "non-NULL values (min/max aggregated to NULL)"
         )
     return [(float(row[f"lo{i}"]), float(row[f"hi{i}"])) for i in range(dim)]
 
