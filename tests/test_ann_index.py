@@ -1,0 +1,95 @@
+"""Materialized IVF-SQ index: partition pruning is a filesystem fact
+(inputFiles only touch probed list directories), and results are
+bit-identical to the inline sq_topk_ivf with the same parameters."""
+
+from __future__ import annotations
+
+import pytest
+
+from unified_firmographic_data_pipeline_spark.operators.ann_index import (
+    build_ivf_sq_index,
+    load_index_meta,
+    search_ivf_sq_index,
+)
+from unified_firmographic_data_pipeline_spark.operators.pq import l2_normalized
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import _t
+
+    return _t(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfsq") / "idx")
+    norm = l2_normalized(emb)
+    meta = build_ivf_sq_index(norm, path, n_lists=8)
+    return path, meta, norm
+
+
+def test_index_layout_and_meta(index):
+    import os
+
+    path, meta, _ = index
+    assert meta["n_lists"] == 8 and len(meta["bounds"]) == 64
+    assert len(meta["centroids"]) == 8
+    lists = sorted(
+        d for d in os.listdir(os.path.join(path, "codes")) if d.startswith("list=")
+    )
+    assert len(lists) >= 2  # clustered fixture spreads over several lists
+    assert load_index_meta(path)["dim"] == 64
+
+
+def test_search_reads_only_probed_partitions(spark, index):
+    """The scan-reduction contract, physically: the probe-union filter
+    lands in the scans' PartitionFilters (directories skipped at
+    planning — the same assertion style as test_partition_pruning), for
+    BOTH index scans (codes and re-rank vectors). inputFiles() cannot
+    be used here: it lists the relation before pruning."""
+    import contextlib
+    import io
+
+    path, meta, norm = index
+    q = norm.filter("vec_id < 3")
+    got = search_ivf_sq_index(spark, path, q, k=5, n_probe=2, shortlist=20)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    pruned = [l for l in pf_lines if "list" in l and "IN" in l.upper()]
+    assert len(pruned) >= 2, pf_lines  # codes scan + vectors re-rank scan
+    # and the probe union is strictly smaller than n_lists on this data
+    from pyspark.sql import functions as F
+
+    from unified_firmographic_data_pipeline_spark.operators.ann_index import (
+        _probe_lists_expr,
+    )
+
+    probes = _probe_lists_expr(
+        [(c, v) for c, v in meta["centroids"]], 2, "embedding"
+    )
+    probed = {
+        r["p"] for r in q.select(F.explode(probes).alias("p")).distinct().collect()
+    }
+    assert len(probed) < meta["n_lists"], "probe union must actually prune"
+    assert len(got.collect()) == 3 * 5
+
+
+def test_search_matches_inline_sq_topk_ivf(spark, index):
+    """Same params -> bit-identical (query_id, neighbor_id, cosine_sim,
+    rank) as the inline tier: materialization must not change results."""
+    from unified_firmographic_data_pipeline_spark.operators.sq import sq_topk_ivf
+
+    path, meta, norm = index
+    bounds = [(lo, hi) for lo, hi in meta["bounds"]]
+    q = norm.filter((norm.vec_id % 25) == 0)
+    a = search_ivf_sq_index(spark, path, q, k=10, n_probe=2, shortlist=50)
+    b = sq_topk_ivf(norm, q, bounds, k=10, n_lists=8, n_probe=2, shortlist=50)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb

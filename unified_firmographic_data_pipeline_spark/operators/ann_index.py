@@ -1,0 +1,199 @@
+"""Materialized IVF-SQ index: the PHYSICAL form of the IVF tiers.
+
+The logical tiers (``similarity.cosine_topk_ivf``, ``pq.pq_topk_ivf``,
+``sq.sq_topk_ivf``) restrict the scan with a list-id equi-join computed
+inline. At 100 TB an index is built ONCE and persisted; this module
+materializes it so probing becomes **partition pruning** — the corpus
+codes are written parquet-partitioned by coarse list id, and a search
+reads ONLY the probed lists' directories. The scan reduction stops
+being a plan property and becomes a filesystem fact
+(``DataFrame.inputFiles()`` shows it; the test pins it).
+
+Layout under ``path``:
+  ``codes/list=<id>/*.parquet`` — (vec_id, codes: array<int>) int8 SQ
+      codes, one directory per coarse list (Hive-style partitioning so
+      Spark prunes on ``list`` filters);
+  ``vectors/list=<id>/*.parquet`` — (vec_id, embedding) raw vectors,
+      same partitioning, for the shortlist re-rank (reads stay pruned);
+  ``_meta.json`` — centroids + SQ bounds + params (bounded driver-side
+      state: n_lists x d + 2 x d floats).
+
+Search: probe lists are computed on the DRIVER for the (bounded —
+contractually a sample, same as every eval/query set in this repo)
+query set; their union becomes a static ``list IN (...)`` filter that
+Catalyst turns into partition pruning; the per-query assignment stays
+an equi-join on the pruned scan, then asymmetric SQ distance ->
+shortlist -> exact cosine re-rank, identical math to ``sq.sq_topk_ivf``
+(the parity test asserts bit-equal results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.operators.sq import (
+    Bounds,
+    _codes_col,
+    _recon,
+    sq_train,
+)
+
+
+def build_ivf_sq_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    bounds: Bounds | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> dict:
+    """Build and persist the index; returns the meta dict. One pass to
+    train bounds (if not supplied), one projection + two partitioned
+    writes — no joins, no shuffles beyond the partitioned write's own
+    file routing."""
+    from unified_firmographic_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        init_centroids_by_id,
+    )
+
+    if bounds is None:
+        bounds = sq_train(corpus, vec_col, dim)
+    centroids = init_centroids_by_id(corpus, n_lists, vec_col, id_col)
+    assigned = assign_clusters(corpus, centroids, vec_col)
+    (
+        assigned.select(
+            F.col(id_col),
+            _codes_col(bounds, vec_col).alias("codes"),
+            F.col("cluster_id").alias("list"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("list")
+        .parquet(os.path.join(path, "codes"))
+    )
+    (
+        assigned.select(
+            F.col(id_col), F.col(vec_col), F.col("cluster_id").alias("list")
+        )
+        .write.mode("overwrite")
+        .partitionBy("list")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    meta = {
+        "n_lists": n_lists,
+        "dim": dim,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "bounds": [[lo, hi] for lo, hi in bounds],
+        "centroids": [[int(cid), list(vec)] for cid, vec in centroids],
+    }
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_index_meta(path: str) -> dict:
+    with open(os.path.join(path, "_meta.json")) as f:
+        return json.load(f)
+
+
+def _probe_lists_expr(centroids, n_probe: int, vec_col: str):
+    """array<int> of the n_probe nearest coarse list ids for one row."""
+    from unified_firmographic_data_pipeline_spark.operators.clustering import (
+        _sq_dist_micro,
+    )
+
+    return F.transform(
+        F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_dist_micro(F.col(vec_col), ce).alias("d"),
+                            F.lit(int(cid)).alias("cid"),
+                        )
+                        for cid, ce in centroids
+                    ]
+                )
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["cid"],
+    )
+
+
+def search_ivf_sq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Search the materialized index. The union of the query set's probe
+    lists (bounded: queries x n_probe ids, collected driver-side) becomes
+    a static partition filter — unprobed list directories are never
+    opened. Per-query routing stays the ``__list`` equi-join on the
+    pruned scan; distances/re-rank are bit-identical to
+    ``sq.sq_topk_ivf`` with the same parameters."""
+    meta = load_index_meta(path)
+    bounds: Bounds = [(lo, hi) for lo, hi in meta["bounds"]]
+    centroids = [(cid, vec) for cid, vec in meta["centroids"]]
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    probes = _probe_lists_expr(centroids, n_probe, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("__list"),
+    )
+    probed = sorted(
+        {r["__list"] for r in q.select("__list").distinct().collect()}
+    )
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("list").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            F.col("list").alias("__list"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            _recon(F.col("codes"), bounds),
+            lambda x, r: F.round(
+                (x.cast("double") - r) * (x.cast("double") - r) * 1e6
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s,
+    )
+    scored = (
+        codes.join(q, "__list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("sq_dist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_dist_micro").asc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist
+    )
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        exact_cosine_rerank,
+    )
+
+    # every shortlist candidate lives in a probed list, so the re-rank
+    # vector read prunes to the same partitions
+    corpus = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("list").isin(probed))
+        .select(id_col, vec_col)
+    )
+    return exact_cosine_rerank(cand, corpus, queries, k, vec_col, id_col)
