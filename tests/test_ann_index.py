@@ -93,3 +93,32 @@ def test_search_matches_inline_sq_topk_ivf(spark, index):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_stream_search_matches_batch(spark, index, tmp_path):
+    """Online serving: a file-stream of query vectors searched via
+    foreachBatch against the materialized index must produce exactly the
+    batch search's results, exactly-once (a restart with the same
+    checkpoint reprocesses nothing)."""
+    from unified_firmographic_data_pipeline_spark.operators.ann_index import (
+        search_ivf_sq_index,
+        stream_search_ivf_sq,
+    )
+
+    path, meta, norm = index
+    qdir = str(tmp_path / "qstream")
+    out = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    queries = norm.filter("vec_id < 4")
+    queries.write.mode("overwrite").parquet(qdir)
+    stream = spark.readStream.schema(queries.schema).parquet(qdir)
+    q = stream_search_ivf_sq(spark, path, stream, out, ckpt, k=5, n_probe=2, shortlist=20)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).drop("batch_id")
+    want = search_ivf_sq_index(spark, path, queries, k=5, n_probe=2, shortlist=20)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # exactly-once: re-running with the same checkpoint adds nothing
+    stream2 = spark.readStream.schema(queries.schema).parquet(qdir)
+    q2 = stream_search_ivf_sq(spark, path, stream2, out, ckpt, k=5, n_probe=2, shortlist=20)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == want.count()

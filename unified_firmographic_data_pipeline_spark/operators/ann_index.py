@@ -6,8 +6,10 @@ inline. At 100 TB an index is built ONCE and persisted; this module
 materializes it so probing becomes **partition pruning** — the corpus
 codes are written parquet-partitioned by coarse list id, and a search
 reads ONLY the probed lists' directories. The scan reduction stops
-being a plan property and becomes a filesystem fact
-(``DataFrame.inputFiles()`` shows it; the test pins it).
+being a plan property and becomes a planning fact — the probe-union
+filter lands in the scans' PartitionFilters (the test pins it there;
+note ``DataFrame.inputFiles()`` can NOT show this — it lists the
+relation before pruning).
 
 Layout under ``path``:
   ``codes/list=<id>/*.parquet`` — (vec_id, codes: array<int>) int8 SQ
@@ -197,3 +199,46 @@ def search_ivf_sq_index(
         .select(id_col, vec_col)
     )
     return exact_cosine_rerank(cand, corpus, queries, k, vec_col, id_col)
+
+
+def stream_search_ivf_sq(
+    spark: SparkSession,
+    index_path: str,
+    query_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 50,
+):
+    """Online ANN serving: a STREAM of query vectors searched against the
+    materialized index, exactly-once per micro-batch.
+
+    Per-query top-k needs a rank window, which Structured Streaming
+    cannot run incrementally — so each micro-batch is searched as a
+    batch via ``foreachBatch`` (the sanctioned escape hatch this repo
+    already uses for the streaming MERGE sink, ``streaming/ingest.py``)
+    and appended to ``out_path``. The checkpoint makes delivery
+    exactly-once per source file across restarts; results for a given
+    query batch are identical to calling ``search_ivf_sq_index`` on the
+    same rows (pinned in tests). The index side stays the static,
+    partition-pruned read — this is the stream-static join shape, with
+    the static side's scan restricted per batch to the batch's probe
+    union."""
+
+    def _search(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = search_ivf_sq_index(
+            spark, index_path, batch_df, k=k, n_probe=n_probe, shortlist=shortlist
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        query_stream.writeStream.foreachBatch(_search)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
