@@ -122,3 +122,31 @@ def test_stream_search_matches_batch(spark, index, tmp_path):
     q2 = stream_search_ivf_sq(spark, path, stream2, out, ckpt, k=5, n_probe=2, shortlist=20)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_append_then_search_finds_new_vectors(spark, emb, tmp_path):
+    """Index lifecycle: build on half the corpus, append the rest with
+    the STORED quantizers, then a query near an appended vector must
+    retrieve appended neighbors — and the code/vector row counts must
+    cover the full corpus."""
+    import os
+
+    from unified_firmographic_data_pipeline_spark.operators.ann_index import (
+        append_to_ivf_sq_index,
+        build_ivf_sq_index,
+        search_ivf_sq_index,
+    )
+
+    path = str(tmp_path / "idx2")
+    norm = l2_normalized(emb)
+    first = norm.filter("vec_id % 2 = 0")
+    rest = norm.filter("vec_id % 2 = 1")
+    build_ivf_sq_index(first, path, n_lists=8)
+    append_to_ivf_sq_index(rest, path)
+    n_total = norm.count()
+    assert spark.read.parquet(os.path.join(path, "codes")).count() == n_total
+    assert spark.read.parquet(os.path.join(path, "vectors")).count() == n_total
+    q = norm.filter("vec_id < 4")
+    got = search_ivf_sq_index(spark, path, q, k=10, n_probe=4, shortlist=100)
+    neigh = {r["neighbor_id"] for r in got.collect()}
+    assert any(n % 2 == 1 for n in neigh), "appended vectors must be retrievable"

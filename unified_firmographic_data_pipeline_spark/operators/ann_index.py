@@ -242,3 +242,47 @@ def stream_search_ivf_sq(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def append_to_ivf_sq_index(
+    corpus_new: DataFrame,
+    path: str,
+) -> dict:
+    """Incremental index maintenance: assign NEW vectors to coarse lists
+    and encode them with the STORED centroids/bounds (no retrain — the
+    standard IVF append contract: cheap, deterministic, and recall
+    degrades only as the data drifts from the trained quantizers; a
+    periodic rebuild resets that). Two append-mode partitioned writes,
+    no shuffle beyond file routing. Returns the (unchanged) meta.
+
+    Idempotence is the CALLER's job (feed only new ids — e.g. via the
+    repo's high-watermark filter, ``operators/incremental.py``); the
+    files themselves append blindly, like any parquet append sink."""
+    from unified_firmographic_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    meta = load_index_meta(path)
+    bounds: Bounds = [(lo, hi) for lo, hi in meta["bounds"]]
+    centroids = [(cid, vec) for cid, vec in meta["centroids"]]
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    assigned = assign_clusters(corpus_new, centroids, vec_col)
+    (
+        assigned.select(
+            F.col(id_col),
+            _codes_col(bounds, vec_col).alias("codes"),
+            F.col("cluster_id").alias("list"),
+        )
+        .write.mode("append")
+        .partitionBy("list")
+        .parquet(os.path.join(path, "codes"))
+    )
+    (
+        assigned.select(
+            F.col(id_col), F.col(vec_col), F.col("cluster_id").alias("list")
+        )
+        .write.mode("append")
+        .partitionBy("list")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    return meta
