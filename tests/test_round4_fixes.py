@@ -632,3 +632,40 @@ def test_container_probes_never_crash_on_garbage():
             assert d is None or d >= 0
 
     prop()
+
+
+def test_container_encode_probe_roundtrip_property():
+    """Property: mp4/avi/jpeg/wav minimal encoders round-trip their
+    parameters through the header probes for arbitrary valid inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        avi_encode_minimal,
+        avi_meta,
+        jpeg_dims,
+        jpeg_encode_minimal,
+        mp4_encode_minimal,
+        mp4_meta,
+        wav_duration_ms,
+        wav_encode_silence,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        w=st.integers(1, 8192),
+        h=st.integers(1, 8192),
+        dur=st.integers(1, 10_000_000),
+        frames=st.integers(1, 100_000),
+    )
+    def prop(w, h, dur, frames):
+        assert mp4_meta(mp4_encode_minimal(w, h, dur)) == (w, h, dur)
+        got = avi_meta(avi_encode_minimal(w, h, frames, us_per_frame=40_000))
+        assert got == (w, h, frames * 40_000 // 1000)
+        assert jpeg_dims(jpeg_encode_minimal(min(w, 65535), min(h, 65535))) == (
+            min(w, 65535),
+            min(h, 65535),
+        )
+
+    prop()
+    assert wav_duration_ms(wav_encode_silence(1234)) == 1234
