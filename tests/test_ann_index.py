@@ -38,7 +38,7 @@ def test_index_layout_and_meta(index):
     assert meta["n_lists"] == 8 and len(meta["bounds"]) == 64
     assert len(meta["centroids"]) == 8
     lists = sorted(
-        d for d in os.listdir(os.path.join(path, "codes")) if d.startswith("list=")
+        d for d in os.listdir(os.path.join(path, "data")) if d.startswith("list=")
     )
     assert len(lists) >= 2  # clustered fixture spreads over several lists
     assert load_index_meta(path)["dim"] == 64
@@ -144,8 +144,9 @@ def test_append_then_search_finds_new_vectors(spark, emb, tmp_path):
     build_ivf_sq_index(first, path, n_lists=8)
     append_to_ivf_sq_index(rest, path)
     n_total = norm.count()
-    assert spark.read.parquet(os.path.join(path, "codes")).count() == n_total
-    assert spark.read.parquet(os.path.join(path, "vectors")).count() == n_total
+    data = spark.read.parquet(os.path.join(path, "data"))
+    assert data.count() == n_total
+    assert set(data.columns) == {"vec_id", "codes", "embedding", "list"}
     q = norm.filter("vec_id < 4")
     got = search_ivf_sq_index(spark, path, q, k=10, n_probe=4, shortlist=100)
     neigh = {r["neighbor_id"] for r in got.collect()}

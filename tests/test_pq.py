@@ -152,10 +152,17 @@ def test_pq_malformed_rows_never_outrank(spark, emb):
     assert not any(r["neighbor_id"] >= 9_000_000 for r in got.collect())
 
 
-def test_pq_train_rejects_malformed_seeds(spark):
-    bad = spark.createDataFrame(
-        [(i, [0.5] * 64) for i in range(15)] + [(15, None)],
-        "vec_id long, embedding array<double>",
+def test_pq_train_excludes_malformed_rows(spark):
+    """Malformed rows are filtered BEFORE training: 15 valid + 1 NULL
+    with k=16 fails the valid-row count, and with k=15 the NULL row
+    must not perturb the codebooks vs training on the 15 valid rows."""
+    rows = [(i, [0.25 * ((i + j) % 5) for j in range(64)]) for i in range(15)]
+    good = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bad = good.unionByName(
+        spark.createDataFrame(
+            [(15, None), (16, [1.0] * 8)], "vec_id long, embedding array<double>"
+        )
     )
-    with pytest.raises(ValueError, match="NULL or <64-dim"):
+    with pytest.raises(ValueError, match="need >= 16 valid"):
         pq_train(bad, m=8, k=16, n_iter=1)
+    assert pq_train(bad, m=8, k=15, n_iter=2) == pq_train(good, m=8, k=15, n_iter=2)

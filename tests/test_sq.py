@@ -209,3 +209,17 @@ def test_sq_quantization_error_bound(spark):
             s = (hi - lo) / 255.0 if hi > lo else 0.0
             recon = round(c * s + lo, 6)
             assert abs(recon - x) <= s / 2 + 1e-6, (i, x, recon, s)
+
+
+def test_sq_encode_extreme_outlier_saturates_not_overflows(spark):
+    """ANSI regression: an extreme out-of-range component (ratio past
+    int range) must saturate to the edge code, not raise CAST_OVERFLOW."""
+    train = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    bounds = sq_train(train, dim=2)
+    wild = spark.createDataFrame(
+        [(3, [1.0e12, -1.0e12])], "vec_id long, embedding array<double>"
+    )
+    codes = sq_encode(wild, bounds).collect()[0]["codes"]
+    assert list(codes) == [255, 0]

@@ -12,13 +12,15 @@ note ``DataFrame.inputFiles()`` can NOT show this — it lists the
 relation before pruning).
 
 Layout under ``path``:
-  ``codes/list=<id>/*.parquet`` — (vec_id, codes: array<int>) int8 SQ
-      codes, one directory per coarse list (Hive-style partitioning so
-      Spark prunes on ``list`` filters);
-  ``vectors/list=<id>/*.parquet`` — (vec_id, embedding) raw vectors,
-      same partitioning, for the shortlist re-rank (reads stay pruned);
+  ``data/list=<id>/*.parquet`` — (vec_id, codes: array<int>, embedding)
+      in ONE dataset, one directory per coarse list (Hive-style
+      partitioning so Spark prunes on ``list`` filters). One dataset on
+      purpose: parquet COLUMN pruning gives the code-only scan and the
+      vector-only re-rank read for free, while build/append pay a
+      single corpus scan instead of one per projection;
   ``_meta.json`` — centroids + SQ bounds + params (bounded driver-side
-      state: n_lists x d + 2 x d floats).
+      state: n_lists x d + 2 x d floats), written via the Hadoop FS API
+      so any filesystem the parquet lands on works.
 
 Search: probe lists are computed on the DRIVER for the (bounded —
 contractually a sample, same as every eval/query set in this repo)
@@ -39,8 +41,8 @@ from pyspark.sql import functions as F
 
 from unified_firmographic_data_pipeline_spark.operators.sq import (
     Bounds,
+    _asym_dist_micro,
     _codes_col,
-    _recon,
     sq_train,
 )
 
@@ -55,9 +57,10 @@ def build_ivf_sq_index(
     dim: int = 64,
 ) -> dict:
     """Build and persist the index; returns the meta dict. One pass to
-    train bounds (if not supplied), one projection + two partitioned
-    writes — no joins, no shuffles beyond the partitioned write's own
-    file routing."""
+    train bounds (if not supplied), then ONE corpus scan feeding one
+    partitioned write (codes and vectors live in the same dataset —
+    column pruning splits them again at read time) — no joins, no
+    shuffle beyond the partitioned write's own file routing."""
     from unified_firmographic_data_pipeline_spark.operators.clustering import (
         assign_clusters,
         init_centroids_by_id,
@@ -71,19 +74,12 @@ def build_ivf_sq_index(
         assigned.select(
             F.col(id_col),
             _codes_col(bounds, vec_col).alias("codes"),
+            F.col(vec_col),
             F.col("cluster_id").alias("list"),
         )
         .write.mode("overwrite")
         .partitionBy("list")
-        .parquet(os.path.join(path, "codes"))
-    )
-    (
-        assigned.select(
-            F.col(id_col), F.col(vec_col), F.col("cluster_id").alias("list")
-        )
-        .write.mode("overwrite")
-        .partitionBy("list")
-        .parquet(os.path.join(path, "vectors"))
+        .parquet(os.path.join(path, "data"))
     )
     meta = {
         "n_lists": n_lists,
@@ -93,40 +89,61 @@ def build_ivf_sq_index(
         "bounds": [[lo, hi] for lo, hi in bounds],
         "centroids": [[int(cid), list(vec)] for cid, vec in centroids],
     }
-    with open(os.path.join(path, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    _fs_write_text(
+        corpus.sparkSession, os.path.join(path, "_meta.json"), json.dumps(meta)
+    )
     return meta
 
 
-def load_index_meta(path: str) -> dict:
-    with open(os.path.join(path, "_meta.json")) as f:
-        return json.load(f)
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API, so the meta
+    sidecar lands wherever the parquet does (file://, hdfs://, s3a://
+    ...) — a driver-local ``open()`` would silently pin the whole index
+    to the driver's disk."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path_str: str) -> str:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, conf, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def load_index_meta(path: str, spark: SparkSession | None = None) -> dict:
+    """Read the meta sidecar. Local paths read directly; any other
+    filesystem goes through the Hadoop FS API (needs a session — the
+    active one is used when not passed)."""
+    local = os.path.join(path, "_meta.json")
+    if os.path.exists(local):
+        with open(local) as f:
+            return json.load(f)
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise FileNotFoundError(local)
+    return json.loads(_fs_read_text(spark, local))
 
 
 def _probe_lists_expr(centroids, n_probe: int, vec_col: str):
-    """array<int> of the n_probe nearest coarse list ids for one row."""
+    """Shared IVF probe selector — see clustering.probe_lists_expr."""
     from unified_firmographic_data_pipeline_spark.operators.clustering import (
-        _sq_dist_micro,
+        probe_lists_expr,
     )
 
-    return F.transform(
-        F.slice(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_dist_micro(F.col(vec_col), ce).alias("d"),
-                            F.lit(int(cid)).alias("cid"),
-                        )
-                        for cid, ce in centroids
-                    ]
-                )
-            ),
-            1,
-            n_probe,
-        ),
-        lambda s: s["cid"],
-    )
+    return probe_lists_expr(centroids, n_probe, vec_col)
 
 
 def search_ivf_sq_index(
@@ -143,7 +160,7 @@ def search_ivf_sq_index(
     opened. Per-query routing stays the ``__list`` equi-join on the
     pruned scan; distances/re-rank are bit-identical to
     ``sq.sq_topk_ivf`` with the same parameters."""
-    meta = load_index_meta(path)
+    meta = load_index_meta(path, spark)
     bounds: Bounds = [(lo, hi) for lo, hi in meta["bounds"]]
     centroids = [(cid, vec) for cid, vec in meta["centroids"]]
     vec_col, id_col = meta["vec_col"], meta["id_col"]
@@ -156,28 +173,17 @@ def search_ivf_sq_index(
     probed = sorted(
         {r["__list"] for r in q.select("__list").distinct().collect()}
     )
-    codes = (
-        spark.read.parquet(os.path.join(path, "codes"))
-        .filter(F.col("list").isin(probed))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            "codes",
-            F.col("list").alias("__list"),
-        )
+    data = spark.read.parquet(os.path.join(path, "data")).filter(
+        F.col("list").isin(probed)
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("__qv"),
-            _recon(F.col("codes"), bounds),
-            lambda x, r: F.round(
-                (x.cast("double") - r) * (x.cast("double") - r) * 1e6
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + s,
+    codes = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        "codes",
+        F.col("list").alias("__list"),
     )
+    dist = _asym_dist_micro(F.col("__qv"), F.col("codes"), bounds)
     scored = (
-        codes.join(q, "__list")
+        codes.join(F.broadcast(q), "__list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", dist.alias("sq_dist_micro"))
     )
@@ -192,12 +198,9 @@ def search_ivf_sq_index(
     )
 
     # every shortlist candidate lives in a probed list, so the re-rank
-    # vector read prunes to the same partitions
-    corpus = (
-        spark.read.parquet(os.path.join(path, "vectors"))
-        .filter(F.col("list").isin(probed))
-        .select(id_col, vec_col)
-    )
+    # vector read prunes to the same partitions (and column pruning
+    # keeps the codes column out of this scan)
+    corpus = data.select(id_col, vec_col)
     return exact_cosine_rerank(cand, corpus, queries, k, vec_col, id_col)
 
 
@@ -218,11 +221,15 @@ def stream_search_ivf_sq(
     cannot run incrementally — so each micro-batch is searched as a
     batch via ``foreachBatch`` (the sanctioned escape hatch this repo
     already uses for the streaming MERGE sink, ``streaming/ingest.py``)
-    and appended to ``out_path``. The checkpoint makes delivery
-    exactly-once per source file across restarts; results for a given
-    query batch are identical to calling ``search_ivf_sq_index`` on the
-    same rows (pinned in tests). The index side stays the static,
-    partition-pruned read — this is the stream-static join shape, with
+    and written to ``out_path``. Delivery is exactly-once because the
+    write is IDEMPOTENT per micro-batch: results land under a
+    ``batch_id=<n>`` partition via dynamic partition overwrite, so a
+    batch retried after a crash between its write and the checkpoint
+    commit replaces its own partition instead of appending duplicates
+    (a plain append sink here would only be at-least-once). Results for
+    a given query batch are identical to calling ``search_ivf_sq_index``
+    on the same rows (pinned in tests). The index side stays the
+    static, partition-pruned read — the stream-static join shape, with
     the static side's scan restricted per batch to the batch's probe
     union."""
 
@@ -232,8 +239,12 @@ def stream_search_ivf_sq(
         out = search_ivf_sq_index(
             spark, index_path, batch_df, k=k, n_probe=n_probe, shortlist=shortlist
         )
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_path
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
         )
 
     return (
@@ -252,7 +263,7 @@ def append_to_ivf_sq_index(
     and encode them with the STORED centroids/bounds (no retrain — the
     standard IVF append contract: cheap, deterministic, and recall
     degrades only as the data drifts from the trained quantizers; a
-    periodic rebuild resets that). Two append-mode partitioned writes,
+    periodic rebuild resets that). One append-mode partitioned write,
     no shuffle beyond file routing. Returns the (unchanged) meta.
 
     Idempotence is the CALLER's job (feed only new ids — e.g. via the
@@ -262,7 +273,7 @@ def append_to_ivf_sq_index(
         assign_clusters,
     )
 
-    meta = load_index_meta(path)
+    meta = load_index_meta(path, corpus_new.sparkSession)
     bounds: Bounds = [(lo, hi) for lo, hi in meta["bounds"]]
     centroids = [(cid, vec) for cid, vec in meta["centroids"]]
     vec_col, id_col = meta["vec_col"], meta["id_col"]
@@ -271,18 +282,11 @@ def append_to_ivf_sq_index(
         assigned.select(
             F.col(id_col),
             _codes_col(bounds, vec_col).alias("codes"),
+            F.col(vec_col),
             F.col("cluster_id").alias("list"),
         )
         .write.mode("append")
         .partitionBy("list")
-        .parquet(os.path.join(path, "codes"))
-    )
-    (
-        assigned.select(
-            F.col(id_col), F.col(vec_col), F.col("cluster_id").alias("list")
-        )
-        .write.mode("append")
-        .partitionBy("list")
-        .parquet(os.path.join(path, "vectors"))
+        .parquet(os.path.join(path, "data"))
     )
     return meta

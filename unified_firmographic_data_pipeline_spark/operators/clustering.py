@@ -146,3 +146,29 @@ def semantic_dedup_cap(
         .filter(F.col("__rn") <= per_cluster_cap)
         .drop("__rn")
     )
+
+
+def probe_lists_expr(centroids: list[Centroid], n_probe: int, vec_col: str):
+    """array<int> of the ``n_probe`` nearest coarse-centroid ids for one
+    row — the IVF probe selector shared by every composed tier
+    (pq.pq_topk_ivf, sq.sq_topk_ivf, ann_index.search_ivf_sq_index), so
+    a tie-break or ordering change can never diverge the inline tiers
+    from the materialized index that is pinned bit-identical to them."""
+    return F.transform(
+        F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_dist_micro(F.col(vec_col), ce).alias("d"),
+                            F.lit(int(cid)).alias("cid"),
+                        )
+                        for cid, ce in centroids
+                    ]
+                )
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["cid"],
+    )

@@ -170,20 +170,24 @@ def pq_train(
     """Learn per-subspace codebooks. Deterministic: id-ordered init, then
     ``n_iter`` Lloyd rounds over all m subspaces AT ONCE (one explode +
     one partial-agg shuffle per round, not m jobs). Empty codes keep
-    their previous codeword (standard Lloyd convention)."""
+    their previous codeword (standard Lloyd convention).
+
+    Malformed rows (NULL / <dim components) are EXCLUDED from training
+    up front: without the filter the Lloyd assignment would fabricate a
+    code for a NULL-distance row (the NULL-d argmin struct sorts first)
+    and its partial subvectors would pollute codeword sums with
+    per-dimension counts that vary, breaking bit-reproducibility."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim)
+    )
     seed_rows = corpus.select(vec_col).orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:
-        raise ValueError(f"pq_train: need >= {k} rows, got {len(seed_rows)}")
-    bad = next(
-        (r for r in seed_rows if r[vec_col] is None or len(r[vec_col]) < dim), None
-    )
-    if bad is not None:
         raise ValueError(
-            f"pq_train: seed row has a NULL or <{dim}-dim vector; clean the "
-            "corpus (or filter size(vec) = dim) before training"
+            f"pq_train: need >= {k} valid (non-NULL, >= {dim}-dim) rows, "
+            f"got {len(seed_rows)}"
         )
     books: Codebooks = [
         [[float(r[vec_col][j * sub + t]) for t in range(sub)] for r in seed_rows]
@@ -324,9 +328,9 @@ def pq_topk_ivf(
     losses are bounded in tests. Deterministic end to end: id-ordered
     coarse centroids, integer-micro distances, id tiebreaks."""
     from unified_firmographic_data_pipeline_spark.operators.clustering import (
-        _sq_dist_micro,
         assign_clusters,
         init_centroids_by_id,
+        probe_lists_expr,
     )
 
     centroids = init_centroids_by_id(corpus, n_lists, vec_col, id_col)
@@ -339,24 +343,7 @@ def pq_topk_ivf(
         _codes_expr(bl, vec_col, sub).alias("codes"),
         F.col("cluster_id").alias("__list"),
     )
-    probes = F.transform(
-        F.slice(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_dist_micro(F.col(vec_col), ce).alias("d"),
-                            F.lit(int(cid)).alias("cid"),
-                        )
-                        for cid, ce in centroids
-                    ]
-                )
-            ),
-            1,
-            n_probe,
-        ),
-        lambda s: s["cid"],
-    )
+    probes = probe_lists_expr(centroids, n_probe, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _adc_table_expr(bl, vec_col, sub).alias("__tbl"),
@@ -370,7 +357,7 @@ def pq_topk_ivf(
         lambda acc, x: acc + x,
     )
     scored = (
-        codes.join(q, "__list")
+        codes.join(F.broadcast(q), "__list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", dist.alias("adc_dist_micro"))
     )

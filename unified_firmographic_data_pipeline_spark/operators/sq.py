@@ -86,17 +86,20 @@ def _codes_col(bounds: Bounds, vec_col: str):
     outrank real candidates."""
     lo, sc = _lo_lit(bounds), _scale_lit(bounds)
     shifted = F.zip_with(F.col(vec_col), lo, lambda x, l: x.cast("double") - l)
+    # clamp in the DOUBLE domain, cast int last: ANSI mode turns an
+    # int cast of an extreme out-of-range ratio (round(1e12/s)) into a
+    # CAST_OVERFLOW error instead of the documented edge-code saturation
     return F.zip_with(
         shifted,
         sc,
         lambda d, s: F.when(d.isNull(), F.lit(None).cast("int")).otherwise(
             F.least(
-                F.lit(255),
+                F.lit(255.0),
                 F.greatest(
-                    F.lit(0),
-                    F.when(s == 0, F.lit(0)).otherwise(F.round(d / s).cast("int")),
+                    F.lit(0.0),
+                    F.when(s == 0, F.lit(0.0)).otherwise(F.round(d / s)),
                 ),
-            )
+            ).cast("int")
         ),
     )
 
@@ -127,6 +130,25 @@ def _recon(codes_col, bounds: Bounds):
     )
 
 
+def _asym_dist_micro(qv_col, codes_col, bounds: Bounds):
+    """Integer-micro squared L2 between a float query-vector column and
+    the reconstruction of an SQ code column — the asymmetric distance
+    shared by ``sq_topk``, ``sq_topk_ivf`` and
+    ``ann_index.search_ivf_sq_index`` (one definition so the inline
+    tiers and the materialized index can never diverge)."""
+    return F.aggregate(
+        F.zip_with(
+            qv_col,
+            _recon(codes_col, bounds),
+            lambda x, r: F.round(
+                (x.cast("double") - r) * (x.cast("double") - r) * 1e6
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s,
+    )
+
+
 def sq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -145,17 +167,7 @@ def sq_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("__qv"),
-            _recon(F.col("codes"), bounds),
-            lambda x, r: F.round(
-                (x.cast("double") - r) * (x.cast("double") - r) * 1e6
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + s,
-    )
+    dist = _asym_dist_micro(F.col("__qv"), F.col("codes"), bounds)
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id", dist.alias("sq_dist_micro"))
@@ -189,9 +201,9 @@ def sq_topk_ivf(
     per-component quantization. Deterministic end to end. Output
     ``(query_id, neighbor_id, cosine_sim, rank)``."""
     from unified_firmographic_data_pipeline_spark.operators.clustering import (
-        _sq_dist_micro,
         assign_clusters,
         init_centroids_by_id,
+        probe_lists_expr,
     )
     from unified_firmographic_data_pipeline_spark.operators.similarity import (
         exact_cosine_rerank,
@@ -203,42 +215,15 @@ def sq_topk_ivf(
         _codes_col(bounds, vec_col).alias("codes"),
         F.col("cluster_id").alias("__list"),
     )
-    probes = F.transform(
-        F.slice(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_dist_micro(F.col(vec_col), ce).alias("d"),
-                            F.lit(int(cid)).alias("cid"),
-                        )
-                        for cid, ce in centroids
-                    ]
-                )
-            ),
-            1,
-            n_probe,
-        ),
-        lambda s: s["cid"],
-    )
+    probes = probe_lists_expr(centroids, n_probe, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(probes).alias("__list"),
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("__qv"),
-            _recon(F.col("codes"), bounds),
-            lambda x, r: F.round(
-                (x.cast("double") - r) * (x.cast("double") - r) * 1e6
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + s,
-    )
+    dist = _asym_dist_micro(F.col("__qv"), F.col("codes"), bounds)
     scored = (
-        codes.join(q, "__list")
+        codes.join(F.broadcast(q), "__list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", dist.alias("sq_dist_micro"))
     )

@@ -213,7 +213,7 @@ def mp4_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
                     dur = d * 1000 // ts
             elif t2 == b"trak" and w is None:
                 for t3, s3, e3 in _mp4_boxes(b, s2, e2):
-                    if t3 != b"tkhd":
+                    if t3 != b"tkhd" or e3 - s3 < 1:  # empty box: no version byte
                         continue
                     # width/height trail version/flags + times/ids +
                     # layer block + the 36-byte matrix (16.16 fixed)
