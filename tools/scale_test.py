@@ -203,7 +203,12 @@ def _ivfsq_index_search(spark, sf_dir):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(REPO, f".ann_idx_{tag}")
     norm = l2_normalized(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    if not os.path.exists(os.path.join(path, "_meta.json")):
+    # cache keyed on the combined-dataset layout (data/), not just the
+    # meta sidecar — a stale split-layout index must rebuild
+    if not (
+        os.path.exists(os.path.join(path, "_meta.json"))
+        and os.path.exists(os.path.join(path, "data"))
+    ):
         build_ivf_sq_index(norm, path, n_lists=8)
     q = norm.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").limit(128)
     return search_ivf_sq_index(spark, path, q, k=10, n_probe=2, shortlist=50)
