@@ -346,6 +346,10 @@ MALFORMED_PROPS_CASES = [
     '{"k": 1}', '{"k": 0}', "{}", '{"k": null}', "null", "", None,
     "{", "not json", "[1, 2, 3]", '{"k": "12"}', '{"k": 1e308}',
     '{"other": 5}', '{"k": {"nested": 1}}',
+    # comma fragments: invalid STANDALONE but valid once bracket-wrapped
+    # — the validity gate must run on the raw string like the oracle's
+    # json_valid(props), else these explode rows the oracle excludes
+    "1,2", '{"k":1},{"k":2}', '"a","b"',
 ]
 
 

@@ -200,8 +200,10 @@ def _ivfsq_index_search(spark, sf_dir):
     from unified_firmographic_data_pipeline_spark.operators.pq import l2_normalized
     from unified_firmographic_data_pipeline_spark.plans.driver_queries import _t
 
+    # key the cache on the dataset GENERATION too — a regenerated 10x
+    # dataset must not silently reuse an index built from old vectors
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(REPO, f".ann_idx_{tag}")
+    path = os.path.join(REPO, f".ann_idx_{tag}_v{GENVER}")
     norm = l2_normalized(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     # cache keyed on the combined-dataset layout (data/), not just the
     # meta sidecar — a stale split-layout index must rebuild

@@ -181,7 +181,12 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     corpus = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) >= dim)
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) >= dim)
+        # a full-length vector can still carry NULL components — those
+        # would crash seed init (float(None)) or bias the Lloyd means
+        # (count('*') counts the row where sum() skips the NULL)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
     seed_rows = corpus.select(vec_col).orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:

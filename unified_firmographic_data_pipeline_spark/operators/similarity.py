@@ -42,26 +42,29 @@ def exact_cosine_rerank(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """The shared re-rank stage of every shortlist-based ANN tier
-    (PQ/IVF-PQ/IVF-SQ): join ``cand`` — (query_id, neighbor_id) pairs,
-    queries x shortlist rows, never the corpus — back to raw vectors and
-    rank by exact cosine. The query side broadcasts (bounded by the
-    query sample); norms are precomputed per row per
-    :func:`_cosine_from_norms`. Output
+    (PQ/IVF-PQ/IVF-SQ/BQ): join ``cand`` — (query_id, neighbor_id)
+    pairs, queries x shortlist rows, never the corpus — back to raw
+    vectors and rank by exact cosine. BOTH small sides broadcast (cand
+    is bounded by queries x shortlist, the query set by contract), so
+    the corpus side is one map-side semi-join over the scan with no
+    shuffle. Norms are computed AFTER the join, on shortlist survivors
+    only — precomputing them per corpus row (the all-pairs tiers' trick,
+    :func:`_cosine_from_norms`) would here pay an O(d) fold for every
+    corpus row to save work on a few thousand candidates. Same fold,
+    same product order, so results are bit-equal either way. Output
     ``(query_id, neighbor_id, cosine_sim, rank)``, id tiebreaks."""
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(vec_col).alias("__cn"),
-    )
     qvec = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         l2_norm(vec_col).alias("__qn"),
     )
     scored = (
-        cand.select("query_id", "neighbor_id")
-        .join(cvec, "neighbor_id")
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        .join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
+        .withColumn("__cn", l2_norm("__cv"))
         .select(
             "query_id",
             "neighbor_id",
@@ -292,7 +295,7 @@ def cosine_topk_ivf(
     from unified_firmographic_data_pipeline_spark.operators.clustering import (
         assign_clusters,
         init_centroids_by_id,
-        _sq_dist_micro,
+        probe_lists_expr,
     )
 
     centroids = init_centroids_by_id(corpus, n_lists, vec_col, id_col)
@@ -305,20 +308,9 @@ def cosine_topk_ivf(
             F.col("cluster_id").alias("__list"),
         )
     )
-    # per-query probe list: argsort the same literal centroid distances,
-    # keep the first n_probe (struct sort = (distance, centroid id) lex)
-    cand = F.array(
-        *[
-            F.struct(
-                _sq_dist_micro(F.col(vec_col), ce).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, ce in centroids
-        ]
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(cand), 1, n_probe), lambda s: s["cid"]
-    )
+    # per-query probe list: the shared IVF selector (expression-identical
+    # to the inline form it replaced — argsort of (distance, id) structs)
+    probes = probe_lists_expr(centroids, n_probe, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -326,7 +318,10 @@ def cosine_topk_ivf(
         F.explode(probes).alias("__list"),
     )
     scored = (
-        c.join(q, "__list")
+        # broadcast the bounded query side: a plain equi-join on at most
+        # n_lists distinct keys would shuffle the whole corpus into
+        # n_lists reducers
+        c.join(F.broadcast(q), "__list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -352,6 +352,26 @@ def fk_violations_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 # Semi-structured (D-group): JSON path extraction + explode
 # --------------------------------------------------------------------------
 
+def _json_strict_valid(c):
+    """Spark expression equivalent of DuckDB's ``json_valid(s)``.
+
+    Spark's JSON readers (get_json_object, try_parse_json) accept a
+    valid-prefix-plus-trailing-garbage string like ``{"k":1},{"k":2}``
+    (they parse the first value and stop) where DuckDB's validator is
+    strict — so any oracle guarded by json_valid needs THIS gate on the
+    Spark side, not a bare try_parse_json. The trick: ``[s]`` must
+    parse AND hold exactly ONE element (a trailing fragment that
+    bracket-wraps into a valid array yields >1). Element existence is
+    probed with schema_of_variant, which distinguishes a MISSING
+    ``$[1]`` (NULL schema) from a JSON-null element ('VOID') — a plain
+    try_variant_get cannot. Verified equal to json_valid on the full
+    malformed-props sweep including comma fragments."""
+    wrapped = F.try_parse_json(F.concat(F.lit("["), c, F.lit("]")))
+    e0 = F.schema_of_variant(F.try_variant_get(wrapped, "$[0]", "variant"))
+    e1 = F.schema_of_variant(F.try_variant_get(wrapped, "$[1]", "variant"))
+    return wrapped.isNotNull() & e0.isNotNull() & e1.isNull()
+
+
 @q(
     "json_extract_props",
     """
@@ -372,7 +392,11 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     input where get_json_object yields NULL). Found by the round-4
     malformed-props sweep."""
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("long")
+    # strict-validity gate: get_json_object would extract from a
+    # valid-prefix fragment the oracle's json_valid excludes
+    k = F.when(
+        _json_strict_valid(F.col("props")), F.get_json_object("props", "$.k")
+    ).try_cast("long")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -1319,7 +1343,11 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.createOrReplaceTempView("events_v")
     return spark.sql(
         """
-        SELECT try_variant_get(try_parse_json(props), '$.k', 'long') % 10 AS k_bucket,
+        SELECT CASE WHEN try_parse_json(concat('[', props, ']')) IS NOT NULL
+                         AND schema_of_variant(try_variant_get(try_parse_json(concat('[', props, ']')), '$[0]', 'variant')) IS NOT NULL
+                         AND schema_of_variant(try_variant_get(try_parse_json(concat('[', props, ']')), '$[1]', 'variant')) IS NULL
+                    THEN try_variant_get(try_parse_json(props), '$.k', 'long')
+               END % 10 AS k_bucket,
                COUNT(*) AS n
         FROM events_v GROUP BY 1
         """
@@ -1503,13 +1531,20 @@ def variant_lateral_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLATTEN semantics on dirty payloads: a malformed props produces ZERO
     exploded rows (lenient try_parse_json + LATERAL drop), so the oracle
     restricts to json_valid rows; non-castable values are NULL via the
-    try_ tier (round-4 malformed-props sweep)."""
+    try_ tier (round-4 malformed-props sweep).
+
+    The validity gate runs on the RAW string (try_parse_json(props)),
+    matching the oracle's json_valid(props) exactly: a fragment like
+    '1,2' is invalid standalone but VALID once bracket-wrapped, so
+    gating only the wrapped payload would explode rows the oracle
+    excludes (round-4 review finding; pinned in the malformed-props
+    sweep's comma-fragment cases)."""
     from unified_firmographic_data_pipeline_spark.operators.flatten import flatten_variant
 
     e = _t(spark, sf_dir, "events").select(
         "event_type",
         F.when(
-            F.col("props").isNotNull(),
+            F.col("props").isNotNull() & _json_strict_valid(F.col("props")),
             F.concat(F.lit("["), F.col("props"), F.lit("]")),
         ).alias("payload"),
     )
@@ -9891,7 +9926,11 @@ def variant_type_get_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # castable to the target type; the lenient contract is NULL for both
     v = e.select(
         "event_type",
-        F.try_parse_json("props").alias("__v"),
+        # strict gate (matches the oracle's json_valid): try_parse_json
+        # alone accepts valid-prefix fragments like '{"k":1},{"k":2}'
+        F.when(
+            _json_strict_valid(F.col("props")), F.try_parse_json("props")
+        ).alias("__v"),
     ).select(
         "event_type",
         F.try_variant_get("__v", "$.k", "int").alias("k"),
@@ -13149,7 +13188,10 @@ _MODIFIED_FIRST = [
     "theil_index_by_region",  # non-positive-revenue exclusion
     "elasticity_loglog_by_brand",  # ln domain + zero-variance guards
     "local_bridges_count",  # empty-graph share guard
-    "variant_type_get_stats",  # try_parse_json / try_variant_get tier
+    "variant_type_get_stats",  # strict json_valid-equivalent gate
+    "variant_lateral_flatten",  # strict json_valid-equivalent gate
+    "json_extract_props",  # strict json_valid-equivalent gate
+    "variant_json_extract",  # strict json_valid-equivalent gate
 ]
 
 
