@@ -106,7 +106,7 @@ def test_catalog_overwrite_partitions_respects_fmt(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "x", "d1"), (2, "y", "d2")], "id long, v string, day string"
     )
-    for fmt in ("orc", "json", "csv"):
+    for fmt in ("orc", "json", "csv", "xml"):
         cat = Catalog(spark, str(tmp_path / fmt), fmt=fmt)
         cat.overwrite_partitions(df, "core", "t", ["day"])
         got = cat.read("core", "t")

@@ -8,7 +8,9 @@ are kept in typed column pairs so the long format stays schema-stable.
 
 Scale: exact COUNT(DISTINCT) per column is the oracle-checkable tier used
 here; at 100 TB swap in ``approx_count_distinct`` (HLL, one pass, no
-Expand blowup) via ``exact=False`` — same output shape.
+Expand blowup) via ``exact=False`` — same output shape. The full sketch
+tier (HLL + moments + approx quantiles + top-k + histogram, Deequ-style)
+lives in ``quality.profile``.
 """
 
 from __future__ import annotations

@@ -41,6 +41,8 @@ def atomic_swap_write(
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer.option("header", "true").csv(tmp)
+    elif fmt == "xml":
+        writer.format("xml").option("rootTag", "rows").option("rowTag", "row").save(tmp)
     else:
         getattr(writer, fmt)(tmp)
     old = final + ".old-" + uuid.uuid4().hex[:8]
@@ -56,7 +58,9 @@ def atomic_swap_write(
 #: alternative with the same pushdown story; JSON/CSV are interchange
 #: tiers — schema round-trips via an embedded `_schema.json` sidecar since
 #: the formats carry none (CSV) or lossy (JSON: everything widens) types.
-CATALOG_FORMATS = ("parquet", "orc", "json", "csv")
+#: XML (native in Spark 4) is the same sidecar-restored interchange tier,
+#: for feeds that land as XML (SEC filings, sitemap dumps, RSS).
+CATALOG_FORMATS = ("parquet", "orc", "json", "csv", "xml")
 
 
 class Catalog:
@@ -81,7 +85,7 @@ class Catalog:
             [
                 f
                 for f in os.listdir(p)
-                if f.endswith((".parquet", ".orc", ".json", ".csv")) or f == "_SUCCESS"
+                if f.endswith((".parquet", ".orc", ".json", ".csv", ".xml")) or f == "_SUCCESS"
             ]
         )
 
@@ -103,6 +107,10 @@ class Catalog:
             st = StructType.fromJson(__import__("json").load(fh))
         if self.fmt == "json":
             return self.spark.read.schema(st).json(p)
+        if self.fmt == "xml":
+            return (
+                self.spark.read.schema(st).format("xml").option("rowTag", "row").load(p)
+            )
         return self.spark.read.schema(st).option("header", "true").csv(p)
 
     def read_or_none(self, schema: str, table: str) -> DataFrame | None:
@@ -114,7 +122,7 @@ class Catalog:
         computing the new one) requires this — a direct overwrite would
         truncate its own input before reading it."""
         atomic_swap_write(df, self.path(schema, table), partition_by, fmt=self.fmt)
-        if self.fmt in ("json", "csv"):
+        if self.fmt in ("json", "csv", "xml"):
             import json as _json
 
             with open(self._schema_sidecar(schema, table), "w", encoding="utf-8") as fh:
@@ -124,6 +132,10 @@ class Catalog:
         w = df.write.mode("append")
         if self.fmt == "csv":
             w.option("header", "true").csv(self.path(schema, table))
+        elif self.fmt == "xml":
+            w.format("xml").option("rootTag", "rows").option("rowTag", "row").save(
+                self.path(schema, table)
+            )
         else:
             getattr(w, self.fmt)(self.path(schema, table))
 
@@ -145,9 +157,13 @@ class Catalog:
         )
         if self.fmt == "csv":
             w.option("header", "true").csv(self.path(schema, table))
+        elif self.fmt == "xml":
+            w.format("xml").option("rootTag", "rows").option("rowTag", "row").save(
+                self.path(schema, table)
+            )
         else:
             getattr(w, self.fmt)(self.path(schema, table))
-        if self.fmt in ("json", "csv"):
+        if self.fmt in ("json", "csv", "xml"):
             import json as _json
 
             with open(self._schema_sidecar(schema, table), "w", encoding="utf-8") as fh:

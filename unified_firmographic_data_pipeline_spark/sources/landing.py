@@ -46,3 +46,19 @@ def read_json_landing(
         F.current_timestamp().alias("ingested_at"),
         F.col("value").alias("payload"),
     )
+
+
+def read_xml_landing(
+    spark: SparkSession,
+    path: str,
+    source_name: str,
+    glob: str | None = "*.xml",
+) -> DataFrame:
+    """XML twin of ``read_json_landing``: one row per landed XML document,
+    payload kept as the unparsed text (VARIANT-style schema-on-read —
+    parsing happens at the staging boundary via ``operators.xmlstage``).
+    XML documents are whole-file by nature (one root element), so there is
+    no line-mode variant."""
+    return read_json_landing(
+        spark, path, source_name, glob=glob, whole_file=True
+    )
