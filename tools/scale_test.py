@@ -216,6 +216,22 @@ def _ivfsq_index_search(spark, sf_dir):
     return search_ivf_sq_index(spark, path, q, k=10, n_probe=2, shortlist=50)
 
 
+def _rp_topk(spark, sf_dir):
+    """JL random-projection tier (operators/rp.py): project corpus+queries
+    to 16 dims through one literal Gaussian matrix, brute-force cosine on
+    the small vectors for a shortlist, exact re-rank on raw vectors — on
+    the same constant 128-query sample as the other tiers. Corpus-linear:
+    the projection is a narrow Column transform in the scan stage and the
+    scan term's constant drops by in_dim/out_dim."""
+    from unified_firmographic_data_pipeline_spark.operators.pq import l2_normalized
+    from unified_firmographic_data_pipeline_spark.operators.rp import cosine_topk_rp
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import _t
+
+    norm = l2_normalized(_t(spark, sf_dir, "embeddings"))
+    q = norm.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").limit(128)
+    return cosine_topk_rp(norm, q, k=10, out_dim=16, shortlist=50)
+
+
 #: plan variants that are not registered queries but whose scale shape
 #: must still be measured
 EXTRA = {
@@ -224,6 +240,7 @@ EXTRA = {
     "sq8_topk": _sq8_topk,
     "bq_topk": _bq_topk,
     "ivfsq_index_search": _ivfsq_index_search,
+    "rp_topk": _rp_topk,
 }
 
 
@@ -447,6 +464,22 @@ if __name__ == "__main__":
         "grows with probed-list bytes — corpus-linear at fixed probe count,"
     )
     lines.append("with training/encode amortized into the one-time build.")
+    lines.append(
+        "`rp_topk` is the JL random-projection tier (operators/rp.py): one"
+    )
+    lines.append(
+        "literal Gaussian matrix projects both sides to 16 dims inside the"
+    )
+    lines.append(
+        "scan stage (narrow, no shuffle), the brute-force shortlist runs on"
+    )
+    lines.append(
+        "vectors 8x smaller, and the exact re-rank touches only shortlist"
+    )
+    lines.append(
+        "rows — corpus-linear with a reduced scan constant, same constant"
+    )
+    lines.append("128-query sample as the other tiers.")
     lines.append(
         "The 10x text is generated by per-replica token suffixing (new"
     )

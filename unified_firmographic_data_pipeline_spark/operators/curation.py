@@ -45,6 +45,83 @@ def token_chunks(text_col, width: int = 10, *, pre_tokenized: bool = False):
     )
 
 
+def token_windows(
+    text_col,
+    width: int = 128,
+    stride: int = 64,
+    *,
+    pre_tokenized: bool = False,
+):
+    """OVERLAPPING sliding token windows -> ArrayType(StringType) — the
+    context-window chunker for training-sequence prep (``token_chunks`` is
+    the non-overlapping C4-"line" special case ``stride == width``).
+
+    Window ``i`` covers tokens ``[i*stride, i*stride + width)``;
+    ``n = 1 + ceil(max(0, size - width) / stride)`` windows, so every token
+    is covered, the final window may be partial, and a document shorter
+    than ``width`` yields exactly one window. Empty/whitespace-only
+    documents yield an EMPTY array (explode drops them) — not one empty
+    chunk. Pure expression, no shuffle; same pre-tokenization contract as
+    ``token_chunks`` (Catalyst does not CSE into lambda bodies — project
+    ``tokens(text)`` first on hot paths)."""
+    if width < 1 or stride < 1:
+        raise ValueError("width and stride must be >= 1")
+    if stride > width:
+        raise ValueError("stride > width would skip tokens between windows")
+    t = F.col(text_col) if pre_tokenized and isinstance(text_col, str) else (
+        text_col if pre_tokenized else tokens(text_col)
+    )
+    n = (
+        F.lit(1)
+        + F.ceil(F.greatest(F.size(t) - width, F.lit(0)) / F.lit(stride))
+    ).cast("int")
+    # ``tokens('')`` is [''] (split never yields []), so "empty" is NULL
+    # text, the 0-length array, and the single-empty-token array alike
+    empty = (
+        t.isNull()
+        | (F.size(t) == 0)
+        | ((F.size(t) == 1) & (F.try_element_at(t, F.lit(1)) == ""))
+    )
+    # sequence(0, n-1) is safe: n >= 1 always, so the range never descends
+    return F.when(empty, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i * stride + 1, width)),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    width: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode documents into training-sequence rows:
+    ``(doc_id, chunk_id, chunk_start, n_tokens, chunk_text)`` with
+    ``chunk_start`` the 0-based token offset — enough provenance to map a
+    training sequence back to its source span (the lineage contract
+    dedup/decontamination audits need).
+
+    Scale shape: tokenize once (projected column), window inside the scan
+    stage, posexplode — a narrow fan-out whose output row count is
+    ~``total_tokens / stride``; no shuffle until whatever comes next."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    win = token_windows("__toks", width, stride, pre_tokenized=True)
+    return toks.select(
+        "doc_id", F.posexplode(win).alias("chunk_id", "chunk_text")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("chunk_start"),
+        (F.size(F.split("chunk_text", r"\s+"))).alias("n_tokens"),
+        "chunk_text",
+    )
+
+
 def chunk_dedup_stats(docs: DataFrame, width: int = 10) -> DataFrame:
     """C4-style window("line")-level dedup statistics per source: how many
     fixed-width token chunks each source contributes and how many are

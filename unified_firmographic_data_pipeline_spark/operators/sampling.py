@@ -83,6 +83,35 @@ def split_train_eval(
     )
 
 
+def stratified_fractions_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key: F.Column | str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with explicit rates — the
+    source-mixing knob of a pretraining pipeline ("keep 100% of books,
+    10% of web, 1% of logs"). ``fractions`` maps stratum value → keep
+    rate; strata not listed keep ``default_fraction``.
+
+    Still a narrow per-row filter (the rate lookup is one bounded CASE
+    expression over the literal map — no join, no shuffle, pushes into
+    the scan), deterministic in the keyed hash like every sampler here.
+    For exact-k per stratum use :func:`hash_topk_per_group` instead.
+    """
+    if not all(0.0 <= v <= 1.0 for v in fractions.values()):
+        raise ValueError("fractions must be in [0, 1]")
+    key = F.col(key) if isinstance(key, str) else key
+    if salt:
+        key = F.concat(F.lit(salt), key.cast("string"))
+    rate = F.lit(float(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(frac))).otherwise(rate)
+    return df.filter(hash_uniform(key) < rate)
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key: F.Column | str,

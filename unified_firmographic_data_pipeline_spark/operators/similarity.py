@@ -481,3 +481,35 @@ def mmr_rerank(
     return candidates.groupBy(query_col).applyInPandas(
         _rerank, _mmr_schema(query_col, doc_col, rel_col)
     )
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """Evaluate an ANN tier against exact ground truth: per-query
+    ``recall@k`` = |approx top-k ∩ exact top-k| / |exact top-k|.
+
+    Both inputs are the shared tier contract ``(query_id, neighbor_id,
+    rank, ...)`` (any extra columns ignored) — so every tier in the ladder
+    (LSH/IVF/PQ/SQ/BQ/RP, and the materialized index) is measurable against
+    ``cosine_topk`` with one call. The denominator is the EXACT list's size
+    (≤ k: a query can have fewer than k real neighbors), so a perfect tier
+    scores 1.0 even at corpus edges. Queries absent from ``approx`` score
+    0.0 — silent misses must hurt, not vanish.
+
+    Scale shape: both sides are already top-k-bounded (rows ≤ queries × k),
+    one equi-join on (query_id, neighbor_id) + one groupBy — eval cost is
+    query-proportional, never corpus-proportional.
+
+    Returns ``(query_id, n_exact, n_hit, recall)``.
+    """
+    ex = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    ap = approx.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    joined = ex.join(ap, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__hit").alias("n_hit"),
+        (F.count("__hit") / F.count(F.lit(1))).alias("recall"),
+    )

@@ -1,0 +1,184 @@
+"""Dataset drift detection — the between-runs sibling of the profiler.
+
+An incremental pipeline (reference analogue: the scheduled DAG re-landing
+the same feeds daily) needs to notice when today's load stops looking like
+yesterday's: columns appearing/disappearing/retyping (schema drift) and
+value distributions shifting (data drift). Standard instruments, built
+Spark-first:
+
+- ``schema_drift`` compares two schemas structurally — pure metadata,
+  zero data scanned.
+- ``numeric_psi`` / ``categorical_psi`` compute the Population Stability
+  Index, the industry-standard drift score: bucket both datasets on a
+  SHARED axis derived from the reference side, compare proportions,
+  ``PSI = Σ (p_cur − p_ref) · ln(p_cur / p_ref)``. Rule of thumb:
+  < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted.
+
+The oracle-checked registered variant is ``psi_drift_sources``
+(``plans/driver_queries.py``, batch 44): decile edges, fully in-plan,
+bit-exact vs DuckDB. This module is the reusable API around it —
+configurable equi-width buckets, the categorical axis, and the schema
+diff, none of which fit a fixed-oracle query shape.
+
+Scale design (100 TB): each PSI is one bounded groupBy per side (output =
+``bins`` or ``top_k + 1`` rows — constants), merged driver-side over tiny
+frames. The bucket axis comes from the REFERENCE frame only, so the
+current frame is never scanned twice; smoothing (``eps``) keeps ln finite
+when a bucket empties on one side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def schema_drift(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Structural diff of two schemas -> rows of
+    ``(column, change, before_type, after_type)`` where ``change`` is one
+    of ``added`` / ``removed`` / ``retyped``. Unchanged columns are
+    omitted; zero rows = schemas compatible. Metadata-only: no job runs."""
+    b = {f.name: f.dataType.simpleString() for f in before.schema.fields}
+    a = {f.name: f.dataType.simpleString() for f in after.schema.fields}
+    rows = []
+    for name in sorted(b.keys() | a.keys()):
+        if name not in a:
+            rows.append((name, "removed", b[name], None))
+        elif name not in b:
+            rows.append((name, "added", None, a[name]))
+        elif a[name] != b[name]:
+            rows.append((name, "retyped", b[name], a[name]))
+    spark = before.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, change string, before_type string, after_type string"
+    )
+
+
+def _bucket_props(df: DataFrame, column: str, lo: float, hi: float, bins: int):
+    """Per-bucket row proportions on the shared [lo, hi] axis; out-of-range
+    values fold into the edge buckets (bucket 1 / ``bins``) so current-frame
+    outliers register as edge mass instead of silently dropping. NULLs are
+    excluded (completeness drift belongs to the profiler, not PSI)."""
+    dc = F.col(column).cast("double")
+    bucket = F.greatest(
+        F.lit(1),
+        F.least(
+            F.expr(f"width_bucket(cast({column} as double), {lo!r}, {hi!r}, {bins})"),
+            F.lit(bins),
+        ),
+    ).cast("int")
+    counts = (
+        df.where(dc.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r.n for r in counts) or 1
+    return {r.bucket: r.n / total for r in counts}
+
+
+def numeric_psi(
+    reference: DataFrame,
+    current: DataFrame,
+    column: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI of a numeric column over ``bins`` equi-width buckets spanning
+    the REFERENCE min/max (current-frame outliers fold into the edge
+    buckets — a mass shift past the reference range is drift, and shows up
+    there). Returns one row per bucket
+    ``(bucket, lo, hi, p_ref, p_cur, psi_term)``; ``sum(psi_term)`` is the
+    PSI. A reference frame with no non-null values raises — there is
+    nothing to be stable against."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    mm = reference.agg(
+        F.min(F.col(column).cast("double")).alias("lo"),
+        F.max(F.col(column).cast("double")).alias("hi"),
+    ).collect()[0]
+    if mm.lo is None:
+        raise ValueError(f"reference[{column!r}] has no non-null values")
+    lo, hi = float(mm.lo), float(mm.hi)
+    if lo == hi:
+        hi = lo + 1.0  # degenerate constant reference: one bucket holds all
+    p_ref = _bucket_props(reference, column, lo, hi, bins)
+    p_cur = _bucket_props(current, column, lo, hi, bins)
+    width = (hi - lo) / bins
+    import math
+
+    rows = []
+    for b in range(1, bins + 1):
+        pr = p_ref.get(b, 0.0) + eps
+        pc = p_cur.get(b, 0.0) + eps
+        rows.append(
+            (
+                b,
+                lo + (b - 1) * width,
+                lo + b * width,
+                p_ref.get(b, 0.0),
+                p_cur.get(b, 0.0),
+                (pc - pr) * math.log(pc / pr),
+            )
+        )
+    return reference.sparkSession.createDataFrame(
+        rows,
+        "bucket int, lo double, hi double, p_ref double, p_cur double, psi_term double",
+    )
+
+
+def categorical_psi(
+    reference: DataFrame,
+    current: DataFrame,
+    column: str,
+    top_k: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI of a categorical column over the reference's ``top_k`` most
+    frequent values plus an ``__other__`` bucket (bounded axis — a
+    high-cardinality column cannot blow up the report; new categories in
+    the current frame land in ``__other__``, which is exactly the drift
+    signal they are). NULL is its own category (``__null__``): a
+    completeness shift IS distribution drift here. Returns
+    ``(value, p_ref, p_cur, psi_term)``."""
+    norm = lambda df: df.select(  # noqa: E731
+        F.coalesce(F.col(column).cast("string"), F.lit("__null__")).alias("v")
+    )
+    top = [
+        r.v
+        for r in norm(reference)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("v"))
+        .limit(top_k)
+        .collect()
+    ]
+
+    def props(df: DataFrame) -> dict[str, float]:
+        # __null__ is ALWAYS its own bucket even when absent from the
+        # reference top-k — a completeness shift must never hide in
+        # __other__
+        bucket = F.when(
+            F.col("v").isin(top) | (F.col("v") == "__null__"), F.col("v")
+        ).otherwise("__other__")
+        counts = (
+            norm(df)
+            .select(bucket.alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r.n for r in counts) or 1
+        return {r.b: r.n / total for r in counts}
+
+    p_ref, p_cur = props(reference), props(current)
+    import math
+
+    rows = []
+    for v in sorted(set(p_ref) | set(p_cur)):
+        pr = p_ref.get(v, 0.0) + eps
+        pc = p_cur.get(v, 0.0) + eps
+        rows.append((v, p_ref.get(v, 0.0), p_cur.get(v, 0.0), (pc - pr) * math.log(pc / pr)))
+    return reference.sparkSession.createDataFrame(
+        rows, "value string, p_ref double, p_cur double, psi_term double"
+    )
