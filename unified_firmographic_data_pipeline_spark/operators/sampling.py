@@ -112,6 +112,47 @@ def stratified_fractions_sample(
     return df.filter(hash_uniform(key) < rate)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    size_col: F.Column | str,
+    key: F.Column | str,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Fill a size budget deterministically: walk rows in keyed-hash order
+    (a uniformly random but reproducible permutation) and keep rows while
+    the running total of ``size_col`` stays within ``budget`` — "give me
+    ~1B tokens of this source", the last knob of a pretraining data mix.
+    The first row of a group always survives, so one oversized document
+    cannot empty its group (the greedy-packing contract of
+    ``curation.pack_sequences``).
+
+    Scale shape: ONE window pass per group. With ``group_cols`` (the
+    recommended form — per-source budgets) the cumulative sum
+    parallelizes across groups; without them the running total is a
+    single global ordering, which Spark executes on one task — fine for
+    a bounded driver-side selection, wrong for a corpus-wide budget (use
+    per-source budgets that sum to the target instead).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    key = F.col(key) if isinstance(key, str) else key
+    size_col = F.col(size_col) if isinstance(size_col, str) else size_col
+    hk = F.concat(F.lit(salt), key.cast("string")) if salt else key
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy(hash_uniform(hk).asc(), key.asc())
+    cum = F.sum(size_col.cast("long")).over(w)
+    first = F.row_number().over(w) == 1
+    return (
+        df.withColumn("__cum", cum)
+        .withColumn("__first", first)
+        .filter((F.col("__cum") <= budget) | F.col("__first"))
+        .drop("__cum", "__first")
+    )
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key: F.Column | str,

@@ -372,6 +372,26 @@ def _json_strict_valid(c):
     return wrapped.isNotNull() & e0.isNotNull() & e1.isNull()
 
 
+def _json_strict_variant(c):
+    """``c`` parsed to VARIANT iff strictly valid per ``_json_strict_valid``,
+    else NULL — in ONE ``try_parse_json`` per row. The validity probe and
+    the extracted value both come from the same bracket-wrapped parse
+    (physical-plan subexpression elimination collapses the repeated
+    ``try_parse_json(concat(...))``), where gating with
+    ``_json_strict_valid`` and then parsing the raw string again costs a
+    SECOND full JSON parse — measured 0.81 s vs a 0.35 s floor on
+    json_extract_props at sf0.1 (bench floor-guard regression, round 4)."""
+    wrapped = F.try_parse_json(F.concat(F.lit("["), c, F.lit("]")))
+    e0 = F.try_variant_get(wrapped, "$[0]", "variant")
+    # no $[0]-existence probe (unlike _json_strict_valid): when the
+    # wrapped array is empty (c was ''/whitespace — json_valid false),
+    # e0 is already NULL, so the returned variant is NULL either way
+    valid = wrapped.isNotNull() & F.schema_of_variant(
+        F.try_variant_get(wrapped, "$[1]", "variant")
+    ).isNull()
+    return F.when(valid, e0)
+
+
 @q(
     "json_extract_props",
     """
@@ -393,9 +413,12 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed-props sweep."""
     e = _t(spark, sf_dir, "events")
     # strict-validity gate: get_json_object would extract from a
-    # valid-prefix fragment the oracle's json_valid excludes
-    k = F.when(
-        _json_strict_valid(F.col("props")), F.get_json_object("props", "$.k")
+    # valid-prefix fragment the oracle's json_valid excludes. The value
+    # comes off the SAME wrapped parse as the gate (one parse per row);
+    # the string-typed variant_get mirrors get_json_object/
+    # json_extract_string text semantics before the lenient cast
+    k = F.try_variant_get(
+        _json_strict_variant(F.col("props")), "$.k", "string"
     ).try_cast("long")
     return (
         e.select("event_type", k.alias("k"))
@@ -1341,12 +1364,15 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bad payload; round-4 malformed-props sweep)."""
     e = _t(spark, sf_dir, "events")
     e.createOrReplaceTempView("events_v")
+    # the extracted value rides the SAME wrapped parse as the validity
+    # probe ($[0].k) — the repeated try_parse_json(concat(...)) is one
+    # physical parse after subexpression elimination; a separate
+    # try_parse_json(props) would be a second full parse per row
     return spark.sql(
         """
         SELECT CASE WHEN try_parse_json(concat('[', props, ']')) IS NOT NULL
-                         AND schema_of_variant(try_variant_get(try_parse_json(concat('[', props, ']')), '$[0]', 'variant')) IS NOT NULL
                          AND schema_of_variant(try_variant_get(try_parse_json(concat('[', props, ']')), '$[1]', 'variant')) IS NULL
-                    THEN try_variant_get(try_parse_json(props), '$.k', 'long')
+                    THEN try_variant_get(try_parse_json(concat('[', props, ']')), '$[0].k', 'long')
                END % 10 AS k_bucket,
                COUNT(*) AS n
         FROM events_v GROUP BY 1
@@ -9927,10 +9953,9 @@ def variant_type_get_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "event_type",
         # strict gate (matches the oracle's json_valid): try_parse_json
-        # alone accepts valid-prefix fragments like '{"k":1},{"k":2}'
-        F.when(
-            _json_strict_valid(F.col("props")), F.try_parse_json("props")
-        ).alias("__v"),
+        # alone accepts valid-prefix fragments like '{"k":1},{"k":2}'.
+        # Gate and value share one wrapped parse (_json_strict_variant)
+        _json_strict_variant(F.col("props")).alias("__v"),
     ).select(
         "event_type",
         F.try_variant_get("__v", "$.k", "int").alias("k"),

@@ -8,8 +8,9 @@ Codec tiers: PIL when installed; else a vendored pure-Python PNG codec
 (``functions/png.py``, stdlib zlib + numpy) so the image decode/resize/
 encode path runs FOR REAL even in codec-less containers. Header-only
 metadata probes cover the common real formats without any codec: PNG
-IHDR, JPEG SOF markers, RIFF/WAVE fmt+data, MP4/MOV moov(mvhd+tkhd),
-RIFF/AVI avih. Frame-level video decode runs over the deterministic
+IHDR, JPEG SOF markers, GIF logical screen descriptor, BMP DIB header,
+WebP (VP8X/VP8/VP8L layouts), RIFF/WAVE fmt+data, MP4/MOV
+moov(mvhd+tkhd), RIFF/AVI avih. Frame-level video decode runs over the deterministic
 RAWV container (length-prefixed PNG frames — ``rawv_encode``/
 ``frame_sample``); an ffmpeg/av tier would replace one demuxer
 function. Anything unrecognized falls back to ``_fake_decode`` — a
@@ -157,6 +158,110 @@ def jpeg_encode_minimal(width: int, height: int) -> bytes:
         + b"\x01\x11\x00"
     )
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def is_gif(b: bytes | None) -> bool:
+    return b is not None and len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a")
+
+
+def gif_dims(b: bytes) -> tuple[int | None, int | None]:
+    """(width, height) from the GIF logical screen descriptor — two
+    little-endian uint16s right after the 6-byte signature."""
+    import struct
+
+    if len(b) < 10:
+        return None, None
+    w, h = struct.unpack("<HH", b[6:10])
+    return w, h
+
+
+def gif_encode_minimal(width: int, height: int) -> bytes:
+    """Test helper: signature + logical screen descriptor + trailer."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+
+
+def is_bmp(b: bytes | None) -> bool:
+    return b is not None and len(b) >= 26 and b[:2] == b"BM"
+
+
+def bmp_dims(b: bytes) -> tuple[int | None, int | None]:
+    """(width, height) from the DIB header: BITMAPINFOHEADER-family
+    (header size >= 40: int32 dims, height negative for top-down rows —
+    reported as magnitude) or the legacy BITMAPCOREHEADER (size 12:
+    uint16 dims). Unknown header sizes return (None, None)."""
+    import struct
+
+    hdr = struct.unpack("<I", b[14:18])[0]
+    if hdr >= 40 and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return abs(w), abs(h)
+    if hdr == 12 and len(b) >= 22:
+        w, h = struct.unpack("<HH", b[18:22])
+        return w, h
+    return None, None
+
+
+def bmp_encode_minimal(width: int, height: int) -> bytes:
+    """Test helper: BM file header + bare BITMAPINFOHEADER (no pixels)."""
+    import struct
+
+    info = struct.pack("<Iii", 40, width, height) + bytes(40 - 12)
+    return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40) + info
+
+
+def is_webp(b: bytes | None) -> bool:
+    return b is not None and len(b) >= 20 and b[:4] == b"RIFF" and b[8:12] == b"WEBP"
+
+
+def webp_dims(b: bytes) -> tuple[int | None, int | None]:
+    """(width, height) of a WebP payload from its first chunk — all three
+    container layouts, no VP8 decode: VP8X (canvas dims as 24-bit LE
+    minus-one fields), lossy VP8 (14-bit dims after the 9d012a start
+    code), lossless VP8L (14-bit minus-one fields bit-packed after the
+    0x2f signature byte)."""
+    import struct
+
+    fourcc, payload = b[12:16], b[20:]
+    if fourcc == b"VP8X" and len(payload) >= 10:
+        w = int.from_bytes(payload[4:7], "little") + 1
+        h = int.from_bytes(payload[7:10], "little") + 1
+        return w, h
+    if fourcc == b"VP8 " and len(payload) >= 10:
+        if payload[3:6] != b"\x9d\x01\x2a":
+            return None, None
+        w = struct.unpack("<H", payload[6:8])[0] & 0x3FFF
+        h = struct.unpack("<H", payload[8:10])[0] & 0x3FFF
+        return w, h
+    if fourcc == b"VP8L" and len(payload) >= 5:
+        if payload[0] != 0x2F:
+            return None, None
+        bits = struct.unpack("<I", payload[1:5])[0]
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    return None, None
+
+
+def webp_encode_minimal(width: int, height: int, layout: str = "VP8X") -> bytes:
+    """Test helper: a header-valid WebP in any of the three layouts."""
+    import struct
+
+    if layout == "VP8X":
+        payload = bytes(4) + (width - 1).to_bytes(3, "little") + (
+            height - 1
+        ).to_bytes(3, "little")
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    elif layout == "VP8 ":
+        payload = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", width, height)
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    elif layout == "VP8L":
+        bits = (width - 1) | ((height - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def is_mp4(b: bytes | None) -> bool:
@@ -369,6 +474,18 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
             return w, h, None
         if kind == "image" and is_jpeg(b):
             w, h = jpeg_dims(b)
+            if w is not None:
+                return w, h, None
+        if kind == "image" and is_gif(b):
+            w, h = gif_dims(b)
+            if w is not None:
+                return w, h, None
+        if kind == "image" and is_bmp(b):
+            w, h = bmp_dims(b)
+            if w is not None:
+                return w, h, None
+        if kind == "image" and is_webp(b):
+            w, h = webp_dims(b)
             if w is not None:
                 return w, h, None
         if kind == "audio" and is_wav(b):
