@@ -1,0 +1,162 @@
+"""End-to-end pretraining curation plan (plans/pretrain.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.plans.pretrain import (
+    curate_corpus,
+    curation_funnel,
+    decontaminate,
+    near_dedup_keep_best,
+    training_sequences,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it sat down "
+    "by the river to rest for a while in the afternoon sun"
+)
+NEAR = GOOD.replace("afternoon", "morning")
+SPANISH = "el la de que y en los se del las un por con una su para es al lo como"
+JUNK = "!!! ??? *** ((( ))) %%% $$$ @@@ ### ^^^"
+CONTAMINATED = (
+    "this document quotes the held out benchmark phrase alpha beta gamma "
+    "delta directly in the middle of an otherwise ordinary text body here"
+)
+PII = (
+    "please contact john at john.doe@example.com for the report and also "
+    "keep the usual weekly cadence with the rest of the team as before"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, "web", GOOD),
+        (2, "web", "  " + GOOD + "   "),  # exact dup after normalization
+        (3, "web", NEAR),  # near-dup of 1
+        (4, "web", SPANISH),  # wrong language
+        (5, "web", JUNK),  # fails quality
+        (6, "books", CONTAMINATED),  # hits the test set
+        (7, "books", PII),  # survives; text gets redacted
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _testset(spark):
+    return spark.createDataFrame(
+        [(100, "the benchmark phrase alpha beta gamma delta is held out")],
+        "doc_id long, text string",
+    )
+
+
+def test_curate_corpus_full_ladder(spark):
+    out = curate_corpus(
+        _corpus(spark),
+        near_dup=True,
+        testset=_testset(spark),
+        min_overlap=1,
+        eval_fraction=0.25,
+    ).cache()
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # 2 (exact dup), 3 (near dup), 4 (lang), 5 (quality), 6 (contaminated)
+    assert ids == [1, 7]
+    row = {r.doc_id: r for r in out.collect()}
+    assert row[1].lang == "en" and row[1].quality == 1.0
+    assert "<EMAIL>" in row[7].text and "@" not in row[7].text
+    assert all(r.split in ("train", "eval") for r in out.collect())
+    out.unpersist()
+
+
+def test_curation_funnel_counts(spark):
+    funnel = {
+        r.stage: r.n_docs
+        for r in curation_funnel(
+            _corpus(spark), near_dup=True, testset=_testset(spark)
+        ).collect()
+    }
+    assert funnel["input"] == 7
+    # drops the Spanish doc AND the junk doc (no stopwords -> 'und')
+    assert funnel["lang_filter"] == 5
+    assert funnel["quality_filter"] == 5  # junk already gone at lang stage
+    assert funnel["exact_dedup"] == 4  # drops the whitespace twin
+    assert funnel["near_dedup"] == 3  # drops the near-dup
+    assert funnel["decontaminated"] == 2  # drops the benchmark quoter
+    # monotone non-increasing
+    order = ["input", "lang_filter", "quality_filter", "exact_dedup",
+             "near_dedup", "decontaminated"]
+    ns = [funnel[s] for s in order]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_near_dedup_keeps_best_quality(spark):
+    # three near-identical docs; doc 30 has garbage appended that tanks
+    # its punct ratio -> lower quality; reps must keep a HIGH-quality one
+    docs = spark.createDataFrame(
+        [
+            (10, GOOD),
+            (20, GOOD.replace("sun", "moon")),
+            (30, GOOD + " " + "!" * 60),  # one junk token: shingles stay
+            # near-identical to doc 10 but the punct ratio tanks quality
+            (40, "a completely different and unrelated document about the "
+                 "history of typography in the early modern period of print"),
+        ],
+        "doc_id long, text string",
+    )
+    from unified_firmographic_data_pipeline_spark.functions.text import quality_score
+
+    scored = docs.withColumn("quality", quality_score("text"))
+    out = near_dedup_keep_best(scored, "quality")
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert 40 in ids  # untouched doc passes through
+    cluster_survivors = [i for i in ids if i != 40]
+    assert cluster_survivors == [10]  # best quality, id tiebreak
+
+
+def test_decontaminate_threshold(spark):
+    corpus = spark.createDataFrame(
+        [(1, CONTAMINATED), (2, GOOD)], "doc_id long, text string"
+    )
+    kept = decontaminate(corpus, _testset(spark), n=3, min_overlap=1)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    # a high threshold lets the light overlap through
+    kept_hi = decontaminate(corpus, _testset(spark), n=3, min_overlap=50)
+    assert kept_hi.count() == 2
+
+
+def test_training_sequences_budget_and_carry(spark):
+    curated = curate_corpus(
+        _corpus(spark), testset=None, near_dup=False, eval_fraction=0.5
+    )
+    seqs = training_sequences(
+        curated,
+        width=8,
+        stride=8,
+        source_budgets={"web": 16, "books": 10_000},
+    )
+    rows = seqs.collect()
+    assert rows, "no sequences produced"
+    assert set(seqs.columns) >= {
+        "doc_id", "chunk_id", "chunk_start", "n_tokens", "chunk_text",
+        "split", "source",
+    }
+    # every chunk is <= width tokens and the budget bounded the web side
+    assert all(r.n_tokens <= 8 for r in rows)
+    web_docs = {r.doc_id for r in rows if r.source == "web"}
+    from pyspark.sql import functions as FF
+
+    tok_per_doc = {
+        r.doc_id: r.n
+        for r in curated.filter(FF.col("source") == "web")
+        .select("doc_id", FF.size(FF.split("text", " ")).alias("n"))
+        .collect()
+    }
+    # budget 16 with ~26-token docs: exactly one (first-in-hash-order) doc
+    assert len(web_docs) == 1
+    assert sum(tok_per_doc[d] for d in web_docs) >= 16  # first row survives
+
+
+def test_curate_corpus_defaults_skip_optional_stages(spark):
+    out = curate_corpus(_corpus(spark))
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # near-dup off -> 3 survives; no testset -> 6 survives
+    assert ids == [1, 3, 6, 7]

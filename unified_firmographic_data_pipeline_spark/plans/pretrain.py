@@ -1,0 +1,254 @@
+"""End-to-end pretraining-corpus curation plan.
+
+The LLM-data analogue of ``plans/firmographics.py``: where that module
+wires the reference's staging→core→star DAG, this one wires the curation
+ladder the repo's operators implement individually — normalize → PII
+redaction → language filter → quality filter → exact dedup → (optional)
+near-dup keep-best → (optional) benchmark decontamination → leakage-safe
+split — into ONE lazy DataFrame pipeline, plus the chunk/pack/budget
+steps that turn surviving documents into training sequences.
+
+Composition rules (the 100 TB reasoning, stage by stage):
+- Narrow stages first (normalize/redact/lang/quality are pure
+  expressions — they prune rows BEFORE anything shuffles, so the dedup
+  shuffles see only surviving docs).
+- ``dedup_exact`` shuffles (fingerprint, id) pairs only; the wide text
+  column never moves (semi-join back).
+- Near-dup is opt-in: MinHash-LSH candidates → connected components over
+  only the TOUCHED docs (untouched docs skip the iteration entirely) →
+  keep the best-quality member per cluster.
+- Decontamination is an inverted-index gram join (never doc × doc).
+- The split is a keyed hash (leakage-safe: a doc lands in the same split
+  under any partitioning, engine, or rerun) and happens AFTER dedup so
+  near-identical docs cannot straddle train/eval.
+
+Every stage is lazy; ``curation_funnel`` materializes per-stage counts
+for the audit trail (one count job per stage, bounded output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.functions.text import (
+    collapse_ws,
+    detect_lang,
+    quality_score,
+    redact_pii,
+    shingles,
+)
+from unified_firmographic_data_pipeline_spark.operators.components import (
+    component_representatives,
+    connected_components,
+)
+from unified_firmographic_data_pipeline_spark.operators.curation import (
+    chunk_documents,
+)
+from unified_firmographic_data_pipeline_spark.operators.dedup import dedup_exact
+from unified_firmographic_data_pipeline_spark.operators.neardup import (
+    minhash_lsh_candidates,
+)
+from unified_firmographic_data_pipeline_spark.operators.sampling import (
+    split_train_eval,
+    token_budget_sample,
+)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    testset: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents sharing ≥ ``min_overlap`` distinct token
+    ``n``-grams with a held-out test set — the thresholded (anti-join)
+    form of ``curation.contamination_overlap``'s top-k report. Both sides
+    explode to distinct (gram, doc) pairs and equi-join on the gram: an
+    inverted-index join on a uniform key, never doc × doc."""
+    test_grams = (
+        testset.select(F.explode(shingles(text_col, n)).alias("gram")).distinct()
+    )
+    hits = (
+        corpus.select(id_col, F.explode(shingles(text_col, n)).alias("gram"))
+        .distinct()
+        .join(test_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return corpus.join(hits, id_col, "left_anti")
+
+
+def near_dedup_keep_best(
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup removal that keeps the BEST copy: banded
+    candidates → connected components over only the docs that appear in a
+    candidate pair (everything else bypasses the iteration) → per-cluster
+    representative by (quality desc, id asc). Returns the surviving docs
+    with their original columns."""
+    pairs = minhash_lsh_candidates(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    touched = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    labeled = connected_components(
+        touched, pairs, node_col="node", src_col="id_a", dst_col="id_b"
+    )
+    scored = labeled.join(
+        docs.select(
+            F.col(id_col).alias("node"), F.col(quality_col).alias("__q")
+        ),
+        "node",
+    )
+    reps = component_representatives(scored, "__q", id_col="node").select(
+        F.col("rep_id").alias(id_col)
+    )
+    untouched = docs.join(
+        touched.withColumnRenamed("node", id_col), id_col, "left_anti"
+    )
+    survivors = docs.join(reps, id_col, "left_semi")
+    return untouched.unionByName(survivors)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    lang: str | None = "en",
+    min_quality: float | None = 0.66,
+    redact: bool = True,
+    exact_dedup: bool = True,
+    near_dup: bool = False,
+    testset: DataFrame | None = None,
+    contamination_ngram: int = 3,
+    min_overlap: int = 1,
+    eval_fraction: float | None = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full curation ladder as one lazy pipeline. Returns the
+    surviving documents with ``lang``, ``quality`` and (if
+    ``eval_fraction``) ``split`` columns added. Stage order is the scale
+    order: expression-only filters prune before any shuffle; dedup before
+    the split so near-identical docs cannot straddle train/eval."""
+    out = docs.withColumn(text_col, collapse_ws(text_col))
+    if redact:
+        out = out.withColumn(text_col, redact_pii(text_col))
+    out = out.withColumn("lang", detect_lang(text_col))
+    if lang is not None:
+        out = out.filter(F.col("lang") == lang)
+    out = out.withColumn("quality", quality_score(text_col))
+    if min_quality is not None:
+        out = out.filter(F.col("quality") >= min_quality)
+    if exact_dedup:
+        out = dedup_exact(out, text_col, id_col)
+    if near_dup:
+        out = near_dedup_keep_best(out, "quality", id_col, text_col)
+    if testset is not None:
+        out = decontaminate(
+            out, testset, contamination_ngram, min_overlap, id_col, text_col
+        )
+    if eval_fraction:
+        out = split_train_eval(out, F.col(id_col), eval_fraction)
+    return out
+
+
+def curation_funnel(
+    docs: DataFrame,
+    *,
+    lang: str | None = "en",
+    min_quality: float | None = 0.66,
+    near_dup: bool = False,
+    testset: DataFrame | None = None,
+    contamination_ngram: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stage survivor counts — the audit trail of ``curate_corpus``
+    (``(stage, n_docs)``, one bounded count job per stage). The stages
+    mirror ``curate_corpus`` with the same parameters; redaction and the
+    split never drop rows so they carry no funnel stage."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    cur = docs.withColumn(text_col, collapse_ws(text_col)).withColumn(
+        "lang", detect_lang(text_col)
+    )
+    if lang is not None:
+        cur = cur.filter(F.col("lang") == lang)
+        stages.append(("lang_filter", cur))
+    cur = cur.withColumn("quality", quality_score(text_col))
+    if min_quality is not None:
+        cur = cur.filter(F.col("quality") >= min_quality)
+        stages.append(("quality_filter", cur))
+    cur = dedup_exact(cur, text_col, id_col)
+    stages.append(("exact_dedup", cur))
+    if near_dup:
+        cur = near_dedup_keep_best(cur, "quality", id_col, text_col)
+        stages.append(("near_dedup", cur))
+    if testset is not None:
+        cur = decontaminate(
+            cur, testset, contamination_ngram, min_overlap, id_col, text_col
+        )
+        stages.append(("decontaminated", cur))
+    rows = [(name, df.count()) for name, df in stages]
+    return docs.sparkSession.createDataFrame(rows, "stage string, n_docs long")
+
+
+def training_sequences(
+    curated: DataFrame,
+    *,
+    width: int = 128,
+    stride: int = 128,
+    source_budgets: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Turn curated documents into training-sequence rows: optional
+    per-source token budgets (``token_budget_sample`` in keyed-hash
+    order), then stride-``width`` windows with provenance
+    (``chunk_documents``). ``stride == width`` is non-overlapping GPT-style
+    packing fodder; smaller strides give overlapping contexts. Carries
+    ``split`` (and ``source``) through to the sequence rows when present
+    so downstream loaders can filter without re-joining."""
+    docs = curated
+    if source_budgets:
+        docs = docs.withColumn(
+            "__n_tok", F.size(F.split(collapse_ws(text_col), " "))
+        )
+        parts = []
+        for src, budget in sorted(source_budgets.items()):
+            parts.append(
+                token_budget_sample(
+                    docs.filter(F.col(source_col) == src),
+                    budget=budget,
+                    size_col="__n_tok",
+                    key=id_col,
+                    group_cols=[source_col],
+                )
+            )
+        from functools import reduce
+
+        docs = reduce(lambda a, b: a.unionByName(b), parts).drop("__n_tok")
+    chunks = chunk_documents(
+        docs, width=width, stride=stride, id_col=id_col, text_col=text_col
+    )
+    carry = [c for c in ("split", source_col) if c in docs.columns]
+    if carry:
+        chunks = chunks.join(
+            docs.select(F.col(id_col).alias("doc_id"), *carry), "doc_id"
+        )
+    return chunks
