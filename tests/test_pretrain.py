@@ -160,3 +160,42 @@ def test_curate_corpus_defaults_skip_optional_stages(spark):
     ids = sorted(r.doc_id for r in out.select("doc_id").collect())
     # near-dup off -> 3 survives; no testset -> 6 survives
     assert ids == [1, 3, 6, 7]
+
+
+def test_curate_stream_matches_batch_prefix(spark, tmp_path):
+    """The streaming tier (file source, availableNow) produces the same
+    surviving docs, redaction, and split labels as the batch ladder with
+    near-dup/decontamination off — the shared-narrow-prefix guarantee."""
+    from unified_firmographic_data_pipeline_spark.plans.pretrain import curate_stream
+
+    src = str(tmp_path / "docs_landing")
+    _corpus(spark).write.parquet(src)
+    schema = "doc_id long, source string, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = curate_stream(stream, eval_fraction=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM curated_stream").collect()}
+
+    batch = {
+        r.doc_id: r
+        for r in curate_corpus(
+            _corpus(spark), near_dup=False, testset=None, eval_fraction=0.25
+        ).collect()
+    }
+    # same survivor CONTENT: stream dedup keeps first-seen per
+    # fingerprint, batch keeps min id — ids may differ within a dup
+    # group, the surviving text set may not
+    assert len(got) == len(batch)
+    assert {r.text for r in got.values()} == {r.text for r in batch.values()}
+    for d in set(got) & set(batch):
+        assert got[d].text == batch[d].text  # same redaction/normalization
+        assert got[d].split == batch[d].split  # keyed hash: stream == batch
+    assert "<EMAIL>" in got[7].text

@@ -232,6 +232,28 @@ def _rp_topk(spark, sf_dir):
     return cosine_topk_rp(norm, q, k=10, out_dim=16, shortlist=50)
 
 
+def _pretrain_curate(spark, sf_dir):
+    """plans/pretrain.curate_corpus end to end on documents — the COMPOSED
+    ladder (normalize/redact/lang-off/quality-off → exact dedup → LSH
+    near-dup with keep-best components → decontamination vs a constant
+    64-doc testset → hash split). lang/quality filters are disabled so the
+    heavy stages see the full corpus: what's measured is the composition
+    of the dedup/LSH/components/decontaminate shuffles, each individually
+    audited above, now chained the way a real pipeline runs them."""
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import _t
+    from unified_firmographic_data_pipeline_spark.plans.pretrain import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    testset = docs.orderBy("doc_id").limit(64).select("doc_id", "text")
+    # the testset is drawn FROM the corpus, so min_overlap must demand a
+    # real near-copy (20 shared trigrams), not one shared phrase — at
+    # min_overlap=1 shared vocabulary wipes 97% of the synthetic corpus
+    return curate_corpus(
+        docs, lang=None, min_quality=None, near_dup=True, testset=testset,
+        min_overlap=20,
+    )
+
+
 #: plan variants that are not registered queries but whose scale shape
 #: must still be measured
 EXTRA = {
@@ -241,6 +263,7 @@ EXTRA = {
     "bq_topk": _bq_topk,
     "ivfsq_index_search": _ivfsq_index_search,
     "rp_topk": _rp_topk,
+    "pretrain_curate_corpus": _pretrain_curate,
 }
 
 
@@ -480,6 +503,22 @@ if __name__ == "__main__":
         "rows — corpus-linear with a reduced scan constant, same constant"
     )
     lines.append("128-query sample as the other tiers.")
+    lines.append(
+        "`pretrain_curate_corpus` is the composed curation ladder"
+    )
+    lines.append(
+        "(plans/pretrain.py): exact dedup -> LSH near-dup with keep-best"
+    )
+    lines.append(
+        "components -> decontamination vs a constant 64-doc testset ->"
+    )
+    lines.append(
+        "hash split, chained as one plan — each stage is audited alone"
+    )
+    lines.append(
+        "above; this row shows the composition inherits their linearity"
+    )
+    lines.append("(candidate pairs scale with true duplicates).")
     lines.append(
         "The 10x text is generated by per-replica token suffixing (new"
     )

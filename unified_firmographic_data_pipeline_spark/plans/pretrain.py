@@ -124,6 +124,29 @@ def near_dedup_keep_best(
     return untouched.unionByName(survivors)
 
 
+def _narrow_curate(
+    docs: DataFrame,
+    lang: str | None,
+    min_quality: float | None,
+    redact: bool,
+    text_col: str,
+) -> DataFrame:
+    """The expression-only prefix of the ladder (normalize → redact →
+    lang → quality): pure Column transforms, so it applies identically to
+    batch frames and streaming frames and always runs BEFORE anything
+    stateful — rows pruned here never reach a shuffle or a state store."""
+    out = docs.withColumn(text_col, collapse_ws(text_col))
+    if redact:
+        out = out.withColumn(text_col, redact_pii(text_col))
+    out = out.withColumn("lang", detect_lang(text_col))
+    if lang is not None:
+        out = out.filter(F.col("lang") == lang)
+    out = out.withColumn("quality", quality_score(text_col))
+    if min_quality is not None:
+        out = out.filter(F.col("quality") >= min_quality)
+    return out
+
+
 def curate_corpus(
     docs: DataFrame,
     *,
@@ -144,15 +167,7 @@ def curate_corpus(
     ``eval_fraction``) ``split`` columns added. Stage order is the scale
     order: expression-only filters prune before any shuffle; dedup before
     the split so near-identical docs cannot straddle train/eval."""
-    out = docs.withColumn(text_col, collapse_ws(text_col))
-    if redact:
-        out = out.withColumn(text_col, redact_pii(text_col))
-    out = out.withColumn("lang", detect_lang(text_col))
-    if lang is not None:
-        out = out.filter(F.col("lang") == lang)
-    out = out.withColumn("quality", quality_score(text_col))
-    if min_quality is not None:
-        out = out.filter(F.col("quality") >= min_quality)
+    out = _narrow_curate(docs, lang, min_quality, redact, text_col)
     if exact_dedup:
         out = dedup_exact(out, text_col, id_col)
     if near_dup:
@@ -252,3 +267,52 @@ def training_sequences(
             docs.select(F.col(id_col).alias("doc_id"), *carry), "doc_id"
         )
     return chunks
+
+
+def curate_stream(
+    docs: DataFrame,
+    *,
+    lang: str | None = "en",
+    min_quality: float | None = 0.66,
+    redact: bool = True,
+    exact_dedup: bool = True,
+    watermark: tuple[str, str] | None = None,
+    eval_fraction: float | None = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The streaming tier of ``curate_corpus``: the same expression-only
+    prefix (identical results row-for-row — shared ``_narrow_curate``),
+    exact dedup as Spark's native streaming ``dropDuplicates`` on the
+    content fingerprint, and the keyed-hash split (stateless, so a doc
+    lands in the same split whether it arrived by batch or stream).
+
+    State contract: without ``watermark``, dedup state grows with
+    distinct fingerprints — right for bounded ``availableNow`` catch-up
+    runs. For continuous 24×7 ingestion pass ``watermark=(ts_col,
+    "24 hours")`` to bound state via ``dropDuplicatesWithinWatermark``
+    (re-sent duplicates beyond the delay are NOT suppressed — the
+    at-least-once window every streaming dedup chooses).
+
+    Near-dup clustering and decontamination are batch-only by design
+    (iterative components / corpus-wide joins): run them in the
+    downstream batch compaction over the landed output, not per
+    micro-batch."""
+    out = _narrow_curate(docs, lang, min_quality, redact, text_col)
+    if exact_dedup:
+        from unified_firmographic_data_pipeline_spark.functions.text import (
+            doc_fingerprint,
+        )
+
+        out = out.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        if watermark is not None:
+            ts_col, delay = watermark
+            out = out.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+                ["__fp"]
+            )
+        else:
+            out = out.dropDuplicates(["__fp"])
+        out = out.drop("__fp")
+    if eval_fraction:
+        out = split_train_eval(out, F.col(id_col), eval_fraction)
+    return out
