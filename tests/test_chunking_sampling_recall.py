@@ -282,3 +282,29 @@ def test_recall_at_k_no_cartesian(spark):
     )
     plan = _physical_plan(recall_at_k(exact, exact, k=5))
     assert "CartesianProduct" not in plan
+
+
+def test_psi_is_nonnegative_on_random_frames(spark):
+    """Each PSI term (p_cur - p_ref)·ln(p_cur/p_ref) has matching signs in
+    both factors, so the total is >= 0 for ANY pair of distributions —
+    pinned over seeded random frames."""
+    import random
+
+    rnd = random.Random(17)
+    for trial in range(3):
+        a = spark.createDataFrame(
+            [(rnd.gauss(0, 1 + trial),) for _ in range(300)], "x double"
+        )
+        b = spark.createDataFrame(
+            [(rnd.gauss(trial - 1, 2),) for _ in range(200)], "x double"
+        )
+        total = numeric_psi(a, b, "x", bins=8).agg(F.sum("psi_term")).collect()[0][0]
+        assert total >= -1e-12
+        cat_a = spark.createDataFrame(
+            [(rnd.choice("abcde"),) for _ in range(200)], "v string"
+        )
+        cat_b = spark.createDataFrame(
+            [(rnd.choice("cdefg"),) for _ in range(200)], "v string"
+        )
+        rows = categorical_psi(cat_a, cat_b, "v").collect()
+        assert sum(r.psi_term for r in rows) >= -1e-12

@@ -122,3 +122,28 @@ def test_web_functions_are_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_registrable_domain_invariants(spark):
+    """For any parseable URL: the registrable domain is non-null, is a
+    dot-boundary suffix of the host, and spans at most 3 labels."""
+    import random
+
+    rnd = random.Random(3)
+    tlds = ["com", "org", "io", "uk", "jp", "de"]
+    urls = []
+    for _ in range(60):
+        n_extra = rnd.randint(0, 3)
+        labels = [f"l{rnd.randint(0, 9)}{i}" for i in range(n_extra)]
+        if rnd.random() < 0.4:
+            labels.append(rnd.choice(["co", "ac", "gov", "zz"]))
+        labels.append(rnd.choice(tlds))
+        urls.append("https://" + ".".join(labels) + "/p?q=1")
+    df = _urls(spark, urls)
+    rows = df.select(
+        url_host("url").alias("h"), registrable_domain("url").alias("d")
+    ).collect()
+    for r in rows:
+        assert r.d is not None
+        assert r.h == r.d or r.h.endswith("." + r.d), (r.h, r.d)
+        assert 1 <= len(r.d.split(".")) <= 3
