@@ -1,0 +1,121 @@
+"""Incremental near-dup: persistable LSH band-bucket index + new-vs-corpus
+candidate join (operators/neardup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.operators.neardup import (
+    lsh_candidates_from_buckets,
+    minhash_band_buckets,
+    minhash_lsh_candidates,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then it sat down "
+    "by the river to rest for a while in the afternoon sun"
+)
+UNIQ_A = (
+    "completely unrelated content about the history of movable type "
+    "printing in early modern europe and its effect on literacy rates"
+)
+UNIQ_B = (
+    "a third topic entirely describing the migration patterns of arctic "
+    "terns across two hemispheres during a single calendar year"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _old_new(spark):
+    old = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE.replace("sun", "moon")),  # near-dup of 1 (old x old)
+            (5, UNIQ_A),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (11, BASE.replace("sun", "star")),  # near-dup of 1/2 (new x old)
+            (12, UNIQ_B),
+            (13, UNIQ_B.replace("year", "season")),  # near-dup (new x new)
+        ],
+    )
+    return old, new
+
+
+def test_incremental_candidates_complete_the_batch_result(spark):
+    """old-run pairs ∪ incremental pairs == full-corpus batch pairs: the
+    nightly-append protocol loses nothing vs re-running from scratch."""
+    old, new = _old_new(spark)
+    full = old.unionByName(new)
+
+    batch_pairs = {
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates(full).collect()
+    }
+    old_pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(old).collect()}
+
+    old_idx = minhash_band_buckets(old)
+    new_idx = minhash_band_buckets(new)
+    incr_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates_from_buckets(
+            new_idx, old_idx.unionByName(new_idx)
+        ).collect()
+    }
+    assert old_pairs | incr_pairs == batch_pairs
+    # sanity: the planted dup structure is actually found
+    assert (1, 2) in old_pairs and (12, 13) in incr_pairs
+    assert any(11 in p for p in incr_pairs)  # the cross-boundary near-dup
+    # every incremental pair touches at least one NEW doc — old x old never
+    # recomputes
+    new_ids = {11, 12, 13}
+    assert all(a in new_ids or b in new_ids for a, b in incr_pairs)
+
+
+def test_bucket_index_round_trips_through_parquet(spark, tmp_path):
+    """The index is a plain (id, band, bucket) table: landing it to
+    parquet and reading it back joins identically — the persistence
+    contract the nightly append relies on."""
+    old, new = _old_new(spark)
+    path = str(tmp_path / "lsh_index")
+    minhash_band_buckets(old).write.parquet(path)
+    landed = spark.read.parquet(path)
+    new_idx = minhash_band_buckets(new)
+    via_landed = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates_from_buckets(
+            new_idx, landed.unionByName(new_idx)
+        ).collect()
+    }
+    direct = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidates_from_buckets(
+            new_idx, minhash_band_buckets(old).unionByName(new_idx)
+        ).collect()
+    }
+    assert via_landed == direct and via_landed
+
+
+def test_bucket_index_parameters_are_identity(spark):
+    """Different LSH parameters produce different bucket values — mixing
+    indexes built under different settings would silently join garbage,
+    so the parameter-identity contract is real, not stylistic."""
+    docs = _docs(spark, [(1, BASE)])
+    b3 = {(r.band, r.bucket) for r in minhash_band_buckets(docs, shingle_n=3).collect()}
+    b4 = {(r.band, r.bucket) for r in minhash_band_buckets(docs, shingle_n=4).collect()}
+    assert b3 != b4
+
+
+def test_refactored_batch_candidates_unchanged(spark):
+    """minhash_lsh_candidates (now built on minhash_band_buckets) still
+    finds the planted near-dup and emits ordered distinct pairs."""
+    old, _ = _old_new(spark)
+    pairs = minhash_lsh_candidates(old).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.id_a < r.id_b for r in pairs)

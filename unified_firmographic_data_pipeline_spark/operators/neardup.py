@@ -61,7 +61,7 @@ def minhash_signature(
     return F.array(*[perm_min(i) for i in range(num_hashes)])
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -69,8 +69,14 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs ``(id_a, id_b)`` with id_a < id_b that agree
-    on at least one LSH band (rows-per-band = num_hashes // bands)."""
+    """The PERSISTABLE LSH index of a corpus: ``(id, band, bucket)`` rows,
+    bucket = xxhash64 of the band's signature slice. This is the half of
+    :func:`minhash_lsh_candidates` a production pipeline LANDS once and
+    APPENDS to nightly — incremental near-dup joins only the new docs'
+    bucket rows against it (:func:`lsh_candidates_from_buckets`) instead
+    of re-signing the whole corpus. The LSH parameters are part of the
+    index's identity: rows built at (16, 4, 3) only join against rows
+    built with the same (num_hashes, bands, shingle_n)."""
     rows = num_hashes // bands
     # two-step projection: shingle ONCE per row, then let the 16
     # permutations reference the materialized array (CollapseProject keeps
@@ -82,7 +88,7 @@ def minhash_lsh_candidates(
         F.col(id_col),
         minhash_signature(F.col("__sh"), num_hashes, pre_shingled=True).alias("__sig"),
     )
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -98,6 +104,51 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidates_from_buckets(
+    new_buckets: DataFrame,
+    all_buckets: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs touching at least one NEW document: equi-join the
+    increment's ``(band, bucket)`` rows against the full index (existing ∪
+    new, SAME LSH parameters). Old×old pairs were emitted by previous runs
+    and never recompute, so the join cost scales with the increment's
+    bucket matches, not corpus² — the nightly-append regime of A4/A6
+    incrementality applied to near-dup. Returns ``(id_a, id_b)`` with
+    id_a < id_b, distinct (a new↔new pair matching in several bands
+    collapses to one row)."""
+    a = new_buckets.alias("a")
+    b = all_buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(id_a, id_b)`` with id_a < id_b that agree
+    on at least one LSH band (rows-per-band = num_hashes // bands)."""
+    banded = minhash_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
     # the self-join would otherwise execute the signature pipeline TWICE
     # (once per alias); the banded frame is tiny (bands x docs x 2 cols)
     banded = banded.localCheckpoint(eager=True)
