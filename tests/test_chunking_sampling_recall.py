@@ -308,3 +308,42 @@ def test_psi_is_nonnegative_on_random_frames(spark):
         )
         rows = categorical_psi(cat_a, cat_b, "v").collect()
         assert sum(r.psi_term for r in rows) >= -1e-12
+
+
+def test_sentence_chunks_packing_and_edges(spark):
+    from unified_firmographic_data_pipeline_spark.operators.curation import (
+        sentence_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One two three. Four five six seven. Eight nine. Ten."),
+            (2, ""),     # no sentences -> no rows
+            (3, None),   # NULL text -> no rows
+            (4, "Single sentence only here."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sentence_chunks(docs, capacity=6).orderBy("doc_id", "chunk_id").collect()
+    # doc 1 sentences are 3/4/2/1 tokens; preceding 0,3,7,9 -> chunks 0,0,1,1
+    assert [(r.doc_id, r.chunk_id, r.n_sentences, r.n_tokens) for r in rows] == [
+        (1, 0, 2, 7),  # overshoots capacity by one sentence: documented
+        (1, 1, 2, 3),
+        (4, 0, 1, 4),
+    ]
+    assert rows[0].chunk_text == "One two three Four five six seven"
+    assert rows[1].chunk_text == "Eight nine Ten"  # sentence order preserved
+    # a sentence longer than capacity owns its chunk; later sentences skip ids
+    # note: the locale-aware splitter needs real words AND an uppercase
+    # sentence start — "e." reads as an initial, a lowercase continuation
+    # does not open a new sentence
+    big = spark.createDataFrame(
+        [(9, "Alpha beta gamma delta epsilon. Foo bar.")],
+        "doc_id long, text string",
+    )
+    out = sentence_chunks(big, capacity=2).orderBy("chunk_id").collect()
+    assert [(r.chunk_id, r.n_tokens) for r in out] == [(0, 5), (2, 2)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        sentence_chunks(docs, capacity=0)

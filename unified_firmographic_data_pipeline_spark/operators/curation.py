@@ -122,6 +122,67 @@ def chunk_documents(
     )
 
 
+def sentence_chunks(
+    docs: DataFrame,
+    capacity: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-boundary chunking — the semantic tier above
+    ``token_windows``: split with Spark's locale-aware ``sentences()``,
+    then pack CONSECUTIVE sentences into chunks targeting ``capacity``
+    tokens with the same streaming-pack rule as ``pack_sequences``
+    (``chunk_id = floor(preceding_tokens / capacity)``). Sentences are
+    never split across chunks, so a chunk may overshoot ``capacity`` by
+    up to one sentence — the documented greedy-pack tolerance; a sentence
+    longer than ``capacity`` owns its chunk(s).
+
+    Returns ``(doc_id, chunk_id, n_sentences, n_tokens, chunk_text)``.
+    Scale shape: one narrow sentence explode, ONE window shuffle on the
+    doc key (each document packs independently), one groupBy on
+    (doc, chunk) — output rows ≈ total_tokens / capacity.
+
+    Splitter semantics (java.text.BreakIterator via ``sentences()``):
+    punctuation is dropped from the word arrays, single letters before a
+    period read as initials, and a lowercase continuation after a period
+    does NOT open a new sentence — lowercase-normalized corpora degrade
+    to one sentence per document (= whole-doc chunks); run this BEFORE
+    any lowercasing, or fall back to ``token_windows``."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    sent = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.sentences(F.col(text_col))).alias("sent_id", "__words"),
+    ).select(
+        "doc_id",
+        "sent_id",
+        F.size("__words").alias("n_tokens"),
+        F.array_join("__words", " ").alias("sent_text"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("sent_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    preceding = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = sent.withColumn(
+        "chunk_id", F.floor(preceding / F.lit(capacity)).cast("int")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("sent_id", "sent_text"))
+    )
+    return (
+        packed.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_sentences"),
+            F.sum("n_tokens").cast("int").alias("n_tokens"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["sent_text"]), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def chunk_dedup_stats(docs: DataFrame, width: int = 10) -> DataFrame:
     """C4-style window("line")-level dedup statistics per source: how many
     fixed-width token chunks each source contributes and how many are
