@@ -133,8 +133,19 @@ def test_driver_registration_order():
     # green rows; a parse regression would silently break the rotation
     assert len(green) >= 90, f"expected >=90 green CORRECTNESS rows, got {len(green)}"
 
-    unverified = [n for n in names if n in ORACLES and n not in green]
-    verified = [n for n in names if n in ORACLES and n in green]
+    # a modified-this-round query is treated as unverified even if it has
+    # an old green row: the stale green certifies a plan that no longer
+    # exists (round-4 judge finding #1)
+    unverified = [
+        n
+        for n in names
+        if n in ORACLES and (n not in green or n in dq._MODIFIED_FIRST)
+    ]
+    verified = [
+        n
+        for n in names
+        if n in ORACLES and n in green and n not in dq._MODIFIED_FIRST
+    ]
     rows_only = [n for n in names if n not in ORACLES]
 
     # 1. unverified oracle-backed queries occupy the front of the window,
@@ -143,12 +154,12 @@ def test_driver_registration_order():
     assert names[: len(unverified)] == unverified, (
         "unverified oracle-backed queries must be registered contiguously first"
     )
-    # 1b. queries modified this round lead the unverified block, so the
-    #     next external window confirms changed code before untouched
-    #     backlog entries
-    mod_unverified = [n for n in dq._MODIFIED_FIRST if n in unverified]
-    assert names[: len(mod_unverified)] == mod_unverified, (
-        "modified-this-round queries must front the unverified block"
+    # 1b. queries modified this round lead the window ABSOLUTELY — ahead
+    #     of both the untouched backlog and any stale green rows — so the
+    #     next external window confirms changed code first
+    mod_first = [n for n in dq._MODIFIED_FIRST if n in ORACLES]
+    assert names[: len(mod_first)] == mod_first, (
+        "modified-this-round queries must lead the driver window outright"
     )
     # 2. previously-verified queries come next, STALEST FIRST (round of
     #    last green row ascending): once the backlog drops below the

@@ -199,3 +199,63 @@ def test_curate_stream_matches_batch_prefix(spark, tmp_path):
         assert got[d].text == batch[d].text  # same redaction/normalization
         assert got[d].split == batch[d].split  # keyed hash: stream == batch
     assert "<EMAIL>" in got[7].text
+
+def test_curation_funnel_redact_matches_curate_corpus(spark):
+    """Redaction rewrites text BEFORE lang/quality/dedup, so the funnel
+    must apply it at the same position as curate_corpus or its stage
+    counts diverge from the pipeline it audits (round-4 advice item)."""
+    # a doc whose quality only clears the bar AFTER redaction collapses
+    # the noisy email tokens into one <EMAIL> placeholder
+    emails = " ".join(f"u{i}.long.address@example-{i}.com" for i in range(12))
+    rows = [(1, "web", GOOD), (2, "web", GOOD + " " + emails)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for redact in (True, False):
+        survivors = curate_corpus(
+            docs, redact=redact, eval_fraction=None, exact_dedup=True
+        ).count()
+        funnel = {
+            r.stage: r.n_docs
+            for r in curation_funnel(docs, redact=redact).collect()
+        }
+        assert funnel["exact_dedup"] == survivors, (
+            f"funnel(redact={redact}) diverged from curate_corpus"
+        )
+
+
+def test_training_sequences_unlisted_source_passes_through(spark):
+    """A source absent from source_budgets must flow through uncapped,
+    not be silently dropped (round-4 advice item)."""
+    curated = curate_corpus(
+        _corpus(spark), testset=None, near_dup=False, eval_fraction=None
+    )
+    # only 'web' is budgeted; 'books' has no entry and must still appear
+    seqs = training_sequences(
+        curated, width=8, stride=8, source_budgets={"web": 10_000}
+    )
+    sources = {r.source for r in seqs.select("source").distinct().collect()}
+    assert sources == {"web", "books"}
+    # and the unlisted source is uncapped: every curated books doc chunks
+    books_docs = {
+        r.doc_id for r in curated.filter(F.col("source") == "books").collect()
+    }
+    books_chunked = {r.doc_id for r in seqs.filter(F.col("source") == "books").collect()}
+    assert books_chunked == books_docs
+
+
+def test_near_dedup_verify_threshold_blocks_false_merge(spark):
+    """jaccard_verify_candidates drops low-overlap candidate pairs before
+    clustering, so a band collision between genuinely distinct docs can
+    no longer merge their clusters (round-4 advice item)."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        jaccard_verify_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, NEAR), (3, "totally unrelated words about metallurgy "
+                                   "and the smelting of copper ores in antiquity")],
+        "doc_id long, text string",
+    )
+    # simulate band candidates that include one false positive (1,3)
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    kept = jaccard_verify_candidates(docs, cand, threshold=0.5)
+    assert [(r.id_a, r.id_b) for r in kept.collect()] == [(1, 2)]

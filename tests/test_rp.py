@@ -115,3 +115,22 @@ def test_cosine_topk_rp_recall_vs_exact(spark, emb):
     ap = {(r.query_id, r.neighbor_id): r.cosine_sim for r in approx.collect()}
     for pair in e & a:
         assert ex[pair] == ap[pair]
+
+def test_cosine_topk_rp_empty_corpus_raises(spark):
+    """in_dim inference must fail with a contract error on an empty or
+    all-null corpus, not an opaque TypeError (round-4 advice item)."""
+    import pytest
+
+    from unified_firmographic_data_pipeline_spark.operators.rp import cosine_topk_rp
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no non-null"):
+        cosine_topk_rp(empty, q)
+    with pytest.raises(ValueError, match="no non-null"):
+        cosine_topk_rp(nulls, q)

@@ -219,6 +219,42 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs, candidate-linear:
+    join each pair to the two docs' distinct-shingle sets and score with
+    ``size(array_intersect)`` — cost scales with |candidates|, never with
+    the inverted index (``jaccard_pairs`` without ``candidates`` scores
+    every shingle-sharing pair, which is the oracle path, not this one).
+    Returns the surviving ``(id_a, id_b)`` pairs."""
+    sets_ = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, shingle_n)).alias("__sh")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = (
+        F.size("__sh_a") + F.size("__sh_b") - F.size(F.array_intersect("__sh_a", "__sh_b"))
+    ).cast("double")
+    return (
+        candidates.join(
+            sets_.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
+            "id_a",
+        )
+        .join(
+            sets_.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")),
+            "id_b",
+        )
+        .filter(union > 0)
+        .filter((inter / union) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 SIMHASH_BITS = 32
 
 

@@ -107,7 +107,15 @@ def cosine_topk_rp(
         exact_cosine_rerank,
     )
 
-    in_dim = len(corpus.select(vec_col).first()[0])
+    first = (
+        corpus.filter(F.col(vec_col).isNotNull()).select(vec_col).head(1)
+    )
+    if not first:
+        raise ValueError(
+            f"cosine_topk_rp: corpus has no non-null '{vec_col}' rows — "
+            "cannot infer the input dimension for the projection matrix"
+        )
+    in_dim = len(first[0][0])
     mat = gaussian_matrix(out_dim, in_dim, seed)
     c_p = project_df(corpus, mat, vec_col, "__rp").select(
         id_col, F.col("__rp").alias(vec_col)

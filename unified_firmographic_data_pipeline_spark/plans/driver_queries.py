@@ -13195,28 +13195,17 @@ def _externally_verified() -> set[str]:
     return set(_green_rounds())
 
 
-#: Unverified queries whose PLAN or ORACLE was modified this round — they
-#: jump to the front of the unverified block so the next driver window
-#: externally confirms the CHANGED code before untouched older entries
-#: (a modified query is the likeliest place for a fresh regression).
-#: Round 4: the sequence(1,0)-guard fixes, the degenerate-strata guards,
-#: and the bounded-sample + precomputed-norm knn/similarity rework.
+#: Queries whose PLAN or ORACLE was modified this round (or whose last
+#: green row predates a modification) — they jump to the ABSOLUTE front
+#: of the driver window, ahead of even previously-green entries: a stale
+#: green on a rewritten plan certifies code that no longer exists, so it
+#: is epistemically an unverified query (round-4 judge finding #1).
+#: Round 5: the three json-strict-gate rewrites from r4 whose only green
+#: rows (r1/r2) predate the rewrite.
 _MODIFIED_FIRST = [
-    "knn_label_accuracy",
-    "trigram_novelty_by_source",
-    "dedup_detector_pr",
-    "bpe_first_merge",
-    "cramers_v_pairs",
-    "dispersion_index_by_type",
-    "tokenizer_fertility_by_lang",  # empty-text token-count oracle guard
-    "interevent_burstiness_buckets",  # all-zero-gap user exclusion
-    "theil_index_by_region",  # non-positive-revenue exclusion
-    "elasticity_loglog_by_brand",  # ln domain + zero-variance guards
-    "local_bridges_count",  # empty-graph share guard
-    "variant_type_get_stats",  # strict json_valid-equivalent gate
-    "variant_lateral_flatten",  # strict json_valid-equivalent gate
-    "json_extract_props",  # strict json_valid-equivalent gate
-    "variant_json_extract",  # strict json_valid-equivalent gate
+    "variant_lateral_flatten",  # strict json_valid-equivalent gate (r4 rewrite)
+    "json_extract_props",  # strict json_valid-equivalent gate (r4 rewrite)
+    "variant_json_extract",  # strict json_valid-equivalent gate (r4 rewrite)
 ]
 
 
@@ -13225,23 +13214,30 @@ def driver_order() -> list[str]:
     verified middle, rows-only last. Pure function of the registry + the
     CORRECTNESS files on disk (exposed for tests/README tooling).
 
-    Within the unverified block, queries listed in ``_MODIFIED_FIRST``
-    (changed this round) come before the untouched backlog (oldest
-    first). The verified middle is sorted by the round each query was
-    LAST externally confirmed (stalest first, registration order as
-    tiebreak): once the unverified backlog drops below the ~50-slot
-    window, the spare slots automatically RE-verify the oldest greens
-    round-robin, so a regression in an already-verified query is caught
-    externally instead of only by the local parity suite."""
+    Queries listed in ``_MODIFIED_FIRST`` (plan/oracle changed this
+    round) are hoisted to the ABSOLUTE front regardless of green status
+    — a previously-green row on a since-rewritten plan certifies code
+    that no longer runs, so a modified query outranks everything. The
+    rest of the unverified block follows (oldest first). The verified
+    middle is sorted by the round each query was LAST externally
+    confirmed (stalest first, registration order as tiebreak): once the
+    unverified backlog drops below the ~50-slot window, the spare slots
+    automatically RE-verify the oldest greens round-robin, so a
+    regression in an already-verified query is caught externally
+    instead of only by the local parity suite."""
     green = _green_rounds()
     pos = {n: i for i, n in enumerate(QUERIES)}
     modified = {n: i for i, n in enumerate(_MODIFIED_FIRST)}
     unverified = sorted(
-        (n for n in QUERIES if n in ORACLES and n not in green),
+        (
+            n
+            for n in QUERIES
+            if n in ORACLES and (n not in green or n in modified)
+        ),
         key=lambda n: (0, modified[n]) if n in modified else (1, pos[n]),
     )
     verified = sorted(
-        (n for n in QUERIES if n in ORACLES and n in green),
+        (n for n in QUERIES if n in ORACLES and n in green and n not in modified),
         key=lambda n: (green[n], pos[n]),
     )
     rows_only = [n for n in QUERIES if n not in ORACLES]

@@ -47,6 +47,7 @@ from unified_firmographic_data_pipeline_spark.operators.curation import (
 )
 from unified_firmographic_data_pipeline_spark.operators.dedup import dedup_exact
 from unified_firmographic_data_pipeline_spark.operators.neardup import (
+    jaccard_verify_candidates,
     minhash_lsh_candidates,
 )
 from unified_firmographic_data_pipeline_spark.operators.sampling import (
@@ -90,16 +91,29 @@ def near_dedup_keep_best(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    verify_threshold: float | None = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-dup removal that keeps the BEST copy: banded
-    candidates → connected components over only the docs that appear in a
-    candidate pair (everything else bypasses the iteration) → per-cluster
-    representative by (quality desc, id asc). Returns the surviving docs
-    with their original columns."""
+    candidates → exact-Jaccard verification → connected components over
+    only the docs that appear in a VERIFIED pair (everything else
+    bypasses the iteration) → per-cluster representative by (quality
+    desc, id asc). Returns the surviving docs with their original columns.
+
+    ``verify_threshold`` gates candidates through an exact n-gram Jaccard
+    before clustering (candidate-linear — ``jaccard_verify_candidates``):
+    at 4 rows/band a single-band hash collision between genuinely distinct
+    docs would otherwise merge their clusters and permanently drop all but
+    one. Pass ``None`` to accept raw band candidates (faster, but every
+    band false-positive becomes a silent document drop)."""
     pairs = minhash_lsh_candidates(
         docs, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
     )
+    if verify_threshold is not None:
+        pairs = jaccard_verify_candidates(
+            docs, pairs, verify_threshold,
+            id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        )
     touched = (
         pairs.select(F.col("id_a").alias("node"))
         .unionByName(pairs.select(F.col("id_b").alias("node")))
@@ -186,6 +200,7 @@ def curation_funnel(
     *,
     lang: str | None = "en",
     min_quality: float | None = 0.66,
+    redact: bool = True,
     near_dup: bool = False,
     testset: DataFrame | None = None,
     contamination_ngram: int = 3,
@@ -195,12 +210,15 @@ def curation_funnel(
 ) -> DataFrame:
     """Per-stage survivor counts — the audit trail of ``curate_corpus``
     (``(stage, n_docs)``, one bounded count job per stage). The stages
-    mirror ``curate_corpus`` with the same parameters; redaction and the
-    split never drop rows so they carry no funnel stage."""
+    mirror ``curate_corpus`` with the same parameters — including
+    redaction, which rewrites text BEFORE lang/quality/dedup and so
+    shifts scores and fingerprints even though it drops no rows (it
+    therefore carries no funnel stage of its own, like the split)."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
-    cur = docs.withColumn(text_col, collapse_ws(text_col)).withColumn(
-        "lang", detect_lang(text_col)
-    )
+    cur = docs.withColumn(text_col, collapse_ws(text_col))
+    if redact:
+        cur = cur.withColumn(text_col, redact_pii(text_col))
+    cur = cur.withColumn("lang", detect_lang(text_col))
     if lang is not None:
         cur = cur.filter(F.col("lang") == lang)
         stages.append(("lang_filter", cur))
@@ -238,13 +256,22 @@ def training_sequences(
     (``chunk_documents``). ``stride == width`` is non-overlapping GPT-style
     packing fodder; smaller strides give overlapping contexts. Carries
     ``split`` (and ``source``) through to the sequence rows when present
-    so downstream loaders can filter without re-joining."""
+    so downstream loaders can filter without re-joining.
+
+    A source absent from ``source_budgets`` is passed through UNCAPPED
+    (a missing entry means "no budget"), never silently dropped."""
     docs = curated
     if source_budgets:
         docs = docs.withColumn(
             "__n_tok", F.size(F.split(collapse_ws(text_col), " "))
         )
-        parts = []
+        parts = [
+            # sources with no budget entry flow through unchanged
+            docs.filter(
+                ~F.col(source_col).isin(list(source_budgets))
+                | F.col(source_col).isNull()
+            )
+        ]
         for src, budget in sorted(source_budgets.items()):
             parts.append(
                 token_budget_sample(
