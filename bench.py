@@ -271,6 +271,22 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "lsh_s_curve_planner",
     "attribution_first_vs_last",
+    # round 5 batch 45: the round-4 library surface registered — web
+    # URL/domain/HTML, chunking, samplers, BQ/RP ANN tiers, recall@k,
+    # materialized IVF-SQ index search, PSI drift, incremental LSH
+    "web_registrable_domain_counts",
+    "web_blocklist_survivors",
+    "web_html_visible_text",
+    "token_window_chunks",
+    "stratified_sample_survivors",
+    "token_budget_survivors",
+    "lsh_incremental_candidates",
+    "bq_hamming_topk",
+    "rp_projection_topk",
+    "ann_recall_at_k_ivf",
+    "ivfsq_index_search",
+    "numeric_psi_doclen",
+    "categorical_psi_eventtypes",
 ]
 
 
@@ -364,23 +380,30 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     r01_subtotal = round(sum(timings[n] for n in R01_SET if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                # same-set comparable to BENCH_r01's value=18.8 (33 queries)
-                "r01_set_total_sec": r01_subtotal,
-                # queries >2x their best prior BENCH_r*.json time — a
-                # regression surfaces here as red, not as a judge's diff
-                "regressions": _regressions(timings, floors),
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        # same-set comparable to BENCH_r01's value=18.8 (33 queries)
+        "r01_set_total_sec": r01_subtotal,
+        # queries >2x their best prior BENCH_r*.json time — a
+        # regression surfaces here as red, not as a judge's diff
+        "regressions": _regressions(timings, floors),
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # the driver artifact keeps only a ~2KB tail of stdout, which loses the
+    # per-query history; persist the full record alongside (round-4 judge
+    # finding #3 — copy to BENCH_full_r{N}.json at round end)
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_full_latest.json"), "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":

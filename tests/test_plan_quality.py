@@ -126,6 +126,14 @@ BNLJ_ALLOWED = {
     "ab_sample_size_planner",
     # constant 48-row parameter grid (4x3x4 literal cross) — no scan
     "lsh_s_curve_planner",
+    # the ann_cosine_topk shape: bounded query signatures broadcast against
+    # the corpus signature scan under qid != nid; floats only at re-rank
+    "bq_hamming_topk",
+    # same shape on the 16-dim PROJECTED vectors (the JL tier's shortlist)
+    "rp_projection_topk",
+    # the exact ground-truth side is ann_cosine_topk's bounded broadcast;
+    # the IVF side and the eval join are equi-joins
+    "ann_recall_at_k_ivf",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

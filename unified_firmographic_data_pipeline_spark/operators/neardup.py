@@ -424,7 +424,7 @@ def minhash_estimate_vs_exact(
     )
 
 
-def minhash_lsh_candidates_md5(
+def minhash_band_buckets_md5(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -432,12 +432,12 @@ def minhash_lsh_candidates_md5(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Cross-engine-reproducible MinHash-LSH: permutations are
-    ``md5(i || ':' || shingle)`` and the signature element is the
-    lexicographic min of the hex digests — identical in any engine with
-    md5, so the whole candidate set is oracle-checkable (the xxhash64
-    variant stays the faster in-engine default; same plan shape: band
-    equi-join on uniform keys, no cross product)."""
+    """The md5 twin of :func:`minhash_band_buckets` — ``(id, band,
+    bucket)`` rows where the bucket key is the comma-joined md5-hex band
+    slice, identical in any engine with md5. Same landable-index contract
+    as the xxhash64 variant (build once, append increments, equi-join
+    candidates); exists so the INCREMENTAL near-dup path is
+    oracle-checkable end to end, not just its batch twin."""
     rows = num_hashes // bands
     # shingle once per row; the 16 md5 permutations read the materialized
     # array (same no-CSE-into-lambda economics as minhash_lsh_candidates)
@@ -450,7 +450,7 @@ def minhash_lsh_candidates_md5(
             F.col("__sh"), num_hashes, pre_shingled=True
         ).alias("__sig"),
     )
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -467,6 +467,25 @@ def minhash_lsh_candidates_md5(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-engine-reproducible MinHash-LSH: permutations are
+    ``md5(i || ':' || shingle)`` and the signature element is the
+    lexicographic min of the hex digests — identical in any engine with
+    md5, so the whole candidate set is oracle-checkable (the xxhash64
+    variant stays the faster in-engine default; same plan shape: band
+    equi-join on uniform keys, no cross product)."""
+    banded = minhash_band_buckets_md5(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
     # the self-join would otherwise execute the signature pipeline TWICE
     # (once per alias); the banded frame is tiny (bands x docs x 2 cols)
     banded = banded.localCheckpoint(eager=True)

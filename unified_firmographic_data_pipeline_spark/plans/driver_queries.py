@@ -13143,6 +13143,747 @@ def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Coverage batch 45 (round 5): registering the round-4 library surface —
+# web URL/domain/HTML functions, sliding-window chunking, stratified and
+# token-budget samplers, the BQ and RP ANN tiers, recall@k evaluation, the
+# materialized IVF-SQ index search, numeric/categorical PSI, and the
+# incremental LSH near-dup path.
+# --------------------------------------------------------------------------
+
+#: Deterministic synthetic URL per document: both engines construct the
+#: SAME value from doc_id, giving the web functions a mixed host corpus
+#: (plain .com, ccTLD eTLD+1, IPv4 literal, single-label host, 3-level
+#: ccTLD) without needing a URL column in the test data.
+def _doc_url_col() -> F.Column:
+    m = F.col("doc_id") % 5
+    did = F.col("doc_id").cast("string")
+    return (
+        F.when(m == 0, F.concat(F.lit("https://www.shop"), (F.col("doc_id") % 37).cast("string"), F.lit(".com/p/"), did))
+        .when(m == 1, F.concat(F.lit("https://news.site"), (F.col("doc_id") % 23).cast("string"), F.lit(".co.uk/a/"), did))
+        .when(m == 2, F.concat(F.lit("http://10."), (F.col("doc_id") % 200).cast("string"), F.lit(".0.7/x")))
+        .when(m == 3, F.lit("https://localhost/admin"))
+        .otherwise(F.concat(F.lit("https://blog.ex"), (F.col("doc_id") % 11).cast("string"), F.lit(".go.jp/p")))
+    )
+
+
+_DOC_URL_SQL = """CASE doc_id % 5
+        WHEN 0 THEN 'https://www.shop' || CAST(doc_id % 37 AS VARCHAR) || '.com/p/' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'https://news.site' || CAST(doc_id % 23 AS VARCHAR) || '.co.uk/a/' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN 'http://10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7/x'
+        WHEN 3 THEN 'https://localhost/admin'
+        ELSE 'https://blog.ex' || CAST(doc_id % 11 AS VARCHAR) || '.go.jp/p'
+    END"""
+
+
+@q(
+    "web_registrable_domain_counts",
+    rf"""
+    WITH u AS (SELECT {_DOC_URL_SQL} AS url FROM documents),
+    h AS (SELECT lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host FROM u),
+    lab AS (
+        SELECT host, string_split(host, '.') AS ls,
+               len(string_split(host, '.')) AS n,
+               regexp_matches(host, '^\d+\.\d+\.\d+\.\d+$') AS is_ip
+        FROM h),
+    d AS (
+        SELECT CASE WHEN is_ip OR n < 2 THEN host
+               ELSE array_to_string(
+                    list_slice(ls, n - (CASE WHEN n >= 3
+                                             AND ls[n - 1] IN ('co','com','org','net','ac','gov','edu','mil','or','ne','go')
+                                             AND length(ls[n]) = 2
+                                        THEN 3 ELSE 2 END) + 1, n), '.')
+               END AS domain
+        FROM lab)
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM d GROUP BY domain ORDER BY n_urls DESC, domain LIMIT 30
+    """,
+)
+def web_registrable_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (functions/web.py:registrable_domain) over a
+    deterministic synthetic URL corpus: last-two host labels, last-THREE
+    under common second-level ccTLD suffixes (site.co.uk), IPv4 literals
+    and single-label hosts pass through. Pure parse_url + array
+    expressions, scan-fused; the oracle replays the label logic on the
+    identically-constructed URLs. Top-30 domains by URL count."""
+    from unified_firmographic_data_pipeline_spark.functions.web import (
+        registrable_domain,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(registrable_domain(_doc_url_col()).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+        .orderBy(F.col("n_urls").desc(), "domain")
+        .limit(30)
+    )
+
+
+@q(
+    "web_blocklist_survivors",
+    rf"""
+    WITH u AS (SELECT doc_id, source, {_DOC_URL_SQL} AS url FROM documents),
+    h AS (SELECT doc_id, source,
+                 lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host
+          FROM u)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM h
+    WHERE NOT COALESCE(host = 'co.uk' OR host LIKE '%.co.uk'
+                    OR host = 'localhost' OR host LIKE '%.localhost', FALSE)
+    GROUP BY source ORDER BY source
+    """,
+)
+def web_blocklist_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-tier domain blocklist (functions/web.py:
+    domain_blocklist_filter, small-list branch): hosts equal to or under
+    'co.uk' / 'localhost' drop — one bounded OR chain fused into the
+    scan, no join. Survivor counts per source; the suffix semantics
+    (every *.co.uk site blocked) are exactly what a crawl provenance
+    rule needs."""
+    from unified_firmographic_data_pipeline_spark.functions.web import (
+        domain_blocklist_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn("url", _doc_url_col())
+    kept = domain_blocklist_filter(d, "url", blocked=["co.uk", "localhost"])
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@q(
+    "web_html_visible_text",
+    r"""
+    WITH raw AS (
+        SELECT doc_id,
+               '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1>'
+               || substr(text, 1, 40) || '</h1><!-- note --><p>' || source
+               || ' &amp; more &lt;tags&gt;</p></body></html>' AS html
+        FROM documents),
+    s1 AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t
+        FROM raw),
+    s2 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g'),
+                              '(?s)<[^>]+>', ' ', 'g') AS t
+        FROM s1),
+    s3 AS (
+        SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(replace(t,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                   '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        FROM s2)
+    SELECT doc_id,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) AS visible,
+           CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS INT) AS n_visible
+    FROM s3
+    """,
+)
+def web_html_visible_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible text (functions/web.py:strip_html_tags): drop
+    script/style blocks WITH content, strip comments and tags, decode the
+    common entities (&amp; last so '&amp;lt;' can't double-decode),
+    collapse whitespace. Chained JVM-side regexp_replace, zero UDFs; the
+    oracle wraps each document in the same synthetic page and replays the
+    regex ladder (script/style as two RE2-safe patterns — DuckDB's RE2
+    has no backreferences)."""
+    from unified_firmographic_data_pipeline_spark.functions.web import (
+        strip_html_tags,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1>"
+        ),
+        F.substring("text", 1, 40),
+        F.lit("</h1><!-- note --><p>"),
+        F.col("source"),
+        F.lit(" &amp; more &lt;tags&gt;</p></body></html>"),
+    )
+    v = strip_html_tags(html)
+    return d.select("doc_id", v.alias("visible"), F.length(v).alias("n_visible"))
+
+
+@q(
+    "token_window_chunks",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        FROM documents),
+    n AS (
+        SELECT doc_id, t,
+               CAST(1 + CEIL(GREATEST(len(t) - 24, 0) / 12.0) AS INT) AS nw
+        FROM toks WHERE NOT (norm IS NULL OR norm = '')),
+    w AS (
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(list_slice(t, i * 12 + 1, i * 12 + 24), ' ') AS chunk_text
+        FROM n, UNNEST(generate_series(0, nw - 1)) AS g(i))
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 12 AS INT) AS chunk_start,
+           CAST(len(regexp_split_to_array(chunk_text, '\s+')) AS INT) AS n_tokens,
+           chunk_text
+    FROM w
+    """,
+)
+def token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding token windows (operators/curation.py:
+    chunk_documents / token_windows, width 24 stride 12): tokenize once,
+    window inside the scan, posexplode to training-sequence rows with
+    chunk provenance (0-based token offset). Pure expression fan-out, no
+    shuffle; empty/whitespace docs yield zero windows (not one empty
+    chunk). The oracle replays the window arithmetic with list_slice."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, width=24, stride=12)
+
+
+@q(
+    "stratified_sample_survivors",
+    f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source, {_U_DOC} AS u FROM documents)
+    WHERE u < (CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.4
+                           WHEN 'src2' THEN 0.1 ELSE 0.5 END)
+    """,
+)
+def stratified_sample_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli rates (operators/sampling.py:
+    stratified_fractions_sample) — the source-mixing knob of a
+    pretraining pipeline: keep 90% of src0, 40% of src1, 10% of src2,
+    50% of everything else, decided by the engine-independent keyed md5
+    hash. A narrow per-row filter (bounded CASE over the literal map),
+    pushes into the scan; identical survivors on any engine or layout."""
+    from unified_firmographic_data_pipeline_spark.operators.sampling import (
+        stratified_fractions_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_fractions_sample(
+        d, "source", {"src0": 0.9, "src1": 0.4, "src2": 0.1},
+        key="doc_id", default_fraction=0.5,
+    )
+    return out.select("doc_id", "source")
+
+
+@q(
+    "token_budget_survivors",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, n_chars, {_U_DOC} AS u FROM documents),
+    w AS (
+        SELECT doc_id, source, n_chars,
+               SUM(CAST(n_chars AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+        FROM t)
+    SELECT doc_id, source, n_chars FROM w WHERE cum <= 3000 OR rn = 1
+    """,
+)
+def token_budget_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-budget fill (operators/sampling.py:
+    token_budget_sample): walk each source's docs in keyed-hash order and
+    keep rows while the running n_chars total stays within 3000 — "give
+    me ~N tokens of this source", the last knob of a data mix. One window
+    pass per source (parallel across groups); the first row of a group
+    always survives so an oversized doc can't empty its stratum."""
+    from unified_firmographic_data_pipeline_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        d, budget=3000, size_col="n_chars", key="doc_id", group_cols=["source"]
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+@q(
+    "lsh_incremental_candidates",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        FROM documents),
+    sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+        UNION ALL
+        SELECT doc_id, norm AS s FROM toks WHERE len(t) < 3),
+    sig AS (
+        SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || s)) AS m
+        FROM sh, UNNEST(generate_series(0, 15)) AS v(h)
+        GROUP BY doc_id, h),
+    band AS (
+        SELECT doc_id, h // 4 AS band, string_agg(m, ',' ORDER BY h) AS bucket
+        FROM sig GROUP BY doc_id, h // 4)
+    SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                    GREATEST(a.doc_id, b.doc_id) AS id_b
+    FROM band a JOIN band b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 10 = 0
+    """,
+)
+def lsh_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/neardup.py:
+    minhash_band_buckets_md5 + lsh_candidates_from_buckets): docs with
+    doc_id % 10 == 0 play tonight's increment, the rest the landed
+    corpus. Only the increment's band-bucket rows join against the full
+    index (old x old pairs were previous runs' output and never
+    recompute) — the nightly-append regime at 100 TB. md5 signatures so
+    the ENTIRE candidate set is bit-verified by the oracle, same as the
+    batch twin near_dup_candidates_md5."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        lsh_candidates_from_buckets,
+        minhash_band_buckets_md5,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    new_b = minhash_band_buckets_md5(d.filter(F.col("doc_id") % 10 == 0))
+    old_b = minhash_band_buckets_md5(d.filter(F.col("doc_id") % 10 != 0))
+    return lsh_candidates_from_buckets(new_b, old_b.unionByName(new_b))
+
+
+@q(
+    "bq_hamming_topk",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    tm AS (
+        SELECT i, SUM(CAST(round(x * 1e6) AS BIGINT)) AS s, COUNT(x) AS n
+        FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM base)
+        GROUP BY i),
+    thr AS (SELECT list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 ORDER BY i) AS ts FROM tm),
+    bits AS (
+        SELECT vec_id,
+               list_transform(list_zip(v, ts), x -> CASE WHEN x[1] > x[2] THEN 1 ELSE 0 END) AS b
+        FROM base, thr),
+    ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.b, c.b),
+                   x -> CASE WHEN x[1] <> x[2] THEN 1 ELSE 0 END)) AS hd
+        FROM bits q JOIN bits c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hd, neighbor_id) AS rn
+            FROM ham) WHERE rn <= 30),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(qv.v, cv.v) /
+                     (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cosine_sim
+        FROM short s JOIN base qv ON qv.vec_id = s.query_id
+                     JOIN base cv ON cv.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM rer) WHERE rank <= 5
+    """,
+)
+def bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary-quantization ANN (operators/bq.py): per-dimension mean
+    thresholds (integer-micro sums / count — order-independent, so both
+    engines derive the IDENTICAL threshold doubles), 64-bit signatures
+    packed 32 bits/word, Hamming = bit_count(XOR) shortlists 30, exact
+    cosine re-ranks top-5. The coarsest rung of the compression ladder —
+    the corpus side never touches floats until the re-rank. The oracle
+    skips the word packing (an engine-internal layout) and counts
+    differing bits directly: same Hamming, same results."""
+    from unified_firmographic_data_pipeline_spark.operators.bq import (
+        bq_encode,
+        bq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    aggs = []
+    for i in range(64):
+        x = F.try_element_at("embedding", F.lit(i + 1)).cast("double")
+        aggs.append(F.sum(F.round(x * 1e6).cast("long")).alias(f"s{i}"))
+        aggs.append(F.count(x).alias(f"n{i}"))
+    row = e.agg(*aggs).collect()[0]
+    thr = [float(row[f"s{i}"]) / float(row[f"n{i}"]) / 1e6 for i in range(64)]
+    sigs = bq_encode(e, thr)
+    return bq_topk(sigs, e, e.filter(F.col("vec_id") < 10), thr, k=5, shortlist=30)
+
+
+def _rp_sql() -> str:
+    """Oracle for rp_projection_topk with the seeded Gaussian matrix
+    embedded as literals (the LSH-planes precedent: seeded constants ride
+    the SQL so the WHOLE tier is bit-checked, not just row counts)."""
+    from unified_firmographic_data_pipeline_spark.operators.rp import gaussian_matrix
+
+    mat = gaussian_matrix(16, 64, 42)
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in mat
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    proj AS (
+        SELECT vec_id,
+               list_transform([{rows}], r -> round(list_dot_product(r, v), 6)) AS p
+        FROM base),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.p, c.p) /
+                     (sqrt(list_dot_product(q.p, q.p)) * sqrt(list_dot_product(c.p, c.p))), 6) AS ps
+        FROM proj q JOIN proj c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, neighbor_id) AS rn
+            FROM scored) WHERE rn <= 40),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(qv.v, cv.v) /
+                     (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cosine_sim
+        FROM short s JOIN base qv ON qv.vec_id = s.query_id
+                     JOIN base cv ON cv.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM rer) WHERE rank <= 5
+    """
+
+
+@q("rp_projection_topk", _rp_sql())
+def rp_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ANN tier (operators/rp.py): seed-42 Gaussian
+    matrix projects 64-dim embeddings to 16 dims INSIDE the scan (one
+    nested array literal, ~3 HOF nodes), brute-force cosine on the small
+    vectors shortlists 40, exact re-rank on raw vectors returns top-5.
+    Projections are rounded to 6 digits on both sides so the shortlist
+    ordering is engine-independent; the matrix rides the oracle SQL as
+    literals."""
+    from unified_firmographic_data_pipeline_spark.operators.rp import (
+        gaussian_matrix,
+        project_df,
+    )
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        exact_cosine_rerank,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q10 = e.filter(F.col("vec_id") < 10)
+    mat = gaussian_matrix(16, 64, 42)
+
+    def proj(df: DataFrame) -> DataFrame:
+        p = project_df(df, mat, "embedding", "__rp")
+        return p.select(
+            "vec_id",
+            F.transform("__rp", lambda x: F.round(x, 6)).alias("embedding"),
+        )
+
+    cand = cosine_topk(proj(e), proj(q10), k=40).select("query_id", "neighbor_id")
+    return exact_cosine_rerank(cand, e, q10, 5)
+
+
+@q(
+    "ann_recall_at_k_ivf",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS ce FROM base ORDER BY vec_id LIMIT 8),
+    dist AS (
+        SELECT b.vec_id, c.cid,
+               list_sum(list_transform(list_zip(b.v, c.ce),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 1e6) AS BIGINT))) AS dm
+        FROM base b CROSS JOIN c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+            FROM dist) WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS qid, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+            FROM dist WHERE vec_id < 10) WHERE rn <= 2),
+    ivf_scored AS (
+        SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(qv.v, cv.v) /
+                     (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))),
+                     6) AS cosine_sim
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+        JOIN base qv ON qv.vec_id = p.qid
+        JOIN base cv ON cv.vec_id = a.vec_id),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM ivf_scored) WHERE rank <= 5),
+    ex_scored AS (
+        SELECT q.vec_id AS query_id, cdf.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, cdf.v) /
+                     (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cdf.v, cdf.v))), 6) AS cosine_sim
+        FROM base q JOIN base cdf ON q.vec_id < 10 AND q.vec_id <> cdf.vec_id),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rank
+            FROM ex_scored) WHERE rank <= 5)
+    SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           COUNT(a.neighbor_id) / COUNT(*) AS recall
+    FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_at_k_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF coarse-quantizer tier against exact brute-force
+    ground truth (operators/similarity.py:recall_at_k) — the measurement
+    every approximate tier ships with. Both sides are top-k-bounded
+    (queries x k rows), so eval cost is query-proportional; the
+    denominator is the exact list's size and silent misses score 0. The
+    oracle replays BOTH tiers and the join."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        recall_at_k,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q10 = e.filter(F.col("vec_id") < 10)
+    approx = cosine_topk_ivf(e, q10, k=5, n_lists=8, n_probe=2)
+    exact = cosine_topk(e, q10, k=5)
+    return recall_at_k(approx, exact, 5)
+
+
+def _ivfsq_index_path(sf_dir: str) -> str:
+    """Repo-local cache dir for the materialized IVF-SQ index, keyed by
+    the sf_dir name, the embeddings file's mtime (stale data -> new key)
+    and the build params — so the registered query measures SEARCH, with
+    the one-time build amortized across bench/driver runs exactly like a
+    production index. Lives under the repo root (never /tmp) and is
+    gitignored."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[2]
+    src = pathlib.Path(sf_dir) / "embeddings.parquet"
+    try:
+        stamp = int(src.stat().st_mtime)
+    except OSError:
+        stamp = 0
+    name = f"{pathlib.Path(sf_dir).name}_{stamp}_n8d64v1"
+    return str(root / ".ann_index_cache" / name)
+
+
+@q(
+    "ivfsq_index_search",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS ce FROM base ORDER BY vec_id LIMIT 8),
+    b AS (
+        SELECT i, MIN(x) AS lo, MAX(x) AS hi
+        FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM base)
+        GROUP BY i),
+    bounds AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM b),
+    dist AS (
+        SELECT b2.vec_id, c.cid,
+               list_sum(list_transform(list_zip(b2.v, c.ce),
+                   x -> CAST(round((x[1] - x[2]) * (x[1] - x[2]) * 1e6) AS BIGINT))) AS dm
+        FROM base b2 CROSS JOIN c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+            FROM dist) WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS qid, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+            FROM dist WHERE vec_id < 10) WHERE rn <= 2),
+    codes AS (
+        SELECT a.vec_id, a.cid,
+               list_transform(list_zip(base.v, bounds.los, bounds.his),
+                   x -> CAST(LEAST(255.0, GREATEST(0.0,
+                        CASE WHEN (x[3] - x[2]) / 255.0 = 0 THEN 0.0
+                             ELSE round((x[1] - x[2]) / ((x[3] - x[2]) / 255.0)) END)) AS INT)) AS code
+        FROM assign a JOIN base USING (vec_id), bounds),
+    scored AS (
+        SELECT p.qid AS query_id, k.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(qv.v, k.code, bounds.los, bounds.his),
+                   x -> CAST(round(
+                        (x[1] - round(CAST(x[2] AS DOUBLE) * ((x[4] - x[3]) / 255.0) + x[3], 6))
+                      * (x[1] - round(CAST(x[2] AS DOUBLE) * ((x[4] - x[3]) / 255.0) + x[3], 6))
+                      * 1e6) AS BIGINT))) AS sd
+        FROM probes p
+        JOIN codes k ON k.cid = p.cid AND k.vec_id <> p.qid
+        JOIN base qv ON qv.vec_id = p.qid, bounds),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sd, neighbor_id) AS rn
+            FROM scored) WHERE rn <= 50),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(qv.v, cv.v) /
+                     (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cosine_sim
+        FROM short s JOIN base qv ON qv.vec_id = s.query_id
+                     JOIN base cv ON cv.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM rer) WHERE rank <= 5
+    """,
+)
+def ivfsq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search against the MATERIALIZED IVF-SQ index (operators/
+    ann_index.py:search_ivf_sq_index): the corpus's int8 codes live
+    parquet-partitioned by coarse list id, the query batch's probe union
+    becomes a static partition filter (unprobed list directories never
+    open — real partition pruning, pinned in tests/test_ann_index.py),
+    asymmetric SQ distance shortlists 50, exact cosine re-ranks top-5.
+    The one-time build (min/max bounds + first-8-ids centroids, both
+    order-independent and engine-exact) is cached under
+    .ann_index_cache/ keyed by data mtime, so the benched cost is
+    RETRIEVAL — the deployed shape of the inline sq_topk_ivf tier. The
+    oracle replays bounds, codes, reconstruction and both distance
+    stages in SQL."""
+    import os
+
+    from unified_firmographic_data_pipeline_spark.operators.ann_index import (
+        build_ivf_sq_index,
+        search_ivf_sq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivfsq_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        build_ivf_sq_index(e, path, n_lists=8, dim=64)
+    return search_ivf_sq_index(
+        spark, path, e.filter(F.col("vec_id") < 10), k=5, n_probe=2, shortlist=50
+    )
+
+
+@q(
+    "numeric_psi_doclen",
+    """
+    WITH ref AS (
+        SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        WHERE source = 'src0' AND n_chars IS NOT NULL),
+    cur AS (
+        SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        WHERE source = 'src1' AND n_chars IS NOT NULL),
+    mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM ref),
+    rb AS (
+        SELECT GREATEST(1, LEAST(10,
+               CAST(FLOOR((x - lo) * 10.0 / (hi - lo)) AS INT) + 1)) AS bucket
+        FROM ref, mm),
+    cb AS (
+        SELECT GREATEST(1, LEAST(10,
+               CAST(FLOOR((x - lo) * 10.0 / (hi - lo)) AS INT) + 1)) AS bucket
+        FROM cur, mm),
+    rc AS (SELECT bucket, COUNT(*) AS n FROM rb GROUP BY bucket),
+    cc AS (SELECT bucket, COUNT(*) AS n FROM cb GROUP BY bucket),
+    rt AS (SELECT SUM(n) AS t FROM rc),
+    ct AS (SELECT SUM(n) AS t FROM cc),
+    grid AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+    p AS (
+        SELECT g.bucket,
+               COALESCE(CAST(rc.n AS DOUBLE) / CAST(rt.t AS DOUBLE), 0.0) AS p_ref,
+               COALESCE(CAST(cc.n AS DOUBLE) / CAST(ct.t AS DOUBLE), 0.0) AS p_cur
+        FROM grid g
+        LEFT JOIN rc ON rc.bucket = g.bucket
+        LEFT JOIN cc ON cc.bucket = g.bucket, rt, ct)
+    SELECT CAST(p.bucket AS INT) AS bucket,
+           mm.lo + (p.bucket - 1) * ((mm.hi - mm.lo) / 10.0) AS lo,
+           mm.lo + p.bucket * ((mm.hi - mm.lo) / 10.0) AS hi,
+           p_ref, p_cur,
+           ((p_cur + 1e-6) - (p_ref + 1e-6))
+               * ln((p_cur + 1e-6) / (p_ref + 1e-6)) AS psi_term
+    FROM p, mm
+    """,
+)
+def numeric_psi_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over equi-width buckets (quality/
+    drift.py:numeric_psi): src0's document-length distribution is the
+    reference, src1 the current frame; 10 buckets span the REFERENCE
+    min/max (out-of-range current values fold into the edge buckets —
+    mass beyond the trained range IS drift). One bounded groupBy per
+    side; sum(psi_term) is the PSI. The oracle replays Spark's
+    width_bucket arithmetic (floor(n*(v-lo)/(hi-lo))+1, clamped) and the
+    epsilon-smoothed ln terms."""
+    from unified_firmographic_data_pipeline_spark.quality.drift import numeric_psi
+
+    d = _t(spark, sf_dir, "documents")
+    return numeric_psi(
+        d.filter(F.col("source") == "src0"),
+        d.filter(F.col("source") == "src1"),
+        "n_chars",
+        bins=10,
+    )
+
+
+@q(
+    "categorical_psi_eventtypes",
+    """
+    WITH ref AS (
+        SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS v
+        FROM events WHERE event_id % 2 = 0),
+    cur AS (
+        SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS v
+        FROM events WHERE event_id % 2 = 1),
+    top AS (
+        SELECT v FROM (
+            SELECT v, COUNT(*) AS n FROM ref GROUP BY v
+            ORDER BY n DESC, v LIMIT 3)),
+    rb AS (
+        SELECT CASE WHEN v IN (SELECT v FROM top) OR v = '__null__'
+                    THEN v ELSE '__other__' END AS b FROM ref),
+    cb AS (
+        SELECT CASE WHEN v IN (SELECT v FROM top) OR v = '__null__'
+                    THEN v ELSE '__other__' END AS b FROM cur),
+    rp AS (SELECT b, COUNT(*) AS n FROM rb GROUP BY b),
+    cp AS (SELECT b, COUNT(*) AS n FROM cb GROUP BY b),
+    rt AS (SELECT SUM(n) AS t FROM rp),
+    ct AS (SELECT SUM(n) AS t FROM cp),
+    keys AS (SELECT b FROM rp UNION SELECT b FROM cp),
+    p AS (
+        SELECT k.b,
+               COALESCE(CAST(rp.n AS DOUBLE) / CAST(rt.t AS DOUBLE), 0.0) AS p_ref,
+               COALESCE(CAST(cp.n AS DOUBLE) / CAST(ct.t AS DOUBLE), 0.0) AS p_cur
+        FROM keys k
+        LEFT JOIN rp ON rp.b = k.b
+        LEFT JOIN cp ON cp.b = k.b, rt, ct)
+    SELECT b AS value, p_ref, p_cur,
+           ((p_cur + 1e-6) - (p_ref + 1e-6))
+               * ln((p_cur + 1e-6) / (p_ref + 1e-6)) AS psi_term
+    FROM p
+    """,
+)
+def categorical_psi_eventtypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI over a bounded axis (quality/drift.py:
+    categorical_psi): even event_ids play the reference run, odd the
+    current one; the axis is the reference's top-3 event types plus
+    __other__ (new/rare categories land there — which is exactly the
+    drift signal they are) and __null__ stays its own bucket so a
+    completeness shift can't hide. Output is one bounded row per axis
+    value; sum(psi_term) is the PSI."""
+    from unified_firmographic_data_pipeline_spark.quality.drift import (
+        categorical_psi,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return categorical_psi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "event_type",
+        top_k=3,
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
