@@ -107,6 +107,11 @@ HEAVY = [
     "dedup_detector_pr",          # inverted-index Jaccard vs prefix truth
     "session_path_edit_distance", # per-session pair DP (pandas UDF)
     "cohens_kappa_langid",        # two-rater agreement contingency
+    # round-5 batch-45 registrations with real data-side work (the ANN
+    # tiers are already measured via the EXTRA 128-query variants)
+    "lsh_incremental_candidates", # increment buckets vs full index join
+    "token_window_chunks",        # in-scan window explode (~tokens/stride rows)
+    "web_html_visible_text",      # chained regex ladder over every doc
 ]
 
 
@@ -355,17 +360,21 @@ if __name__ == "__main__":
         lines.append(f"| {name} | {a:.2f} | {b:.2f} | {r:.1f}x |")
     lines.append("")
     lines.append(
-        "Notes: `triangle_stats_copurchase` runs its default broadcast-closure"
+        "Notes: `triangle_stats_copurchase` runs the broadcast-closure plan"
     )
     lines.append(
-        "plan (edge set still broadcastable at 10x; the `broadcast_closure="
+        "chosen by the round-5 AUTO-switch (edge count vs the 5M ceiling —"
     )
     lines.append(
-        "False` shuffle fallback is the documented >memory regime) — its"
+        "operators/triangles.py:_use_broadcast_closure; past the ceiling the"
     )
     lines.append(
-        "ratio is the wedge stream growing with edge count, still sublinear."
+        "closure probe becomes the shuffled join measured below, no manual"
     )
+    lines.append(
+        "flag) — its ratio is the wedge stream growing with edge count,"
+    )
+    lines.append("still sublinear.")
     lines.append(
         "The near-dup/LSH family stays banded — candidate pairs scale with"
     )
@@ -507,18 +516,41 @@ if __name__ == "__main__":
         "`pretrain_curate_corpus` is the composed curation ladder"
     )
     lines.append(
-        "(plans/pretrain.py): exact dedup -> LSH near-dup with keep-best"
+        "(plans/pretrain.py): exact dedup -> LSH near-dup (band candidates"
     )
     lines.append(
-        "components -> decontamination vs a constant 64-doc testset ->"
+        "exact-Jaccard-verified since round 5, candidate-linear) with"
     )
     lines.append(
-        "hash split, chained as one plan — each stage is audited alone"
+        "keep-best components -> decontamination vs a constant 64-doc"
     )
     lines.append(
-        "above; this row shows the composition inherits their linearity"
+        "testset -> hash split, chained as one plan — each stage is audited"
     )
-    lines.append("(candidate pairs scale with true duplicates).")
+    lines.append(
+        "alone above; this row shows the composition inherits their"
+    )
+    lines.append("linearity (candidate pairs scale with true duplicates).")
+    lines.append(
+        "`lsh_incremental_candidates` joins only the INCREMENT's band-bucket"
+    )
+    lines.append(
+        "rows (doc_id%10==0) against the full index — cost tracks the"
+    )
+    lines.append(
+        "increment's bucket matches, the nightly-append shape; old x old"
+    )
+    lines.append("pairs never recompute.")
+    lines.append(
+        "`token_window_chunks` is a pure in-scan explode producing"
+    )
+    lines.append(
+        "~tokens/stride rows; `web_html_visible_text` is a chained"
+    )
+    lines.append(
+        "regexp_replace ladder over every document — both data-linear by"
+    )
+    lines.append("construction with no shuffle before the sink.")
     lines.append(
         "The 10x text is generated by per-replica token suffixing (new"
     )
