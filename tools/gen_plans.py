@@ -61,7 +61,10 @@ SHOWCASE = {
         "degree table materialize ONCE (localCheckpoint scans below), "
         "degree lookups broadcast onto edges, and the closing-edge probe "
         "is a BroadcastHashJoin — the ~10^8-row wedge stream is generated, "
-        "probed, and partially counted inside one stage, never shuffled."
+        "probed, and partially counted inside one stage, never shuffled. "
+        "The broadcast is chosen by the round-5 AUTO-switch (edge count "
+        "vs a 5M ceiling); past it the probe becomes a shuffled equi-join "
+        "with no caller flag."
     ),
     "ann_cosine_topk_ivf": (
         "IVF ANN: coarse centroids are literals (list assignment fuses "
@@ -116,6 +119,22 @@ SHOWCASE = {
         "Count-min sketch as relational algebra: 4 width-512 counter "
         "aggregates (map-side combinable by construction) broadcast back "
         "onto the token table; MIN-of-rows estimate; TakeOrdered top-20."
+    ),
+    "ivfsq_index_search": (
+        "Materialized ANN index: the corpus codes live parquet-partitioned "
+        "by coarse list id, and the query batch's probe union appears as "
+        "PartitionFilters on BOTH scans (codes + re-rank vectors) — "
+        "unprobed list directories are never opened, so the scan cost is "
+        "n_probe/n_lists of the corpus as a PLANNING fact, not a runtime "
+        "filter; column pruning splits the one dataset into a codes-only "
+        "scan and a vector-only re-rank read."
+    ),
+    "lsh_incremental_candidates": (
+        "Incremental near-dup: only the INCREMENT's band-bucket rows join "
+        "the full landed index on (band, bucket) — a shuffled equi-join on "
+        "uniform hash keys whose cost tracks the increment's bucket "
+        "matches; old x old pairs were prior runs' output and never "
+        "recompute, and no cross product appears anywhere."
     ),
 }
 
