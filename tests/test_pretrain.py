@@ -259,3 +259,60 @@ def test_near_dedup_verify_threshold_blocks_false_merge(spark):
     cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
     kept = jaccard_verify_candidates(docs, cand, threshold=0.5)
     assert [(r.id_a, r.id_b) for r in kept.collect()] == [(1, 2)]
+
+def test_decontaminate_fuzzy_catches_rewrites(spark):
+    """The fuzzy tier drops light REWRITES of held-out docs (the exact
+    n-gram tier only catches verbatim overlap); thresholds order
+    sensibly and unrelated docs always survive."""
+    from unified_firmographic_data_pipeline_spark.plans.pretrain import (
+        decontaminate_fuzzy,
+    )
+
+    held = ("the benchmark asks which river is longest and the answer "
+            "must name the nile with its full drainage basin")
+    rewrite = held.replace("drainage", "catchment")  # 1-token edit
+    corpus = spark.createDataFrame(
+        [
+            (1, held),                       # verbatim copy
+            (2, rewrite),                    # near-copy
+            (3, "a completely unrelated essay about the typography of "
+                "early modern printed books and their metal typefaces"),
+        ],
+        "doc_id long, text string",
+    )
+    testset = spark.createDataFrame([(100, held)], "doc_id long, text string")
+
+    kept = decontaminate_fuzzy(corpus, testset, threshold=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == [3]
+    # a strict threshold lets the rewrite through but not the verbatim copy
+    kept_strict = decontaminate_fuzzy(corpus, testset, threshold=0.99)
+    assert sorted(r.doc_id for r in kept_strict.collect()) == [2, 3]
+    # empty testset: corpus unchanged
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert decontaminate_fuzzy(corpus, empty).count() == 3
+
+def test_curate_corpus_fuzzy_tier(spark):
+    """curate_corpus(fuzzy_threshold=...) adds the rewrite-catching tier on
+    top of the exact n-gram anti-join."""
+    held = ("the benchmark asks which river is longest and the answer "
+            "must name the nile with its full drainage basin")
+    # the same 1-token rewrite as test_decontaminate_fuzzy_catches_rewrites:
+    # its band collision under the default (16, 4, 3) LSH params is a
+    # pinned deterministic fact (xxhash64 signatures are seed-fixed)
+    rewrite = held.replace("drainage", "catchment")
+    docs = spark.createDataFrame(
+        [(1, "web", rewrite), (2, "web", GOOD)],
+        "doc_id long, source string, text string",
+    )
+    testset = spark.createDataFrame([(9, held)], "doc_id long, text string")
+    # high min_overlap: the exact tier alone lets the 1-token rewrite pass
+    exact_only = curate_corpus(
+        docs, lang=None, min_quality=None, testset=testset,
+        min_overlap=30, eval_fraction=None,
+    )
+    assert sorted(r.doc_id for r in exact_only.collect()) == [1, 2]
+    both = curate_corpus(
+        docs, lang=None, min_quality=None, testset=testset,
+        min_overlap=30, fuzzy_threshold=0.4, eval_fraction=None,
+    )
+    assert sorted(r.doc_id for r in both.collect()) == [2]

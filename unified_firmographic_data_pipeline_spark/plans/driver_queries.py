@@ -13947,6 +13947,12 @@ _MODIFIED_FIRST = [
     "variant_lateral_flatten",  # strict json_valid-equivalent gate (r4 rewrite)
     "json_extract_props",  # strict json_valid-equivalent gate (r4 rewrite)
     "variant_json_extract",  # strict json_valid-equivalent gate (r4 rewrite)
+    # r5: the triangle closure auto-switch changed these queries' code
+    # path (operators/triangles.py) — results are pinned bit-equal, but
+    # the stale-green doctrine applies to them like any modified plan
+    "triangle_stats_copurchase",
+    "truss_edge_support_hist",
+    "local_clustering_topk",
 ]
 
 

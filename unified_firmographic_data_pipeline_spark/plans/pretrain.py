@@ -83,6 +83,66 @@ def decontaminate(
     return corpus.join(hits, id_col, "left_anti")
 
 
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    testset: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination — the fuzzy tier above
+    :func:`decontaminate`: drop corpus documents whose MinHash-banded
+    candidates against the held-out set verify at exact shingle-Jaccard
+    ≥ ``threshold``. The exact-n-gram tier catches verbatim quotes; this
+    one catches light rewrites (eval leakage survives token-level edits —
+    the observation behind fuzzy eval-dedup in public corpus work, e.g.
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better").
+
+    Scale shape: both sides band once (row-local signatures), candidates
+    come from a corpus-vs-testset equi-join on (band, bucket) — NEVER
+    corpus × testset — and the exact-Jaccard verification joins shingle
+    sets onto only the candidate pairs (candidate-linear, the
+    ``jaccard_verify_candidates`` shape across two frames). The testset is
+    small by contract but nothing here requires it: every stage is a
+    banded or candidate-bounded join."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        minhash_band_buckets,
+    )
+
+    cb = minhash_band_buckets(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
+    tb = minhash_band_buckets(
+        testset, id_col, text_col, num_hashes, bands, shingle_n
+    ).select(F.col(id_col).alias("test_id"), "band", "bucket")
+    pairs = cb.join(tb, ["band", "bucket"]).select("corpus_id", "test_id").distinct()
+    cs = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("__sa"),
+    )
+    ts = testset.select(
+        F.col(id_col).alias("test_id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("__sb"),
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (
+        F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
+    ).cast("double")
+    hits = (
+        pairs.join(cs, "corpus_id")
+        .join(ts, "test_id")
+        .filter(union > 0)
+        .filter((inter / union) >= threshold)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def near_dedup_keep_best(
     docs: DataFrame,
     quality_col: str,
@@ -172,6 +232,7 @@ def curate_corpus(
     testset: DataFrame | None = None,
     contamination_ngram: int = 3,
     min_overlap: int = 1,
+    fuzzy_threshold: float | None = None,
     eval_fraction: float | None = 0.05,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -180,7 +241,12 @@ def curate_corpus(
     surviving documents with ``lang``, ``quality`` and (if
     ``eval_fraction``) ``split`` columns added. Stage order is the scale
     order: expression-only filters prune before any shuffle; dedup before
-    the split so near-identical docs cannot straddle train/eval."""
+    the split so near-identical docs cannot straddle train/eval.
+
+    Decontamination runs in up to two tiers when ``testset`` is given:
+    the exact n-gram anti-join always, plus the MinHash-banded fuzzy tier
+    (:func:`decontaminate_fuzzy`) when ``fuzzy_threshold`` is set — exact
+    catches verbatim quotes, fuzzy catches light rewrites."""
     out = _narrow_curate(docs, lang, min_quality, redact, text_col)
     if exact_dedup:
         out = dedup_exact(out, text_col, id_col)
@@ -190,6 +256,11 @@ def curate_corpus(
         out = decontaminate(
             out, testset, contamination_ngram, min_overlap, id_col, text_col
         )
+        if fuzzy_threshold is not None:
+            out = decontaminate_fuzzy(
+                out, testset, fuzzy_threshold,
+                id_col=id_col, text_col=text_col,
+            )
     if eval_fraction:
         out = split_train_eval(out, F.col(id_col), eval_fraction)
     return out
