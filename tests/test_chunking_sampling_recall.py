@@ -348,84 +348,3 @@ def test_sentence_chunks_packing_and_edges(spark):
     with pytest.raises(ValueError):
         sentence_chunks(docs, capacity=0)
 
-
-def _mmr_reference(q, cands, k, lam):
-    """Pure-Python MMR (Carbonell & Goldstein) for pinning the operator."""
-    import math
-
-    def cos(a, b):
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        if na == 0 or nb == 0:
-            return float("-inf")
-        return sum(x * y for x, y in zip(a, b)) / (na * nb)
-
-    ids = sorted(cands)
-    picked, out = [], []
-    for rank in range(1, min(k, len(ids)) + 1):
-        best, best_score = None, None
-        for i in ids:
-            if i in picked:
-                continue
-            rel = cos(q, cands[i])
-            div = max((cos(cands[i], cands[s]) for s in picked), default=None)
-            score = lam * rel if div is None else lam * rel - (1 - lam) * div
-            if best_score is None or score > best_score:  # id-asc tiebreak
-                best, best_score = i, score
-        picked.append(best)
-        out.append((best, round(best_score, 6), rank))
-    return out
-
-
-def test_mmr_rerank_matches_reference_and_diversifies(spark):
-    """mmr_rerank == the pure-Python reference; a redundant near-copy of
-    the top hit is deferred below a diverse candidate; λ=1 reduces to
-    plain relevance order."""
-    from pyspark.sql import functions as F
-
-    from unified_firmographic_data_pipeline_spark.operators.similarity import (
-        cosine_topk,
-        mmr_rerank,
-    )
-
-    vecs = {
-        0: [1.0, 0.0, 0.0],      # the query
-        1: [0.98, 0.20, 0.0],    # best hit
-        2: [0.97, 0.22, 0.0],    # near-copy of 1 (redundant)
-        3: [0.70, 0.0, 0.71],    # diverse, lower relevance
-        4: [0.60, 0.5, 0.1],     # filler (cosine ~0.76 to the query)
-    }
-    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    q = df.filter(F.col("vec_id") == 0)
-    corpus = df.filter(F.col("vec_id") > 0)
-    cand = cosine_topk(corpus, q, k=4).select("query_id", "neighbor_id")
-
-    got = [
-        (r.neighbor_id, r.mmr_score, r.rank)
-        for r in mmr_rerank(cand, corpus, q, k=3, lambda_=0.5)
-        .orderBy("rank")
-        .collect()
-    ]
-    # float32 storage: the reference must see the same float-rounded vectors
-    stored = {r.vec_id: list(r.embedding) for r in corpus.collect()}
-    ref = _mmr_reference([1.0, 0.0, 0.0], stored, 3, 0.5)
-    assert [(g[0], g[2]) for g in got] == [(r[0], r[2]) for r in ref]
-    for g, r in zip(got, ref):
-        assert abs(g[1] - r[1]) < 1e-6, (g, r)
-    # the redundant near-copy (2) must NOT follow 1 immediately — the
-    # diverse candidate (3) outranks it under the diversity penalty
-    order = [g[0] for g in got]
-    assert order[0] == 1 and order[1] == 3
-    # λ=1: pure relevance order == cosine_topk order
-    rel_only = [
-        r.neighbor_id
-        for r in mmr_rerank(cand, corpus, q, k=4, lambda_=1.0)
-        .orderBy("rank")
-        .collect()
-    ]
-    topk = [
-        r.neighbor_id
-        for r in cosine_topk(corpus, q, k=4).orderBy("rank").collect()
-    ]
-    assert rel_only == topk

@@ -316,3 +316,36 @@ def test_curate_corpus_fuzzy_tier(spark):
         min_overlap=30, fuzzy_threshold=0.4, eval_fraction=None,
     )
     assert sorted(r.doc_id for r in both.collect()) == [2]
+
+def test_embedding_dedup_keep_best(spark):
+    """Semantic (embedding-cosine) near-dup keep-best: paraphrase vectors
+    above the threshold collapse to the best-quality member; orthogonal
+    and NULL-embedding docs pass through untouched."""
+    from unified_firmographic_data_pipeline_spark.plans.pretrain import (
+        embedding_dedup_keep_best,
+    )
+
+    rows = [
+        # two near-identical directions (cosine ~0.9999), quality picks 11
+        (10, [1.0, 0.02, 0.0, 0.0], 0.6),
+        (11, [1.0, 0.01, 0.0, 0.0], 0.9),
+        # an orthogonal doc
+        (20, [0.0, 0.0, 1.0, 0.0], 0.5),
+        # a NULL embedding: untouched by construction
+        (30, None, 0.4),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>, quality double"
+    )
+    out = embedding_dedup_keep_best(
+        docs, "quality", threshold=0.99, num_planes=4, dim=4
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [11, 20, 30]
+    # mirrored retention semantics: ties on quality keep the LOWEST id,
+    # same as the token-level tier
+    tie = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0.5), (2, [1.0, 0.0], 0.5)],
+        "doc_id long, embedding array<float>, quality double",
+    )
+    kept = embedding_dedup_keep_best(tie, "quality", threshold=0.99, num_planes=2, dim=2)
+    assert [r.doc_id for r in kept.collect()] == [1]

@@ -514,105 +514,3 @@ def recall_at_k(
         (F.count("__hit") / F.count(F.lit(1))).alias("recall"),
     )
 
-
-def mmr_rerank(
-    cand: DataFrame,
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    lambda_: float = 0.7,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Maximal Marginal Relevance diversity re-rank (Carbonell & Goldstein,
-    SIGIR'98) of per-query shortlists: greedily pick the candidate
-    maximizing ``λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`` — the
-    standard redundancy-removal pass behind retrieval-augmented data
-    selection (a top-k full of near-duplicates wastes the context budget
-    that diversity would spend on coverage).
-
-    ``cand`` is the shared tier contract ``(query_id, neighbor_id[, ...])``
-    from any ANN tier, so this composes behind cosine_topk / the IVF
-    ladder / the materialized index exactly like ``exact_cosine_rerank``.
-
-    Scale shape: candidates join their raw vectors (two equi-joins,
-    candidate-bounded — queries × shortlist rows, never the corpus), then
-    ``applyInPandas`` groups BY QUERY: each group holds one shortlist, so
-    the greedy O(k·|shortlist|) selection is Arrow-batched Python over
-    bounded rows, corpus-independent — the sanctioned Python tier (the
-    expression tiers stay the oracle references; MMR's data-dependent
-    greedy recursion is not expressible as a fixed-depth Column tree).
-
-    Deterministic: ties break on neighbor_id ascending; ``λ=1`` reduces to
-    plain cosine order (pinned in tests against a pure-Python reference).
-    Returns ``(query_id, neighbor_id, mmr_score, rank)``; ``mmr_score`` is
-    each pick's objective value at selection time, rounded to 6 digits
-    (the first pick's score is ``λ·sim(q,d)`` — the relevance term alone,
-    since the selected set is empty).
-    """
-    if not 0.0 <= lambda_ <= 1.0:
-        raise ValueError("lambda_ must be in [0, 1]")
-    import pandas as pd  # noqa: F401  (applyInPandas contract)
-
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    joined = (
-        cand.select("query_id", "neighbor_id")
-        .join(cvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-    )
-    lam = float(lambda_)
-
-    def _mmr(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
-        C = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
-        q = np.asarray(pdf["__qv"].iloc[0], dtype=np.float64)
-        cn = np.linalg.norm(C, axis=1)
-        qn = np.linalg.norm(q)
-        # zero-norm vectors get -inf relevance (the NULL-cosine contract:
-        # they can never outrank a real candidate)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            rel = np.where((cn > 0) & (qn > 0), C @ q / (cn * qn), -np.inf)
-            S = np.where(
-                (cn[:, None] > 0) & (cn[None, :] > 0),
-                (C @ C.T) / (cn[:, None] * cn[None, :]),
-                -np.inf,
-            )
-        n = len(pdf)
-        picked: list[int] = []
-        out = []
-        avail = np.ones(n, dtype=bool)
-        for rank in range(1, min(k, n) + 1):
-            if picked:
-                div = S[:, picked].max(axis=1)
-                score = lam * rel - (1.0 - lam) * div
-            else:
-                score = lam * rel
-            score = np.where(avail, score, -np.inf)
-            best = int(score.argmax())  # argmax ties -> lowest index ==
-            # lowest neighbor_id (pdf is id-sorted)
-            picked.append(best)
-            avail[best] = False
-            out.append(
-                (
-                    pdf["query_id"].iloc[0],
-                    pdf["neighbor_id"].iloc[best],
-                    round(float(score[best]), 6),
-                    rank,
-                )
-            )
-        return pd.DataFrame(
-            out, columns=["query_id", "neighbor_id", "mmr_score", "rank"]
-        )
-
-    return joined.groupBy("query_id").applyInPandas(
-        _mmr,
-        schema="query_id long, neighbor_id long, mmr_score double, rank int",
-    )

@@ -174,6 +174,22 @@ def near_dedup_keep_best(
             docs, pairs, verify_threshold,
             id_col=id_col, text_col=text_col, shingle_n=shingle_n,
         )
+    return _keep_best_from_pairs(docs, pairs, quality_col, id_col)
+
+
+def _keep_best_from_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The shared keep-best retention stage: connected components over
+    only the docs appearing in a ``(id_a, id_b)`` pair (everything else
+    bypasses the iteration), then the per-cluster representative by
+    (quality desc, id asc). Pair SOURCE is the caller's choice — text
+    MinHash-LSH (:func:`near_dedup_keep_best`) or embedding cosine LSH
+    (:func:`embedding_dedup_keep_best`) — the retention semantics must
+    never diverge between modalities."""
     touched = (
         pairs.select(F.col("id_a").alias("node"))
         .unionByName(pairs.select(F.col("id_b").alias("node")))
@@ -196,6 +212,42 @@ def near_dedup_keep_best(
     )
     survivors = docs.join(reps, id_col, "left_semi")
     return untouched.unionByName(survivors)
+
+
+def embedding_dedup_keep_best(
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SEMANTIC near-dup removal (the SemDeDup-style embedding tier next
+    to the token-level :func:`near_dedup_keep_best`): docs whose
+    embeddings sit above ``threshold`` cosine pair up via seeded
+    hyperplane-LSH buckets (``similarity.embedding_dup_pairs_lsh`` — an
+    equi-join on the bucket key, never doc × doc; high-threshold pairs
+    almost always share every hyperplane sign), then the shared keep-best
+    retention keeps the highest-``quality_col`` member per connected
+    cluster. ``docs`` must carry the embedding column (join your
+    embedding table on ``id_col`` first); rows with NULL embeddings are
+    untouched by construction (NULL cosine never crosses the threshold).
+
+    Catches paraphrases token-level MinHash misses — the two tiers
+    compose: exact dedup → token near-dup → semantic near-dup, each
+    pruning before the next shuffles."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+
+    pairs = embedding_dup_pairs_lsh(
+        docs.filter(F.col(vec_col).isNotNull()),
+        threshold=threshold, id_col=id_col, vec_col=vec_col,
+        num_planes=num_planes, dim=dim, seed=seed,
+    ).select("id_a", "id_b")
+    return _keep_best_from_pairs(docs, pairs, quality_col, id_col)
 
 
 def _narrow_curate(
