@@ -119,3 +119,65 @@ def test_refactored_batch_candidates_unchanged(spark):
     pairs = minhash_lsh_candidates(old).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_embedding_incremental_matches_full_batch(spark, tmp_path):
+    """Vector-space incremental near-dup: landed buckets ∪ increment
+    buckets joined increment-first reproduces exactly the full-batch
+    pair set restricted to pairs touching a new vector — and the union
+    with previous runs' output equals the full batch (the text-side
+    old∪incr == full-batch contract, in embedding space)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        embedding_buckets,
+        embedding_dup_candidates_from_buckets,
+        embedding_dup_pairs_lsh,
+    )
+
+    rnd = random.Random(3)
+    base = [rnd.gauss(0, 1) for _ in range(8)]
+
+    def jitter(eps):
+        return [x + rnd.gauss(0, eps) for x in base]
+
+    rows = (
+        [(i, jitter(0.01)) for i in range(6)]          # a dup cluster
+        + [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(6, 12)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    old = df.filter(F.col("vec_id") % 3 != 0)
+    new = df.filter(F.col("vec_id") % 3 == 0)
+    kw = dict(num_planes=4, dim=8, seed=42)
+
+    # the landed index round-trips parquet like any real deployment
+    path = str(tmp_path / "emb_buckets")
+    embedding_buckets(old, **kw).write.parquet(path)
+    old_b = spark.read.parquet(path)
+    new_b = embedding_buckets(new, **kw)
+
+    incr = embedding_dup_candidates_from_buckets(
+        new_b, old_b.unionByName(new_b), df, threshold=0.9
+    )
+    full = embedding_dup_pairs_lsh(df, threshold=0.9, **kw)
+    new_ids = {r.vec_id for r in new.collect()}
+    want = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    got = {(r.id_a, r.id_b, r.cosine_sim) for r in incr.collect()}
+    assert got == want and len(got) > 0
+    # previous runs' (old x old) output ∪ increment == full batch
+    old_only = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in embedding_dup_pairs_lsh(old, threshold=0.9, **kw).collect()
+    }
+    assert old_only | got == {
+        (r.id_a, r.id_b, r.cosine_sim) for r in full.collect()
+    }

@@ -262,6 +262,79 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def embedding_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """The PERSISTABLE hyperplane-LSH index of an embedding corpus:
+    ``(id, bucket)`` rows — the vector-space analogue of the text side's
+    ``neardup.minhash_band_buckets``. A production pipeline lands this
+    once and APPENDS each increment's rows; the LSH parameters
+    (num_planes, dim, seed) are part of the index identity, exactly like
+    the MinHash band parameters. One narrow projection, no shuffle."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    return df.select(
+        F.col(id_col), hyperplane_bucket(vec_col, planes).alias("bucket")
+    )
+
+
+def embedding_dup_candidates_from_buckets(
+    new_buckets: DataFrame,
+    all_buckets: DataFrame,
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding near-dup: equi-join the INCREMENT's bucket
+    rows against the full landed index (existing ∪ new, same LSH
+    parameters), then score only the candidate pairs with exact cosine —
+    old × old pairs were previous runs' output and never recompute, so
+    cost tracks the increment's bucket matches (the ``neardup.
+    lsh_candidates_from_buckets`` contract in vector space). ``vectors``
+    supplies the raw embeddings for the candidate-bounded exact scoring
+    (two equi-joins — never a corpus scan per pair). Returns
+    ``(id_a, id_b, cosine_sim)`` with id_a < id_b, distinct."""
+    a = new_buckets.alias("a")
+    b = all_buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
+    )
+    sim = F.round(_cosine_from_norms("__va", "__vb", "__na", "__nb"), 6)
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
