@@ -281,6 +281,7 @@ HEADLINE = [
     "stratified_sample_survivors",
     "token_budget_survivors",
     "lsh_incremental_candidates",
+    "fuzzy_decontam_survivors",
     "bq_hamming_topk",
     "rp_projection_topk",
     "ann_recall_at_k_ivf",

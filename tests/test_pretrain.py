@@ -349,3 +349,29 @@ def test_embedding_dedup_keep_best(spark):
     )
     kept = embedding_dedup_keep_best(tie, "quality", threshold=0.99, num_planes=2, dim=2)
     assert [r.doc_id for r in kept.collect()] == [1]
+
+def test_decontaminate_fuzzy_md5_twin_agrees(spark):
+    """The md5 signature tier (the oracle-checkable twin) drops the same
+    rewrite/verbatim docs as the xxhash64 default on this corpus — and the
+    banding switch changes only the candidate generator, never the exact
+    verification."""
+    from unified_firmographic_data_pipeline_spark.plans.pretrain import (
+        decontaminate_fuzzy,
+    )
+
+    held = ("the benchmark asks which river is longest and the answer "
+            "must name the nile with its full drainage basin")
+    corpus = spark.createDataFrame(
+        [(1, held), (2, held.replace("drainage", "catchment")),
+         (3, "unrelated prose about bronze age shipping routes and the "
+             "amphora trade across the ancient mediterranean sea lanes")],
+        "doc_id long, text string",
+    )
+    testset = spark.createDataFrame([(9, held)], "doc_id long, text string")
+    kept_md5 = sorted(
+        r.doc_id
+        for r in decontaminate_fuzzy(
+            corpus, testset, threshold=0.5, use_md5=True
+        ).collect()
+    )
+    assert kept_md5 == [3]

@@ -13459,6 +13459,69 @@ def lsh_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "fuzzy_decontam_survivors",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        FROM documents),
+    sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+        UNION ALL
+        SELECT doc_id, norm AS s FROM toks WHERE len(t) < 3),
+    sig AS (
+        SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || ':' || s)) AS m
+        FROM sh, UNNEST(generate_series(0, 15)) AS v(h)
+        GROUP BY doc_id, h),
+    band AS (
+        SELECT doc_id, h // 4 AS band, string_agg(m, ',' ORDER BY h) AS bucket
+        FROM sig GROUP BY doc_id, h // 4),
+    cand AS (
+        SELECT DISTINCT c.doc_id AS corpus_id, t2.doc_id AS test_id
+        FROM band c JOIN band t2
+          ON c.band = t2.band AND c.bucket = t2.bucket
+        WHERE t2.doc_id % 50 = 0),
+    sets AS (
+        SELECT doc_id, list_distinct(list(s)) AS sh FROM sh GROUP BY doc_id),
+    hits AS (
+        SELECT DISTINCT corpus_id
+        FROM cand
+        JOIN sets sa ON sa.doc_id = cand.corpus_id
+        JOIN sets sb ON sb.doc_id = cand.test_id
+        WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+          AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              >= 0.8
+        )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT corpus_id FROM hits)
+    """,
+)
+def fuzzy_decontam_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (plans/pretrain.py:
+    decontaminate_fuzzy, md5 twin): every 50th document plays the held-out
+    eval set; corpus docs whose MinHash-banded candidates against it
+    verify at exact trigram-Jaccard ≥ 0.8 drop (at minimum the testset
+    members themselves — self-Jaccard 1.0 — plus any true near-copies).
+    Banding keeps the pairing corpus-vs-testset bucket joins, never a
+    cross product; the verification is candidate-linear. The oracle
+    replays signatures, banding, candidate join and the exact-Jaccard
+    gate bit-for-bit."""
+    from unified_firmographic_data_pipeline_spark.plans.pretrain import (
+        decontaminate_fuzzy,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    testset = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate_fuzzy(
+        d, testset, threshold=0.8, use_md5=True
+    ).select("doc_id", "source")
+
+
+@q(
     "bq_hamming_topk",
     """
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -92,6 +92,7 @@ def decontaminate_fuzzy(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_md5: bool = False,
 ) -> DataFrame:
     """NEAR-duplicate benchmark decontamination — the fuzzy tier above
     :func:`decontaminate`: drop corpus documents whose MinHash-banded
@@ -108,15 +109,22 @@ def decontaminate_fuzzy(
     sets onto only the candidate pairs (candidate-linear, the
     ``jaccard_verify_candidates`` shape across two frames). The testset is
     small by contract but nothing here requires it: every stage is a
-    banded or candidate-bounded join."""
+    banded or candidate-bounded join.
+
+    ``use_md5`` switches the signatures to the md5 permutations
+    (``minhash_band_buckets_md5``) — identical in any engine with md5, so
+    the whole drop set is SQL-oracle-checkable; the xxhash64 default
+    stays the faster in-engine tier (same plan shape either way)."""
     from unified_firmographic_data_pipeline_spark.operators.neardup import (
         minhash_band_buckets,
+        minhash_band_buckets_md5,
     )
 
-    cb = minhash_band_buckets(
+    banding = minhash_band_buckets_md5 if use_md5 else minhash_band_buckets
+    cb = banding(
         corpus, id_col, text_col, num_hashes, bands, shingle_n
     ).select(F.col(id_col).alias("corpus_id"), "band", "bucket")
-    tb = minhash_band_buckets(
+    tb = banding(
         testset, id_col, text_col, num_hashes, bands, shingle_n
     ).select(F.col(id_col).alias("test_id"), "band", "bucket")
     pairs = cb.join(tb, ["band", "bucket"]).select("corpus_id", "test_id").distinct()
