@@ -282,6 +282,7 @@ HEADLINE = [
     "token_budget_survivors",
     "lsh_incremental_candidates",
     "fuzzy_decontam_survivors",
+    "embedding_keepbest_survivors",
     "bq_hamming_topk",
     "rp_projection_topk",
     "ann_recall_at_k_ivf",

@@ -13459,6 +13459,68 @@ def lsh_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "embedding_keepbest_survivors",
+    f"""
+    WITH RECURSIVE
+    planes(pid, p) AS (VALUES
+       {_lsh_planes_sql()}),
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bk AS (
+        SELECT vec_id,
+               SUM(CASE WHEN list_dot_product(e, p) > 0
+                        THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS bucket
+        FROM v, planes GROUP BY vec_id),
+    bv AS (SELECT v.vec_id, v.e, bk.bucket FROM v JOIN bk USING (vec_id)),
+    p0 AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3),
+    ed AS (SELECT id_a AS src, id_b AS dst FROM p0
+           UNION SELECT id_b AS src, id_a AS dst FROM p0),
+    tn AS (SELECT DISTINCT src AS node FROM ed),
+    reach AS (
+        SELECT node, node AS lbl FROM tn
+        UNION
+        SELECT p.dst AS node, r.lbl FROM reach r JOIN ed p ON p.src = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    reps AS (
+        SELECT node FROM (
+            SELECT c2.node,
+                   row_number() OVER (PARTITION BY c2.component
+                                      ORDER BY v2.label DESC, c2.node) AS rn
+            FROM comp c2 JOIN v v2 ON v2.vec_id = c2.node) WHERE rn = 1)
+    SELECT vec_id, label FROM v
+    WHERE vec_id NOT IN (SELECT node FROM tn)
+       OR vec_id IN (SELECT node FROM reps)
+    """,
+)
+def embedding_keepbest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup keep-best end to end (plans/pretrain.py:
+    embedding_dedup_keep_best): vectors pairing above the cosine
+    threshold via the seeded hyperplane-LSH buckets collapse through
+    connected components, and each cluster keeps its highest-``label``
+    member (id tiebreak); everything untouched passes through. The 0.3
+    threshold is the synthetic-data knob: the driver embeddings are
+    near-orthogonal random vectors (same-bucket max cosine ~0.45 at
+    sf0.01), so a production-style 0.9 would leave the retention path
+    unexercised — at 0.3 real multi-member clusters form and the
+    keep-best decision itself gets external verification. The oracle
+    replays planes (embedded constants), bucket join, the cosine gate,
+    min-label components (recursive CTE) and the keep-best window — so
+    the full retention decision is bit-verified, not just pair counts."""
+    from unified_firmographic_data_pipeline_spark.plans.pretrain import (
+        embedding_dedup_keep_best,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_dedup_keep_best(
+        e, "label", id_col="vec_id", threshold=0.3, num_planes=8, dim=64, seed=42
+    )
+    return out.select("vec_id", "label")
+
+
+@q(
     "fuzzy_decontam_survivors",
     r"""
     WITH toks AS (
