@@ -91,25 +91,50 @@ def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
 BROADCAST_MAX_EDGES = 5_000_000
 
 
+#: (edges DataFrame, src, dst) -> undirected-edge count, weakly keyed on
+#: the input frame so a caller composing triangle_stats AND
+#: enumerate_triangles over the same edge set pays the auto-switch
+#: count() once, not twice (round-5 advisor finding). Weak keys mean the
+#: memo never pins a DataFrame (and its checkpoint blocks) alive.
+_EDGE_COUNT_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict]" = None  # type: ignore[assignment]
+
+
+def _memoized_edge_count(und: DataFrame, memo_key) -> int:
+    global _EDGE_COUNT_MEMO
+    if _EDGE_COUNT_MEMO is None:
+        import weakref
+
+        _EDGE_COUNT_MEMO = weakref.WeakKeyDictionary()
+    if memo_key is None:
+        return und.count()
+    frame, src, dst = memo_key
+    per_frame = _EDGE_COUNT_MEMO.setdefault(frame, {})
+    if (src, dst) not in per_frame:
+        per_frame[(src, dst)] = und.count()
+    return per_frame[(src, dst)]
+
+
 def _use_broadcast_closure(
     und: DataFrame,
     materialize: bool,
     broadcast_closure: bool | None,
     broadcast_max_edges: int,
+    memo_key=None,
 ) -> bool:
     """The closure-probe auto-switch (round-4 judge finding #2: the
     broadcast default was a manual cliff that silently OOMs past memory).
     Explicit True/False wins; in auto mode the decision is one ``count()``
     against the ceiling — cheap because ``und`` is already
-    localCheckpoint-ed when ``materialize`` is on. The lazy
-    ``materialize=False`` tier (unit-test / tiny-graph mode by contract)
-    broadcasts without counting: forcing a job there would defeat the
-    fully-lazy promise."""
+    localCheckpoint-ed when ``materialize`` is on, and memoized per input
+    frame (``memo_key``) so composing both public functions over the same
+    edge set counts once. The lazy ``materialize=False`` tier (unit-test /
+    tiny-graph mode by contract) broadcasts without counting: forcing a
+    job there would defeat the fully-lazy promise."""
     if broadcast_closure is not None:
         return broadcast_closure
     if not materialize:
         return True
-    return und.count() <= broadcast_max_edges
+    return _memoized_edge_count(und, memo_key) <= broadcast_max_edges
 
 
 def triangle_stats(
@@ -127,7 +152,16 @@ def triangle_stats(
     ``n_wedges`` counts unordered wedges (paths of length 2) in the
     UNDIRECTED graph: sum over nodes of C(deg, 2) — an integer expression
     off the degree table, no join. ``materialize=False`` keeps the plan
-    fully lazy (unit-test / tiny-graph mode)."""
+    fully lazy (unit-test / tiny-graph mode).
+
+    NOTE (plan-time job): with ``materialize=True`` and
+    ``broadcast_closure=None`` (auto), building the returned DataFrame
+    launches two eager Spark jobs BEFORE any action — the
+    ``localCheckpoint`` of the edge derivation and one ``count()`` against
+    ``broadcast_max_edges`` for the closure-probe auto-switch. The count
+    is memoized per input ``edges`` frame, so also calling
+    ``enumerate_triangles`` on the same frame does not pay it again; pass
+    an explicit ``broadcast_closure`` to skip the count entirely."""
     und = _canonical_undirected(edges, src, dst)
     if materialize:
         # one computation of the (join + distinct) edge derivation for the
@@ -159,7 +193,8 @@ def triangle_stats(
     # chosen automatically while the edge count fits the ceiling.
     canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     use_bc = _use_broadcast_closure(
-        und, materialize, broadcast_closure, broadcast_max_edges
+        und, materialize, broadcast_closure, broadcast_max_edges,
+        memo_key=(edges, src, dst),
     )
     probe = F.broadcast(canon) if use_bc else canon
     tri = wedges.join(probe, ["x", "y"]).agg(F.count("*").alias("n_triangles"))
@@ -191,7 +226,12 @@ def enumerate_triangles(
     generated exactly once, from its lowest-(degree, id) vertex, so no
     post-hoc dedup is needed); the output is re-canonicalized to id order
     with a branch-free array_sort over the 3-tuple so downstream grouping
-    keys match the id-ordered oracle formulation."""
+    keys match the id-ordered oracle formulation.
+
+    NOTE (plan-time job): same as ``triangle_stats`` — auto mode with
+    ``materialize=True`` runs a checkpoint plus one memoized ``count()``
+    at DataFrame-construction time; an explicit ``broadcast_closure``
+    skips the count."""
     und = _canonical_undirected(edges, src, dst)
     if materialize:
         und = und.localCheckpoint(eager=True)
@@ -206,7 +246,8 @@ def enumerate_triangles(
     wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
     canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     use_bc = _use_broadcast_closure(
-        und, materialize, broadcast_closure, broadcast_max_edges
+        und, materialize, broadcast_closure, broadcast_max_edges,
+        memo_key=(edges, src, dst),
     )
     tri = wedges.join(F.broadcast(canon) if use_bc else canon, ["x", "y"])
     srt = F.array_sort(F.array("pivot", "x", "y"))
