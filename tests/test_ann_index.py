@@ -151,3 +151,28 @@ def test_append_then_search_finds_new_vectors(spark, emb, tmp_path):
     got = search_ivf_sq_index(spark, path, q, k=10, n_probe=4, shortlist=100)
     neigh = {r["neighbor_id"] for r in got.collect()}
     assert any(n % 2 == 1 for n in neigh), "appended vectors must be retrievable"
+
+
+def test_stale_index_cache_siblings_pruned(tmp_path):
+    """Round-5 advisor finding: mtime-keyed cache dirs accumulated forever.
+    Building under a new key must remove same-(sf_dir, params) siblings
+    with a different stamp — and ONLY those."""
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import (
+        _prune_stale_index_siblings,
+    )
+
+    cache = tmp_path / ".ann_index_cache"
+    cache.mkdir()
+    live = cache / "sf0.1_222_n8d64v1"
+    stale = cache / "sf0.1_111_n8d64v1"
+    other_sf = cache / "sf0.01_111_n8d64v1"
+    other_params = cache / "sf0.1_111_n16d64v1"
+    for d in (live, stale, other_sf, other_params):
+        d.mkdir()
+        (d / "_meta.json").write_text("{}")
+
+    _prune_stale_index_siblings(str(live))
+    assert live.exists(), "the live key must survive"
+    assert not stale.exists(), "stale same-sf sibling must be pruned"
+    assert other_sf.exists(), "a different scale factor's cache is untouched"
+    assert other_params.exists(), "a different param key is untouched"

@@ -334,3 +334,40 @@ def test_mmr_rerank_diversifies_and_matches_reference(spark):
     score_2 = round(0.5 * 0.88 - 0.5 * sim_12, 6)
     score_3 = round(0.5 * 0.5 - 0.5 * 0.0, 6)
     assert score_3 > score_2  # the dup is penalized below the orthogonal doc
+
+
+def test_mmr_fold_exact_matches_blas_path(spark):
+    """fold_exact=True (the oracle-replayable arithmetic: sequential-fold
+    cosines + half-away rounding) must produce the SAME PICKS as the
+    production BLAS path — only the last-ulp arithmetic differs, and the
+    6-decimal rounding absorbs it except at boundaries the test data
+    doesn't sit on. Pin ranks/doc order identical."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rnd = random.Random(11)
+    rows = []
+    for qid in range(3):
+        for did in range(10, 22):
+            rows.append(
+                (qid, did, [rnd.gauss(0, 1) for _ in range(16)], rnd.random())
+            )
+    df = spark.createDataFrame(
+        [(q, d, [float(x) for x in v], float(r)) for q, d, v, r in rows],
+        "query_id long, doc_id long, embedding array<float>, relevance double",
+    )
+    # pre-round relevance like the registered query does (cosine_topk
+    # rounds to 6) — this is exactly the regime where np.round half-even
+    # and half-away disagree on the SCORE, but never on the pick order
+    df = df.withColumn("relevance", F.round("relevance", 6))
+    fast = mmr_rerank(df, k=4, lambda_mult=0.7)
+    fold = mmr_rerank(df, k=4, lambda_mult=0.7, fold_exact=True)
+    key = ["query_id", "rank"]
+    fast_rows = [(r.query_id, r.rank, r.doc_id) for r in fast.orderBy(*key).collect()]
+    fold_rows = [(r.query_id, r.rank, r.doc_id) for r in fold.orderBy(*key).collect()]
+    assert fast_rows == fold_rows and len(fast_rows) == 12

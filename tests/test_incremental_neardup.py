@@ -181,3 +181,45 @@ def test_embedding_incremental_matches_full_batch(spark, tmp_path):
     assert old_only | got == {
         (r.id_a, r.id_b, r.cosine_sim) for r in full.collect()
     }
+
+
+def test_embedding_candidates_strict_flags_index_vector_drift(spark):
+    """Round-5 advisor finding: the scoring joins are inner, so an id in
+    the bucket index with no row in `vectors` silently dropped its pairs.
+    strict=True must raise naming the missing ids; strict=False keeps the
+    documented silent-inner-join contract; a drift-free strict call is a
+    no-op."""
+    import random
+
+    import pytest
+
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        embedding_buckets,
+        embedding_dup_candidates_from_buckets,
+    )
+
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(8)]
+    rows = [(i, [float(x + rnd.gauss(0, 0.01)) for x in base]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(num_planes=4, dim=8, seed=42)
+    buckets = embedding_buckets(df, **kw)
+
+    # drift: id 3 is indexed but absent from the vector store
+    vectors = df.filter(F.col("vec_id") != 3)
+    with pytest.raises(ValueError, match=r"drift.*\[3\]"):
+        embedding_dup_candidates_from_buckets(
+            buckets, buckets, vectors, threshold=0.5, strict=True
+        )
+    # non-strict: documented silent inner-join behavior (pairs with 3 drop)
+    lax = embedding_dup_candidates_from_buckets(
+        buckets, buckets, vectors, threshold=0.5
+    )
+    assert {(r.id_a, r.id_b) for r in lax.collect()} == {(0, 1), (0, 2), (1, 2)}
+    # no drift -> strict passes and matches non-strict
+    ok = embedding_dup_candidates_from_buckets(
+        buckets, buckets, df, threshold=0.5, strict=True
+    )
+    assert {(r.id_a, r.id_b) for r in ok.collect()} == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    }

@@ -134,6 +134,12 @@ BNLJ_ALLOWED = {
     # the exact ground-truth side is ann_cosine_topk's bounded broadcast;
     # the IVF side and the eval join are equi-joins
     "ann_recall_at_k_ivf",
+    # the ann_cosine_topk shape: 8 bounded anchors broadcast against the
+    # corpus scan under qid != nid; positives/negatives rank in one window
+    "contrastive_triplets_mined",
+    # retrieval stage is the ann_cosine_topk shape (4 bounded queries);
+    # the MMR loop itself is applyInPandas over the query_id grouping
+    "mmr_rerank_topk",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -1,0 +1,142 @@
+"""Round-6 operators: contrastive triplet mining (hard negatives) and
+curriculum interleave ordering. Both are oracle-parity-checked in the
+registry; these tests pin semantics on adversarial micro-inputs the
+parity hash can't isolate (dropped anchors, rank resets, round-robin
+structure, margin arithmetic)."""
+
+from pyspark.sql import functions as F
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_contrastive_triplets_hardest_pos_and_negs(spark):
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    # 2-d vectors with known cosines to the anchor (1, 0):
+    #   id 1 label A (0.8, 0.6)   cos = 0.8  <- hardest positive
+    #   id 2 label A (0.6, 0.8)   cos = 0.6  (weaker positive, ignored)
+    #   id 3 label B (0.9, 0.435890) cos ~ 0.9  <- hardest negative
+    #   id 4 label B (0.0, 1.0)   cos = 0.0  (rank-2 negative)
+    #   id 5 label C (-1.0, 0.0)  cos = -1.0 (rank-3 negative)
+    rows = [
+        (0, "A", _vec(1, 0)),
+        (1, "A", _vec(0.8, 0.6)),
+        (2, "A", _vec(0.6, 0.8)),
+        (3, "B", _vec(0.9, 0.43589)),
+        (4, "B", _vec(0, 1)),
+        (5, "C", _vec(-1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = contrastive_triplets(
+        df, df.filter(F.col("vec_id") == 0), k_neg=3
+    ).orderBy("neg_rank").collect()
+
+    assert [r["pos_id"] for r in out] == [1, 1, 1]
+    assert all(r["pos_sim"] == 0.8 for r in out)
+    assert [(r["neg_id"], r["neg_rank"]) for r in out] == [(3, 1), (4, 2), (5, 3)]
+    # margin = pos_sim - neg_sim, exact difference of the rounded sims
+    for r in out:
+        assert r["margin"] == r["pos_sim"] - r["neg_sim"]
+    # the hardest negative is HARDER than the positive -> negative margin,
+    # the triplet a metric learner actually needs
+    assert out[0]["margin"] < 0 < out[1]["margin"]
+
+
+def test_contrastive_triplets_anchor_without_positive_drops(spark):
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    rows = [
+        (0, "X", _vec(1, 0)),  # only X-labeled vector: no positive exists
+        (1, "Y", _vec(0.5, 0.5)),
+        (2, "Y", _vec(0.9, 0.1)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    out = contrastive_triplets(df, df, k_neg=2)
+    qids = {r["query_id"] for r in out.collect()}
+    assert 0 not in qids, "anchor with no same-label neighbor must drop"
+    assert {1, 2} <= qids  # Y anchors have a positive (each other)
+
+
+def test_contrastive_triplets_single_scan_broadcast_plan(spark):
+    """The anchor set broadcasts and positives/negatives rank in ONE
+    window pass — no second corpus scan, no shuffled join on the scored
+    pairs."""
+    import contextlib
+    import io
+
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    rows = [(i, i % 3, _vec(i + 1, 1)) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = contrastive_triplets(df, df.filter(F.col("vec_id") < 2), k_neg=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_interleave_round_robin_order(spark):
+    from unified_firmographic_data_pipeline_spark.operators.curation import (
+        curriculum_interleave,
+    )
+
+    # two domains, quality descending inside each; doc_id tiebreak for the
+    # two equal-quality src_b docs
+    rows = [
+        (1, "src_a", 0.9), (2, "src_a", 0.5), (3, "src_a", 0.1),
+        (4, "src_b", 0.8), (5, "src_b", 0.8), (6, "src_b", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    cur = curriculum_interleave(df, F.col("q"), domain_col="source")
+    got = [
+        (r["doc_id"], r["source"], r["domain_rank"])
+        for r in cur.orderBy("domain_rank", "source").collect()
+    ]
+    # round-robin: rank-1 of every domain first (best examples), then rank-2...
+    assert got == [
+        (1, "src_a", 1), (4, "src_b", 1),
+        (2, "src_a", 2), (5, "src_b", 2),   # doc 4 < doc 5 at equal q
+        (3, "src_a", 3), (6, "src_b", 3),
+    ]
+
+
+def test_curriculum_interleave_partitions_by_domain_only(spark):
+    """The operator itself must add domain_rank with a BY-DOMAIN window —
+    no global (empty-partition) window inside the operator: the total
+    order is the caller's range sort, so 100 TB never funnels through one
+    reducer here."""
+    import contextlib
+    import io
+
+    from unified_firmographic_data_pipeline_spark.operators.curation import (
+        curriculum_interleave,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", float(i)) for i in range(20)],
+        "doc_id long, source string, q double",
+    )
+    cur = curriculum_interleave(df, F.col("q"), domain_col="source")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cur.explain()
+    plan = buf.getvalue()
+    assert "Window" in plan
+    # a global window shows an empty partition spec: "windowspecdefinition(q"
+    # with no partition column before the order column; the by-domain one
+    # carries `source#...` in the spec
+    assert "partitionBy" not in plan  # sanity: simple-mode never prints this
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("source#" in s for s in specs), specs

@@ -35,10 +35,11 @@ SHOWCASE = {
         "key, skew-proof); wide text column never moves — survivors are "
         "semi-joined back."
     ),
-    "near_dup_candidates_lsh": (
+    "near_dup_candidates_md5": (
         "MinHash-LSH: banded signature hashes equi-join (shuffled hash "
         "join on uniform keys) — candidate generation with no cross "
-        "product anywhere in the plan."
+        "product anywhere in the plan. (md5-signature twin of the retired "
+        "rows-only xxhash64 tier — identical plan shape, oracle-verified.)"
     ),
     "range_join_clicks_before_purchase": (
         "Binned range join: the BETWEEN predicate becomes an equi-join on "
@@ -135,6 +136,29 @@ SHOWCASE = {
         "uniform hash keys whose cost tracks the increment's bucket "
         "matches; old x old pairs were prior runs' output and never "
         "recompute, and no cross product appears anywhere."
+    ),
+    "contrastive_triplets_mined": (
+        "Hard-negative mining: the bounded anchor set broadcasts "
+        "(BroadcastNestedLoopJoin with the != self predicate, the "
+        "cosine_topk contract), ONE corpus scan, and positives + "
+        "negatives rank in a single (query_id, same_label) window pass; "
+        "the 1-row-per-anchor positive side broadcasts into the final "
+        "pairing — output stays anchor-proportional."
+    ),
+    "mmr_rerank_topk": (
+        "Greedy diversity re-rank: retrieval is the broadcast cosine_topk "
+        "shape; the inherently-sequential-per-query MMR loop runs as ONE "
+        "applyInPandas over the query_id grouping (FlatMapGroupsInPandas "
+        "after a single query_id shuffle) — bounded candidate sets, "
+        "parallel across queries, no driver-side loop."
+    ),
+    "curriculum_interleave_head": (
+        "Training-order composition: the per-domain quality rank is a "
+        "window partitioned BY DOMAIN (one shuffle, no global window); "
+        "the bounded head of the interleaved order plans as "
+        "TakeOrderedAndProject — at 100 TB the full serving order is a "
+        "range-partitioned sort on (domain_rank, domain), never a "
+        "single-reducer row-number."
     ),
 }
 

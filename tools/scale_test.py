@@ -63,7 +63,8 @@ HEAVY = [
     "q01_pricing_summary",        # scan + agg
     "q09_product_profit",         # multi-join + agg
     "dedup_exact_documents",      # fingerprint shuffle + semi-join
-    "near_dup_candidates_lsh",    # banded MinHash (xxhash tier)
+    # near_dup_candidates_lsh (xxhash tier) retired from queries() r6 —
+    # still measured via EXTRA below
     "heavy_hitter_tokens",        # explode + count + 1-row broadcast
     "kmeans_assign_iter1",        # broadcast-literal distance fold
     "ann_cosine_topk",            # broadcast queries x corpus scan
@@ -112,6 +113,11 @@ HEAVY = [
     "lsh_incremental_candidates", # increment buckets vs full index join
     "token_window_chunks",        # in-scan window explode (~tokens/stride rows)
     "web_html_visible_text",      # chained regex ladder over every doc
+    # round-6 registrations
+    "embedding_incremental_candidates",  # increment buckets vs vector index
+    "contrastive_triplets_mined", # anchors broadcast x corpus, 1 window pass
+    "mmr_rerank_topk",            # cosine retrieval + applyInPandas greedy
+    "curriculum_interleave_head", # quality expr + by-domain window + TakeOrdered
 ]
 
 
@@ -261,6 +267,17 @@ def _pretrain_curate(spark, sf_dir):
 
 #: plan variants that are not registered queries but whose scale shape
 #: must still be measured
+def _near_dup_lsh(spark, sf_dir):
+    """The xxhash64 MinHash-LSH production tier — retired from queries()
+    in round 6 (its md5 twin carries oracle verification) but still the
+    deployed fast path, so its scale curve stays measured here."""
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import (
+        near_dup_candidates_lsh,
+    )
+
+    return near_dup_candidates_lsh(spark, sf_dir)
+
+
 EXTRA = {
     "triangle_stats_shuffled_closure": _triangle_shuffled,
     "ivfpq_rerank_topk": _ivfpq_rerank,
@@ -269,6 +286,7 @@ EXTRA = {
     "ivfsq_index_search": _ivfsq_index_search,
     "rp_topk": _rp_topk,
     "pretrain_curate_corpus": _pretrain_curate,
+    "near_dup_candidates_lsh": _near_dup_lsh,
 }
 
 
@@ -551,6 +569,47 @@ if __name__ == "__main__":
         "regexp_replace ladder over every document — both data-linear by"
     )
     lines.append("construction with no shuffle before the sink.")
+    lines.append(
+        "`near_dup_candidates_lsh` (EXTRA since r6: retired from queries()"
+    )
+    lines.append(
+        "— the md5 twin carries oracle verification) is the deployed"
+    )
+    lines.append(
+        "xxhash64 fast path, measured so the production tier keeps a scale"
+    )
+    lines.append("curve on record.")
+    lines.append(
+        "Round-6 rows: `embedding_incremental_candidates` is the vector-"
+    )
+    lines.append(
+        "space twin of `lsh_incremental_candidates` (increment buckets vs"
+    )
+    lines.append(
+        "the landed hyperplane index; candidate-linear)."
+    )
+    lines.append(
+        "`contrastive_triplets_mined` broadcasts 8 constant anchors against"
+    )
+    lines.append(
+        "the corpus scan and ranks positives+negatives in one window pass —"
+    )
+    lines.append(
+        "O(corpus x 8), the knn_label_accuracy shape."
+    )
+    lines.append(
+        "`mmr_rerank_topk` is constant-work past retrieval (4 queries x 8"
+    )
+    lines.append(
+        "candidates x 3 picks in applyInPandas) on top of a corpus-linear"
+    )
+    lines.append(
+        "cosine retrieval; `curriculum_interleave_head` is one quality"
+    )
+    lines.append(
+        "projection + a BY-DOMAIN window + TakeOrdered(40) — data-linear"
+    )
+    lines.append("with a constant-size result.")
     lines.append(
         "The 10x text is generated by per-replica token suffixing (new"
     )

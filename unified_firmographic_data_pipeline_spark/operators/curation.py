@@ -520,3 +520,39 @@ def repeated_ngram_spans(
             6,
         ).alias("dup_pct"),
     )
+
+
+def curriculum_interleave(
+    docs: DataFrame,
+    order_col,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum ordering for training-data serving: rank documents
+    WITHIN each domain by ``order_col`` descending (best examples first,
+    ``id_col`` tiebreak), so that sorting the result by ``(domain_rank,
+    domain)`` yields a round-robin interleave across domains — every
+    consecutive window of the training stream mixes all domains while
+    each domain contributes its highest-ranked remaining example
+    (curriculum-learning serving order, Bengio et al. ICML'09, as used
+    for pretraining-mixture scheduling).
+
+    The operator adds the ``domain_rank`` column only — one shuffle,
+    partitioned BY DOMAIN, never a global window. The total order is the
+    caller's range-partitioned sort on ``(domain_rank, domain)`` (Spark's
+    ``orderBy`` samples range bounds and sorts in parallel), or simply a
+    write partitioned by ``domain_rank`` bands: at 100 TB there is no
+    single-reducer global row-number anywhere, and a bounded "first N
+    positions" view is a TakeOrdered, not a full sort.
+
+    ``order_col`` may be any expression (e.g. ``quality_score("text")``);
+    it is evaluated once. Returns the input columns plus ``domain_rank``.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("__curriculum_order").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("__curriculum_order", order_col)
+        .withColumn("domain_rank", F.row_number().over(w))
+        .drop("__curriculum_order")
+    )

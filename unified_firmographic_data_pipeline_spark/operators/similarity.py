@@ -13,6 +13,8 @@ pairs are scored (equi-join shuffle on the bucket key).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -292,6 +294,7 @@ def embedding_dup_candidates_from_buckets(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strict: bool = False,
 ) -> DataFrame:
     """Incremental embedding near-dup: equi-join the INCREMENT's bucket
     rows against the full landed index (existing ∪ new, same LSH
@@ -301,7 +304,15 @@ def embedding_dup_candidates_from_buckets(
     lsh_candidates_from_buckets`` contract in vector space). ``vectors``
     supplies the raw embeddings for the candidate-bounded exact scoring
     (two equi-joins — never a corpus scan per pair). Returns
-    ``(id_a, id_b, cosine_sim)`` with id_a < id_b, distinct."""
+    ``(id_a, id_b, cosine_sim)`` with id_a < id_b, distinct.
+
+    CONTRACT: every id in ``all_buckets`` must have a row in ``vectors``
+    — the scoring joins are INNER, so an id present in the landed index
+    but missing from the vector store silently drops its candidate pairs
+    (round-5 advisor finding). Pass ``strict=True`` to pay one bounded
+    eager check (anti-join of the CANDIDATE ids — never the corpus —
+    against ``vectors``, LIMIT 5) that raises ``ValueError`` naming
+    sample missing ids when the index and vector store have drifted."""
     a = new_buckets.alias("a")
     b = all_buckets.alias("b")
     pairs = (
@@ -316,6 +327,22 @@ def embedding_dup_candidates_from_buckets(
         )
         .distinct()
     )
+    if strict:
+        cand_ids = pairs.select(F.col("id_a").alias("__id")).union(
+            pairs.select(F.col("id_b").alias("__id"))
+        ).distinct()
+        missing = (
+            cand_ids.join(
+                vectors.select(F.col(id_col).alias("__id")), "__id", "left_anti"
+            )
+            .limit(5)
+            .collect()
+        )
+        if missing:
+            raise ValueError(
+                "bucket index / vector store drift: candidate ids missing "
+                f"from `vectors` (sample): {sorted(r['__id'] for r in missing)}"
+            )
     va = vectors.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
@@ -506,6 +533,7 @@ def mmr_rerank(
     doc_col: str = "doc_id",
     vec_col: str = "embedding",
     rel_col: str = "relevance",
+    fold_exact: bool = False,
 ) -> DataFrame:
     """Maximal Marginal Relevance rerank of per-query candidate sets:
     greedily pick argmax of ``lambda*relevance - (1-lambda)*max_sim_to_
@@ -518,26 +546,57 @@ def mmr_rerank(
     bounded) fit each group in memory, numpy does the pairwise cosines.
     Ties break on doc_id; scores round to 6 decimals so the selection is
     reproducible across BLAS builds.
+
+    ``fold_exact=True`` makes the arithmetic SQL-engine-replayable, two
+    substitutions: pairwise cosines use a sequential left-to-right fold
+    (plain accumulation, unit vectors NOT pre-divided) instead of BLAS —
+    the exact arithmetic ``list_dot_product`` / Spark's ``F.aggregate``
+    performs — and every 6-decimal round uses HALF-AWAY-FROM-ZERO
+    (DuckDB ``round`` / Spark ``F.round`` semantics) instead of numpy's
+    half-even. The second one is NOT a measure-zero concern: relevance
+    arrives pre-rounded to 6 decimals, so ``0.7*rel`` lands exactly on a
+    .5e-7 boundary whenever rel's last digit is odd, and the two
+    rounding modes then disagree systematically. Cost is k·n Python dot
+    products per query — fine for oracle-scale candidate sets (n ≤
+    ~100); the default BLAS path is the production tier (pytest pins the
+    two paths pick-identical on test data).
     """
     import numpy as np
     import pandas as pd
 
     lam = float(lambda_mult)
 
+    def _round6_half_away(arr):
+        # DuckDB round(x, 6): std::round(x * 10^6) / 10^6, half away from 0
+        t = arr * 1000000.0
+        return np.trunc(t + np.copysign(0.5, t)) / 1000000.0
+
     def _rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
+        if fold_exact:
+            rows = [[float(x) for x in v] for v in vecs]
+
+            def _dot(a, b):
+                s = 0.0
+                for x, y in zip(a, b):
+                    s += x * y
+                return s
+
+            norms = np.array([math.sqrt(_dot(r, r)) for r in rows])
+        else:
+            norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0.0] = 1.0
         unit = vecs / norms[:, None]
         rel = pdf[rel_col].to_numpy(dtype=np.float64)
         docs = pdf[doc_col].to_numpy()
         qid = pdf[query_col].iloc[0]
         n = len(pdf)
+        rnd6 = _round6_half_away if fold_exact else (lambda a: np.round(a, 6))
         picked: list[int] = []
         max_sim = np.zeros(n)
         out = []
         for rank in range(min(k, n)):
-            score = np.round(lam * rel - (1.0 - lam) * max_sim, 6)
+            score = rnd6(lam * rel - (1.0 - lam) * max_sim)
             if picked:
                 score[picked] = -np.inf
             best_score = score.max()
@@ -545,7 +604,17 @@ def mmr_rerank(
             best = cand[np.argmin(docs[cand])]  # doc_id tiebreak
             picked.append(int(best))
             out.append((qid, docs[best], rank + 1, rel[best], float(best_score)))
-            sims = np.round(unit @ unit[best], 6)
+            if fold_exact:
+                sims = rnd6(np.array([
+                    _dot(r, rows[best]) / (norms[i] * norms[best])
+                    for i, r in enumerate(rows)
+                ]))
+            else:
+                sims = np.round(unit @ unit[best], 6)
+            # max_sim starts at zeros, so the diversity penalty is FLOORED
+            # at 0 — a picked neighbor pointing the other way (negative
+            # cosine) never *rewards* a candidate. Oracles must replay
+            # this floor (GREATEST(max_sim, 0)).
             max_sim = np.maximum(max_sim, sims)
         return pd.DataFrame(
             out, columns=[query_col, doc_col, "rank", rel_col, "mmr_score"]
@@ -587,3 +656,84 @@ def recall_at_k(
         (F.count("__hit") / F.count(F.lit(1))).alias("recall"),
     )
 
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training data: for
+    each anchor (query vector) return its hardest POSITIVE — the most
+    cosine-similar corpus vector sharing the anchor's label — paired with
+    the ``k_neg`` hardest NEGATIVES (most similar vectors with a DIFFERENT
+    label), plus the triplet margin ``pos_sim - neg_sim``. Small or
+    negative margins mark the triplets that actually teach a metric model
+    something (semi-hard mining, FaceNet Schroff et al. CVPR'15 /
+    SimCSE-style in-batch hard negatives).
+
+    Plan shape (the ``cosine_topk`` contract): the bounded anchor set
+    broadcasts, the corpus is scanned ONCE, and one shuffle on
+    ``(query_id, same_label)`` ranks positives and negatives in the same
+    window pass — never a per-anchor corpus scan. Output is
+    anchor-proportional (≤ queries × k_neg rows).
+
+    Anchors with no same-label neighbor in the corpus drop out (inner
+    join by design — there is no triplet to emit); self-matches are
+    excluded. Similarities round to 6 decimals (cross-engine contract),
+    and the margin is the exact difference of the rounded sims.
+
+    Returns ``(query_id, pos_id, pos_sim, neg_id, neg_sim, margin,
+    neg_rank)``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (F.col("__ql") == F.col("__cl")).alias("__same"),
+        F.round(_cosine_from_norms("__qv", "__cv", "__qn", "__cn"), 6).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id", "__same").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("__same") & (F.col("rn") == 1)).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = ranked.filter(~F.col("__same") & (F.col("rn") <= k_neg)).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("sim").alias("neg_sim"),
+        F.col("rn").alias("neg_rank"),
+    )
+    # pos is 1 row per anchor (anchors are bounded by contract) — broadcast
+    # it so the pos x neg pairing never sort-merges the window output
+    return neg.join(F.broadcast(pos), "query_id").select(
+        "query_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
+        "neg_rank",
+    )
