@@ -289,13 +289,54 @@ HEADLINE = [
     "ivfsq_index_search",
     "numeric_psi_doclen",
     "categorical_psi_eventtypes",
+    # round-6 registrations
+    "mmr_rerank_topk",
+    "embedding_incremental_candidates",
+    "approx_distinct_hll",
+    "contrastive_triplets_mined",
+    "curriculum_interleave_head",
 ]
 
 
 def _historical_floors() -> dict[str, float]:
-    """Per-query best time across all prior BENCH_r*.json files in the repo
-    root — the floor each new run is held to. Self-maintaining: every round
-    the driver lands a new file and the floor tightens automatically."""
+    """Per-query floor each new run is held to.
+
+    Round-5 judge finding #2: an all-time-minimum floor only ever ratchets
+    DOWN, so one lucky idle-host outlier permanently poisons the floor and
+    every later run on a busy host false-flags (7 sub-1.5 s queries hit
+    2.0-2.3x floor with byte-identical code). The floor is therefore the
+    PREVIOUS ROUND's time: the highest-numbered BENCH_full_r*.json gives a
+    complete per-query snapshot from one recent session, so both runs see
+    comparable host conditions and the floor tracks drift in both
+    directions. Queries absent from that snapshot (registered since) fall
+    back to the all-time minimum across BENCH_r*.json; queries in neither
+    have no floor and cannot flag. The 2x + 0.4 s gate is unchanged."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_snaps = sorted(
+        glob.glob(os.path.join(here, "BENCH_full_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    floors: dict[str, float] = {}
+    if full_snaps:
+        try:
+            with open(full_snaps[-1]) as f:
+                rec = json.load(f)
+            for name, t in (rec.get("queries") or {}).items():
+                if isinstance(t, (int, float)) and t > 0:
+                    floors[name] = float(t)
+        except (OSError, ValueError):
+            pass
+    for name, t in _alltime_min_floors().items():
+        floors.setdefault(name, t)
+    return floors
+
+
+def _alltime_min_floors() -> dict[str, float]:
+    """All-time per-query minimum across the driver's BENCH_r*.json files —
+    the fallback floor for queries registered after the latest full
+    snapshot (and the only source before BENCH_full_r04.json existed)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))

@@ -1,0 +1,62 @@
+"""Pin bench.py's floor-guard semantics (round-5 judge finding #2).
+
+The floor a run is held to must be the PREVIOUS round's full-bench time
+(one recent session, comparable host conditions), not the all-time
+minimum — an all-time min only ratchets down, so a single lucky
+idle-host outlier poisons the floor forever and busy-host runs
+false-flag with byte-identical code. No SparkSession needed: these read
+the committed BENCH_*.json history at the repo root.
+"""
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+ROOT = pathlib.Path(bench.__file__).resolve().parent
+
+
+def _latest_full_snapshot() -> dict[str, float]:
+    snaps = sorted(
+        ROOT.glob("BENCH_full_r*.json"),
+        key=lambda p: int(p.stem.rsplit("r", 1)[1]),
+    )
+    assert snaps, "BENCH_full_r*.json snapshots should be committed each round"
+    return json.loads(snaps[-1].read_text())["queries"]
+
+
+def test_floor_is_previous_round_not_alltime_min():
+    floors = bench._historical_floors()
+    prev = _latest_full_snapshot()
+    alltime = bench._alltime_min_floors()
+    # every query in the previous round's full snapshot gets EXACTLY that
+    # round's time as its floor — even when the all-time min is lower
+    for name, t in prev.items():
+        assert floors[name] == float(t), name
+    poisoned = [
+        n for n in prev if n in alltime and alltime[n] < prev[n] * 0.75
+    ]
+    # the history really does contain lucky outliers the old ratchet kept
+    assert poisoned, "expected at least one query whose all-time min is an outlier"
+    for n in poisoned:
+        assert floors[n] == float(prev[n]) > alltime[n]
+
+
+def test_floor_falls_back_to_alltime_min_for_new_queries():
+    prev = set(_latest_full_snapshot())
+    floors = bench._historical_floors()
+    alltime = bench._alltime_min_floors()
+    for name, t in alltime.items():
+        if name not in prev:
+            assert floors[name] == t, name
+
+
+def test_regression_gate_unchanged():
+    # 2x ratio AND >0.4 s absolute — both must trip
+    floors = {"a": 1.0, "b": 0.1, "c": 5.0}
+    timings = {"a": 2.5, "b": 0.35, "c": 9.9, "new_query": 99.0}
+    out = bench._regressions(timings, floors)
+    assert [r["query"] for r in out] == ["a"]  # b: <0.4s abs; c: <2x; new: no floor
