@@ -295,6 +295,8 @@ HEADLINE = [
     "approx_distinct_hll",
     "contrastive_triplets_mined",
     "curriculum_interleave_head",
+    "kmv_vocab_distinct_est",
+    "kmv_vocab_source_overlap",
 ]
 
 

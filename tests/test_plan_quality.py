@@ -140,6 +140,9 @@ BNLJ_ALLOWED = {
     # retrieval stage is the ann_cosine_topk shape (4 bounded queries);
     # the MMR loop itself is applyInPandas over the query_id grouping
     "mmr_rerank_topk",
+    # |sources|^2-bounded pair axis broadcast (the js_divergence_sources
+    # shape); each pair carries at most 2k sketch rows
+    "kmv_vocab_source_overlap",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

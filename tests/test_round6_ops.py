@@ -140,3 +140,100 @@ def test_curriculum_interleave_partitions_by_domain_only(spark):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("source#" in s for s in specs), specs
+
+
+def test_kmv_estimate_exact_below_k_and_consistent_above(spark):
+    """Below k distinct values the sketch holds everything -> estimate is
+    EXACT; above k the (k-1)/max(hv) estimator lands within the standard
+    KMV error envelope (~1/sqrt(k)) on uniform md5 fractions."""
+    from unified_firmographic_data_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("small", f"v{i}") for i in range(10)] + [
+        ("big", f"w{i}") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "source string, val string")
+    est = {
+        r["grp"]: r
+        for r in kmv_estimate(kmv_sketch(df, "val", k=64), k=64).collect()
+    }
+    assert est["small"]["n_sketch"] == 10
+    assert est["small"]["distinct_est"] == 10.0
+    assert est["big"]["n_sketch"] == 64
+    # 2000 true distinct; 4/sqrt(64) = 50% is a generous deterministic
+    # bound — md5 on this fixed vocabulary is a fixed draw, not flaky
+    assert abs(est["big"]["distinct_est"] - 2000) / 2000 < 0.5
+
+
+def test_kmv_sketch_is_mergeable_by_union_and_retruncation(spark):
+    """The defining sketch property: k smallest of (sketch(A) ∪ sketch(B))
+    == sketch(A ∪ B) for disjoint loads of the same group — so nightly
+    parquet-landed sketches merge without touching raw history."""
+    from pyspark.sql import functions as F
+    from unified_firmographic_data_pipeline_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    rows = [("s", f"t{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "source string, val string")
+    half_a = df.filter(F.length("val") % 2 == 0)
+    half_b = df.filter(F.length("val") % 2 == 1)
+    full = {r["hv"] for r in kmv_sketch(df, "val", k=32).collect()}
+    sa = kmv_sketch(half_a, "val", k=32)
+    sb = kmv_sketch(half_b, "val", k=32)
+    merged_rows = sorted(
+        {r["hv"] for r in sa.unionByName(sb).collect()}
+    )[:32]
+    assert set(merged_rows) == full
+
+
+def test_kmv_pairwise_overlap_matches_protocol(spark):
+    """3 groups with constructed overlap: X = k-min of the sketch union,
+    jaccard = |X ∩ A ∩ B|/|X|; with < k values everything is exact, so the
+    estimates must EQUAL the true set statistics."""
+    from unified_firmographic_data_pipeline_spark.operators.sketches import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    a = [f"c{i}" for i in range(20)]          # A: c0..c19
+    b = [f"c{i}" for i in range(10, 30)]      # B: c10..c29 (|A∩B| = 10)
+    c = [f"z{i}" for i in range(5)]           # C: disjoint
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", v) for v in c]
+    df = spark.createDataFrame(rows, "source string, val string")
+    out = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_pairwise_overlap(kmv_sketch(df, "val", k=64), k=64).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["k_used"] == 30 and ab["n_common"] == 10
+    assert ab["jaccard_est"] == round(10 / 30, 6)
+    assert ab["union_est"] == 30.0
+    assert ab["intersection_est"] == round(10 / 30 * 30.0, 6)
+    ac = out[("A", "C")]
+    assert ac["n_common"] == 0 and ac["jaccard_est"] == 0.0
+    assert ac["union_est"] == 25.0
+    # every unordered pair appears exactly once, ordered
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+def test_kmv_pairwise_overlap_plan_has_no_cartesian(spark):
+    import contextlib
+    import io
+
+    from unified_firmographic_data_pipeline_spark.operators.sketches import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", f"v{i}") for i in range(60)], "source string, val string"
+    )
+    out = kmv_pairwise_overlap(kmv_sketch(df, "val", k=8), k=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, "pair axis must broadcast (BNLJ)"

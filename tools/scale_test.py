@@ -118,6 +118,8 @@ HEAVY = [
     "contrastive_triplets_mined", # anchors broadcast x corpus, 1 window pass
     "mmr_rerank_topk",            # cosine retrieval + applyInPandas greedy
     "curriculum_interleave_head", # quality expr + by-domain window + TakeOrdered
+    "kmv_vocab_distinct_est",     # bigram explode + distinct + k-min window
+    "kmv_vocab_source_overlap",   # sketches + bounded pair axis
 ]
 
 
@@ -610,6 +612,19 @@ if __name__ == "__main__":
         "projection + a BY-DOMAIN window + TakeOrdered(40) — data-linear"
     )
     lines.append("with a constant-size result.")
+    lines.append(
+        "The KMV rows (`kmv_vocab_distinct_est`, `kmv_vocab_source_"
+    )
+    lines.append(
+        "overlap`) are one bigram explode + a distinct shuffle + a k-min"
+    )
+    lines.append(
+        "window — data-linear into a FIXED 64-rows-per-source sketch; the"
+    )
+    lines.append(
+        "overlap analysis then touches sketches only (sources^2 x 2k"
+    )
+    lines.append("rows), independent of corpus size.")
     lines.append(
         "The 10x text is generated by per-replica token suffixing (new"
     )

@@ -188,3 +188,116 @@ def cms_estimates(
             (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame, col: str, group_col: str = "source", k: int = 64
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct sketch: the ``k`` smallest
+    md5 hash fractions of the column's distinct values per group —
+    ``(grp, hv)`` rows, ``hv`` in (0, 1). Bar-Yossef et al., "Counting
+    distinct elements in a data stream" (RANDOM'02); the theta-sketch
+    family's base construction (Dasgupta et al., "Theta sketches").
+
+    Why next to HLL: HLL unions but cannot INTERSECT; a KMV sketch
+    supports union AND intersection/Jaccard estimates (``kmv_pairwise_
+    overlap``) — the audience-overlap / cross-source-containment question
+    at 100 TB. And unlike HLL's register state, the sketch is plain rows:
+    landable to parquet, mergeable by union + re-truncation, and — built
+    on md5 — bit-replayable by a SQL oracle, so the estimate itself is
+    externally verifiable, not just bounded.
+
+    Scale shape: one narrow projection (13 hex chars → a 52-bit exact
+    double fraction, the repo's established conv pattern), one distinct
+    shuffle on (grp, hv), one per-group window for the k-truncation.
+    State per group is k rows regardless of cardinality.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    distinct = (
+        df.select(F.col(group_col).alias("grp"), h.alias("hv"))
+        .filter(F.col("hv").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        distinct.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "hv")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: ``(k-1) /
+    max(hv)`` when the sketch is full, the EXACT row count when the group
+    had fewer than ``k`` distinct hashes (the sketch then holds every
+    value and the estimate degrades gracefully to exact). Returns
+    ``(grp, n_sketch, distinct_est)``."""
+    g = sketch.groupBy("grp").agg(
+        F.count("*").alias("n_sketch"), F.max("hv").alias("__vmax")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__vmax"))
+    return g.select("grp", "n_sketch", F.round(est, 6).alias("distinct_est"))
+
+
+def kmv_pairwise_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Jaccard / union / intersection estimates for EVERY group pair from
+    one KMV sketch table — the sketch-only protocol (no raw-data rejoin):
+    for groups a < b, take X = the ``k`` smallest hashes of the two
+    sketches' union; then ``jaccard_est = |X ∩ A ∩ B| / |X|``,
+    ``union_est = (k-1)/max(X)`` (exact |X| when X is complete), and
+    ``intersection_est = jaccard_est * union_est``.
+
+    Scale shape: the pair axis is |groups|² — bounded by construction
+    (sources, tenants, crawls), the ``js_divergence_sources`` contract —
+    and each pair carries at most 2k sketch rows, so the whole analysis
+    is groups²·k rows independent of data size. Returns ``(grp_a, grp_b,
+    k_used, n_common, jaccard_est, union_est, intersection_est)``."""
+    from pyspark.sql import Window
+
+    grps = sketch.select("grp").distinct()
+    # bounded-axis cross pair (the js_divergence_sources contract):
+    # broadcast so the pairing plans as BNLJ, never CartesianProduct
+    pairs = (
+        grps.select(F.col("grp").alias("grp_a"))
+        .crossJoin(F.broadcast(grps.select(F.col("grp").alias("grp_b"))))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    ra = pairs.join(
+        sketch.withColumnRenamed("grp", "grp_a"), "grp_a"
+    ).select("grp_a", "grp_b", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    rb = pairs.join(
+        sketch.withColumnRenamed("grp", "grp_b"), "grp_b"
+    ).select("grp_a", "grp_b", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        ra.unionByName(rb)
+        .groupBy("grp_a", "grp_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("hv")
+    x = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    stats = x.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("k_used"),
+        F.max("hv").alias("__vmax"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+    )
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__vmax"))
+    jac = F.col("n_common").cast("double") / F.col("k_used").cast("double")
+    return stats.select(
+        "grp_a",
+        "grp_b",
+        F.col("k_used").cast("int").alias("k_used"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jac * union_est, 6).alias("intersection_est"),
+    )

@@ -13779,6 +13779,156 @@ def curriculum_interleave_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("global_pos", F.row_number().over(wpos))
 
 
+#: the KMV hash fraction in SQL: first 13 md5 hex chars as an exact 52-bit
+#: double fraction — the same conv pattern the Spark side uses
+_KMV_HV_SQL = (
+    "CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT) / 4503599627370496.0"
+)
+
+
+#: the KMV input: per-source token BIGRAMS (the unigram vocabulary of the
+#: driver corpus is only ~31 words — every sketch would stay below k and
+#: the (k-1)/max estimator would never run; bigrams give ~700 distinct per
+#: source with real partial overlap, so truncation, estimation AND the
+#: intersection protocol all exercise). Same short-doc fallback as
+#: functions.text.shingles: a <2-token doc contributes its whole
+#: normalized text as the single shingle.
+_KMV_BIGRAMS_SQL = r"""
+        SELECT source AS grp, t[i] || ' ' || t[i + 1] AS tok
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+        UNION ALL
+        SELECT source AS grp, norm AS tok FROM toks WHERE len(t) < 2"""
+
+_KMV_TOKS_SQL = r"""
+        SELECT source,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        FROM documents WHERE text IS NOT NULL"""
+
+
+@q(
+    "kmv_vocab_distinct_est",
+    f"""
+    WITH toks AS ({_KMV_TOKS_SQL}),
+    tk AS ({_KMV_BIGRAMS_SQL}),
+    h AS (SELECT DISTINCT grp, {_KMV_HV_SQL} AS hv FROM tk),
+    sk AS (
+        SELECT grp, hv FROM (
+            SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM h) WHERE rn <= 64),
+    est AS (
+        SELECT grp, COUNT(*) AS n_sketch, MAX(hv) AS vmax
+        FROM sk GROUP BY grp),
+    ex AS (SELECT grp, COUNT(DISTINCT tok) AS n_exact FROM tk GROUP BY grp)
+    SELECT est.grp, CAST(est.n_sketch AS BIGINT) AS n_sketch,
+           round(CASE WHEN est.n_sketch < 64 THEN CAST(est.n_sketch AS DOUBLE)
+                      ELSE 63.0 / est.vmax END, 6) AS distinct_est,
+           ex.n_exact
+    FROM est JOIN ex ON ex.grp = est.grp
+    """,
+)
+def kmv_vocab_distinct_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketches.py:kmv_sketch/kmv_estimate;
+    Bar-Yossef et al. RANDOM'02, the theta-sketch base construction):
+    per-source BIGRAM vocabulary size estimated from the 64 smallest md5
+    shingle hashes, next to the exact distinct count so the estimator's
+    accuracy is itself externally visible (~700 true distinct per source
+    vs a k=64 sketch — the truncated-estimator regime). Unlike HLL's
+    register state the sketch is plain rows — landable, mergeable, and
+    (being md5-deterministic) the oracle replays the hash fractions, the
+    k-truncation window and the (k-1)/max estimator bit-for-bit, so the
+    ESTIMATE is verified, not just bounded. Sketch state is 64 rows per
+    source regardless of corpus size; the exact column here is the
+    verification anchor (the production pattern is sketch-only)."""
+    from unified_firmographic_data_pipeline_spark.functions.text import shingles
+    from unified_firmographic_data_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = d.select(
+        F.col("source").alias("grp"),
+        F.explode(shingles("text", 2)).alias("tok"),
+    )
+    est = kmv_estimate(kmv_sketch(tk, "tok", group_col="grp", k=64), k=64)
+    ex = tk.groupBy("grp").agg(F.count_distinct("tok").alias("n_exact"))
+    return est.join(ex, "grp").select(
+        "grp", F.col("n_sketch").cast("long").alias("n_sketch"),
+        "distinct_est", "n_exact",
+    )
+
+
+@q(
+    "kmv_vocab_source_overlap",
+    f"""
+    WITH toks AS ({_KMV_TOKS_SQL}),
+    tk AS ({_KMV_BIGRAMS_SQL}),
+    h AS (SELECT DISTINCT grp, {_KMV_HV_SQL} AS hv FROM tk),
+    sk AS (
+        SELECT grp, hv FROM (
+            SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM h) WHERE rn <= 64),
+    pr AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b
+        FROM (SELECT DISTINCT grp FROM sk) a
+        JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp),
+    u AS (
+        SELECT grp_a, grp_b, hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+            SELECT p.grp_a, p.grp_b, s.hv, 1 AS in_a, 0 AS in_b
+            FROM pr p JOIN sk s ON s.grp = p.grp_a
+            UNION ALL
+            SELECT p.grp_a, p.grp_b, s.hv, 0 AS in_a, 1 AS in_b
+            FROM pr p JOIN sk s ON s.grp = p.grp_b)
+        GROUP BY grp_a, grp_b, hv),
+    x AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b
+                                         ORDER BY hv) AS rn
+            FROM u) WHERE rn <= 64),
+    st AS (
+        SELECT grp_a, grp_b, COUNT(*) AS k_used, MAX(hv) AS vmax,
+               SUM(in_a * in_b) AS n_common
+        FROM x GROUP BY grp_a, grp_b)
+    SELECT grp_a, grp_b, CAST(k_used AS INT) AS k_used,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+           round(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                      ELSE 63.0 / vmax END, 6) AS union_est,
+           round((CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE))
+                 * (CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                         ELSE 63.0 / vmax END), 6) AS intersection_est
+    FROM st
+    """,
+)
+def kmv_vocab_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source BIGRAM-vocabulary overlap from KMV sketches ONLY
+    (operators/sketches.py:kmv_pairwise_overlap) — the question HLL
+    cannot answer: per source pair, Jaccard / union / intersection
+    estimates computed from X = the 64 smallest hashes of the two
+    sketches' union (|X ∩ A ∩ B| / |X|, the theta-sketch intersection
+    protocol). On the driver corpus the true pairwise bigram Jaccard is
+    ~0.6-0.7, so the estimates land strictly inside (0, 1) and the
+    protocol is genuinely exercised. The pair axis is |sources|² —
+    bounded by construction — and each pair touches at most 2k sketch
+    rows, so the analysis is independent of corpus size once the
+    sketches exist. md5 determinism makes every estimate bit-replayable
+    by the oracle."""
+    from unified_firmographic_data_pipeline_spark.functions.text import shingles
+    from unified_firmographic_data_pipeline_spark.operators.sketches import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tk = d.select(
+        F.col("source").alias("grp"),
+        F.explode(shingles("text", 2)).alias("tok"),
+    )
+    return kmv_pairwise_overlap(kmv_sketch(tk, "tok", group_col="grp", k=64), k=64)
+
+
 @q(
     "fuzzy_decontam_survivors",
     r"""
