@@ -237,3 +237,26 @@ def test_kmv_pairwise_overlap_plan_has_no_cartesian(spark):
         out.explain()
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, "pair axis must broadcast (BNLJ)"
+
+
+def test_kmv_merge_equals_rebuild_and_is_idempotent(spark):
+    """kmv_merge(sketch(A), sketch(B)) == kmv_sketch(A ∪ B) even when the
+    loads OVERLAP (shared values dedupe to one entry), and merging a
+    sketch with itself is the identity — the two properties that make
+    nightly landed sketches safe to fold without raw history."""
+    from unified_firmographic_data_pipeline_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [("s", f"t{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, val string")
+    # overlapping halves: t0..t199 and t100..t299
+    a = df.filter(F.col("val").substr(2, 10).cast("int") < 200)
+    b = df.filter(F.col("val").substr(2, 10).cast("int") >= 100)
+    sa, sb = kmv_sketch(a, "val", k=32), kmv_sketch(b, "val", k=32)
+    full = sorted(r["hv"] for r in kmv_sketch(df, "val", k=32).collect())
+    merged = sorted(r["hv"] for r in kmv_merge(sa, sb, k=32).collect())
+    assert merged == full
+    self_merged = sorted(r["hv"] for r in kmv_merge(sa, sa, k=32).collect())
+    assert self_merged == sorted(r["hv"] for r in sa.collect())

@@ -301,3 +301,26 @@ def kmv_pairwise_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
         F.round(union_est, 6).alias("union_est"),
         F.round(jac * union_est, 6).alias("intersection_est"),
     )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge KMV sketches of DISJOINT or OVERLAPPING loads of the same
+    groups: union the rows, dedupe (grp, hv) — the same value hashed in
+    two loads is one sketch entry — and re-truncate to the k smallest per
+    group. ``kmv_merge(sketch(A), sketch(B)) == kmv_sketch(A ∪ B)`` (the
+    mergeable-summary property, Agarwal et al. PODS'12), so nightly
+    parquet-landed sketches fold into the running corpus sketch without
+    ever touching raw history — the KMV analogue of the incremental
+    near-dup index contract. Cost: |inputs| × k rows per group in, k out."""
+    from pyspark.sql import Window
+
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        u.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "hv")
+    )
