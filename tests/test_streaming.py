@@ -406,3 +406,52 @@ def test_windowed_counts_with_rocksdb_state_store(spark, tmp_path):
         + list(state_dir.rglob("*.changelog"))
     )
     assert found, "no RocksDB state artifacts under the checkpoint"
+
+
+def test_stream_kmv_sketch_sink_converges_to_batch_sketch(spark, tmp_path):
+    """Incremental streaming sketch maintenance == one batch sketch over
+    all data seen so far, after every micro-batch load; replay with
+    nothing new changes nothing."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from unified_firmographic_data_pipeline_spark.operators.sketches import kmv_sketch
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        stream_kmv_sketch_sink,
+    )
+
+    sch = StructType(
+        [StructField("source", StringType()), StructField("val", StringType())]
+    )
+    src = str(tmp_path / "vals")
+    table = str(tmp_path / "kmv_table")
+    ckpt = str(tmp_path / "ckpt_kmv")
+
+    def run():
+        q = stream_kmv_sketch_sink(
+            spark.readStream.schema(sch).parquet(src),
+            table, checkpoint=ckpt, value_col="val", k=16,
+        )
+        q.awaitTermination()
+
+    def landed():
+        return {(r["grp"], r["hv"]) for r in spark.read.parquet(table).collect()}
+
+    def batch_equiv(rows):
+        df = spark.createDataFrame(rows, sch)
+        return {(r["grp"], r["hv"]) for r in kmv_sketch(df, "val", k=16).collect()}
+
+    batch1 = [("s1", f"a{i}") for i in range(40)]
+    spark.createDataFrame(batch1, sch).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert landed() == batch_equiv(batch1)
+
+    # overlapping second load (a20..a39 repeat) + a new group
+    batch2 = [("s1", f"a{i}") for i in range(20, 60)] + [("s2", f"b{i}") for i in range(5)]
+    spark.createDataFrame(batch2, sch).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert landed() == batch_equiv(batch1 + batch2)
+
+    # replay with nothing new: checkpoint skips, sketch unchanged
+    before = landed()
+    run()
+    assert landed() == before

@@ -192,3 +192,53 @@ def stream_static_enrich(
     joins, nothing is buffered or watermarked). Works identically on a
     batch frame — the oracle/testing twin."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def stream_kmv_sketch_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    value_col: str,
+    group_col: str = "source",
+    k: int = 64,
+):
+    """Maintain a landed KMV distinct sketch from a stream: each
+    micro-batch is sketched (``operators.sketches.kmv_sketch``) and
+    folded into the parquet sketch table with ``kmv_merge`` — union,
+    dedupe, re-truncate to k rows per group. Because the merge is
+    idempotent (re-merging the same values changes nothing — the
+    mergeable-summary property pinned in tests), checkpoint replays
+    converge to the same sketch: the exactly-once-by-construction shape
+    of ``stream_upsert_sink`` applied to sketch state. Distinct counts
+    and cross-group overlap stay queryable 24x7 from k rows per group
+    (``kmv_estimate`` / ``kmv_pairwise_overlap``) without ever rescanning
+    history — the streaming twin of the batch sketch queries.
+
+    Same crash-safety contract as ``stream_upsert_sink``: the merged
+    sketch stages through ``atomic_swap_write``, and a present-but-
+    unreadable table fails the batch instead of truncating state."""
+    import os
+
+    from unified_firmographic_data_pipeline_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from unified_firmographic_data_pipeline_spark.sources.catalog import (
+        atomic_swap_write,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sketch = kmv_sketch(batch_df, value_col, group_col=group_col, k=k)
+        if os.path.exists(table_path):
+            merged = kmv_merge(spark.read.parquet(table_path), batch_sketch, k=k)
+        else:
+            merged = batch_sketch
+        atomic_swap_write(merged, table_path)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
