@@ -3,9 +3,6 @@ the classic xy2d reference, the defining adjacency property Z-order
 lacks, plan linearity in bit depth (the CollapseProject trap), and a
 measured file-skipping comparison against Z-order on the same data."""
 
-import contextlib
-import io
-
 from pyspark.sql import functions as F
 
 from unified_firmographic_data_pipeline_spark.operators.hilbert import (
@@ -108,3 +105,43 @@ def test_hilbert_skipping_beats_zorder_on_range_scans(spark, tmp_path):
     # both multi-dim layouts prune: far fewer than all files on every probe
     for c, lo, hi in probes:
         assert files_touched(hs, c, lo, hi) <= 8, "hilbert must prune"
+
+
+def _d2xy(d: int, bits: int) -> tuple[int, int]:
+    """Inverse curve walk (Wikipedia d2xy) — test-only."""
+    x = y = 0
+    t = d
+    s = 1
+    while s < (1 << bits):
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def test_hilbert_reference_roundtrips_under_hypothesis():
+    """Property: d2xy(xy2d(x, y)) == (x, y) for arbitrary coordinates and
+    bit depths — the reference loop (and therefore the column/SQL twins
+    pinned equal to it) is a true bijection, not just grid-5-correct."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(2, 20), st.data())
+    def prop(bits, data):
+        n = 1 << bits
+        x = data.draw(st.integers(0, n - 1))
+        y = data.draw(st.integers(0, n - 1))
+        d = hilbert_index_py(x, y, bits)
+        assert 0 <= d < n * n
+        assert _d2xy(d, bits) == (x, y)
+
+    prop()
