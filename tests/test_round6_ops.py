@@ -260,3 +260,84 @@ def test_kmv_merge_equals_rebuild_and_is_idempotent(spark):
     assert merged == full
     self_merged = sorted(r["hv"] for r in kmv_merge(sa, sa, k=32).collect())
     assert self_merged == sorted(r["hv"] for r in sa.collect())
+
+
+def test_mutual_nearest_pairs_filters_one_directional_hubs(spark):
+    """A hub vector appears in many points' top-1 lists without those
+    points appearing in ITS top-k — the reciprocity gate must keep only
+    genuinely mutual pairs, canonical and deduped."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk_lsh,
+        mutual_nearest_pairs,
+    )
+
+    # 4-d: ids 1/2 are a tight mutual pair; ids 3,4,5 all point at hub 0
+    # as their nearest, but 0's top-1 is... make 0 closest to 6 (its twin)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # hub
+        (6, [0.99, 0.01, 0.0, 0.0]),    # hub's true twin (mutual with 0)
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.99, 0.01, 0.0]),    # mutual with 1
+        (3, [0.8, 0.0, 0.6, 0.0]),      # near hub, one-directional
+        (4, [0.8, 0.0, 0.0, 0.6]),      # near hub, one-directional
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(num_planes=2, dim=4, seed=7)  # coarse buckets: high recall
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_nearest_pairs(df, k=1, bucket_kwargs=kw).collect()
+    }
+    # with k=1 only true reciprocal nearest neighbors survive
+    topk = cosine_topk_lsh(df, df, k=1, **kw)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in topk.collect()}
+    expect = {
+        (min(a, b), max(a, b))
+        for a, b in top1.items()
+        if top1.get(b) == a
+    }
+    assert out == expect
+    assert (0, 6) in out and (1, 2) in out
+    # the one-directional hub attractions must NOT survive
+    assert not any(3 in p or 4 in p for p in out)
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    """Plant a two-component mixture with known m/u/p and verify EM
+    recovers the parameters from UNLABELED pairs: matches agree on both
+    fields ~always, unmatches ~never — a well-separated mixture EM must
+    nail within a few percent. Deterministic: fixed pairs, fixed init."""
+    import itertools
+
+    from unified_firmographic_data_pipeline_spark.operators.linkage import (
+        agreement_patterns,
+        fs_em_fit,
+        fs_em_parameters,
+    )
+
+    # 200 matched pairs: a1 agrees 95%, a2 agrees 90%
+    # 1800 unmatched pairs: a1 agrees 10%, a2 agrees 5%
+    rows = []
+    for i in range(200):
+        rows.append((i % 20 < 19, i % 10 < 9))
+    for i in range(1800):
+        rows.append((i % 10 == 0, i % 20 == 0))
+    df = spark.createDataFrame(rows, "a1 boolean, a2 boolean")
+
+    pats = agreement_patterns(df, ["a1", "a2"])
+    assert len(pats) <= 4 and sum(p[-1] for p in pats) == 2000
+    assert pats == sorted(pats), "patterns must be in sorted (replayable) order"
+
+    fit = fs_em_fit(pats, 2)
+    assert abs(fit["p"] - 0.1) < 0.04, fit
+    assert abs(fit["m"][0] - 0.95) < 0.08 and abs(fit["m"][1] - 0.90) < 0.08, fit
+    assert fit["u"][0] < 0.15 and fit["u"][1] < 0.10, fit
+
+    out = {r["field"]: r for r in fs_em_parameters(df, ["a1", "a2"]).collect()}
+    assert out["a1"]["weight_agree"] > 2.0, "agreement must carry positive evidence"
+    assert out["a1"]["weight_disagree"] < 0.0
+    assert out["a1"]["p"] == out["a2"]["p"]
+
+    # determinism: same inputs -> bit-identical parameters
+    again = {r["field"]: r for r in fs_em_parameters(df, ["a1", "a2"]).collect()}
+    for f in ("a1", "a2"):
+        assert out[f] == again[f]

@@ -1,0 +1,126 @@
+"""Unsupervised probabilistic record linkage: Fellegi-Sunter EM.
+
+The registered ``fellegi_sunter_weights`` query estimates per-field
+agreement probabilities from LABELED pairs (nation agreement as truth).
+Real entity-resolution runs have no labels — the standard answer is
+Winkler's EM fit of the Fellegi-Sunter mixture (Winkler 1988, "Using the
+EM algorithm for weight computation in the Fellegi-Sunter model"; Fellegi
+& Sunter 1969): candidate pairs are a two-component mixture (matches /
+unmatches) over binary field-agreement vectors, and EM recovers the
+mixture weight ``p`` and per-field ``m_i = P(agree_i | M)``,
+``u_i = P(agree_i | U)`` without any labels.
+
+Scale design (the k-means / BPE-argmax contract): the pair table is
+aggregated ONCE to its agreement PATTERNS — K binary fields give at most
+``2^K`` pattern rows regardless of pair count (one map-side-combinable
+groupBy) — and the EM fixed-point then runs driver-side over that bounded
+table. Driver work is pattern-space-sized, never pair-proportional; the
+cluster never re-scans pairs across iterations.
+
+Determinism (oracle-replay contract): patterns are iterated in SORTED
+pattern order and every accumulation is a sequential left-to-right fold,
+so a SQL engine replaying the same fold over the same sorted pattern list
+(DuckDB ``list_reduce``) reproduces the trajectory bit-for-bit — the same
+device the Hilbert and MMR oracles use. Fixed init, fixed iteration
+count, no randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def agreement_patterns(pairs: DataFrame, agree_cols: list[str]) -> list[tuple]:
+    """Aggregate candidate pairs to sorted (pattern..., n) tuples — the
+    bounded sufficient statistic EM runs on. One groupBy; ≤ 2^K rows
+    collected (K = len(agree_cols), small by construction)."""
+    if not agree_cols or len(agree_cols) > 16:
+        raise ValueError("agree_cols must name 1..16 binary agreement columns")
+    rows = (
+        pairs.groupBy(*[F.col(c).cast("int").alias(c) for c in agree_cols])
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return sorted((*(r[c] for c in agree_cols), int(r["n"])) for r in rows)
+
+
+def fs_em_fit(
+    patterns: list[tuple],
+    n_fields: int,
+    n_iter: int = 25,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> dict:
+    """Pure-Python EM fixed point over the sorted pattern table (tiny, so
+    this IS the reference implementation, not a shortcut — the Spark work
+    already happened in :func:`agreement_patterns`). Returns
+    ``{"p": float, "m": [..], "u": [..]}``."""
+    p, m, u = float(init_p), [float(init_m)] * n_fields, [float(init_u)] * n_fields
+    for _ in range(n_iter):
+        sw = 0.0          # Σ w·n
+        sn = 0.0          # Σ n
+        sma = [0.0] * n_fields  # Σ w·n·a_i
+        sua = [0.0] * n_fields  # Σ (1-w)·n·a_i
+        su = 0.0          # Σ (1-w)·n
+        for row in patterns:
+            a, n = row[:n_fields], float(row[n_fields])
+            pm, pu = p, 1.0 - p
+            for i in range(n_fields):
+                pm *= m[i] if a[i] else (1.0 - m[i])
+                pu *= u[i] if a[i] else (1.0 - u[i])
+            w = pm / (pm + pu)
+            sw += w * n
+            su += (1.0 - w) * n
+            sn += n
+            for i in range(n_fields):
+                if a[i]:
+                    sma[i] += w * n
+                    sua[i] += (1.0 - w) * n
+        # clamp away from the boundary (standard Winkler practice): on
+        # well-separated data EM happily drives m -> 1 / u -> 0, where the
+        # log-weights blow up and the next E-step divides by zero
+        eps = 1e-6
+        clamp = lambda v: min(1.0 - eps, max(eps, v))  # noqa: E731
+        p = clamp(sw / sn)
+        m = [clamp(sma[i] / sw) for i in range(n_fields)]
+        u = [clamp(sua[i] / su) for i in range(n_fields)]
+    return {"p": p, "m": m, "u": u}
+
+
+def fs_em_parameters(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    n_iter: int = 25,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> DataFrame:
+    """End-to-end unsupervised Fellegi-Sunter fit: pairs → pattern counts
+    (one Spark aggregation) → EM (driver, bounded) → the per-field weight
+    table ``(field, m, u, weight_agree, weight_disagree, p)`` with the
+    classic log2 match weights. ``p`` (the estimated match proportion)
+    repeats per row so the frame is self-contained."""
+    import math
+
+    spark: SparkSession = pairs.sparkSession
+    pats = agreement_patterns(pairs, agree_cols)
+    fit = fs_em_fit(pats, len(agree_cols), n_iter, init_p, init_m, init_u)
+    out = []
+    for i, c in enumerate(agree_cols):
+        mi, ui = fit["m"][i], fit["u"][i]
+        out.append(
+            (
+                c,
+                round(mi, 6),
+                round(ui, 6),
+                round(math.log2(mi / ui), 6),
+                round(math.log2((1.0 - mi) / (1.0 - ui)), 6),
+                round(fit["p"], 6),
+            )
+        )
+    return spark.createDataFrame(
+        out, "field string, m double, u double, weight_agree double, "
+        "weight_disagree double, p double"
+    )

@@ -737,3 +737,46 @@ def contrastive_triplets(
         (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
         "neg_rank",
     )
+
+
+def mutual_nearest_pairs(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_kwargs: dict | None = None,
+) -> DataFrame:
+    """Reciprocal (mutual) nearest-neighbor pairs: ``(id_a, id_b)`` where
+    b is in a's top-k cosine neighbors AND a is in b's — the standard
+    high-precision gate on top of raw similarity (used for translation
+    pair mining à la CCMatrix/LASER margin filtering, and as a stricter
+    dedup candidate filter: one-directional neighbors are often hub
+    artifacts; mutual ones are almost always true matches).
+
+    Plan shape: the top-k lists come from the hyperplane-LSH tier
+    (``cosine_topk_lsh`` — bucket equi-join, corpus never cross-joined),
+    then reciprocity is a self-join of the (query, neighbor) list on the
+    REVERSED key pair — top-k-bounded rows on both sides, one shuffle.
+    Canonical output: id_a < id_b, both directions' sims agree by
+    symmetry (the pair carries one ``cosine_sim``), distinct.
+
+    ``bucket_kwargs`` forwards (num_planes, dim, seed) to the LSH tier so
+    the candidate recall/precision point is the caller's choice; the
+    reciprocity gate itself is exact given the lists.
+    """
+    kw = bucket_kwargs or {}
+    topk = cosine_topk_lsh(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col, **kw)
+    fwd = topk.select("query_id", "neighbor_id", "cosine_sim")
+    rev = topk.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    mutual = fwd.join(rev, ["query_id", "neighbor_id"])
+    return (
+        mutual.select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+            "cosine_sim",
+        )
+        .distinct()
+    )
