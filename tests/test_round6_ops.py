@@ -341,3 +341,47 @@ def test_fs_em_recovers_planted_mixture(spark):
     again = {r["field"]: r for r in fs_em_parameters(df, ["a1", "a2"]).collect()}
     for f in ("a1", "a2"):
         assert out[f] == again[f]
+
+
+def test_kanonymity_report_and_generalization(spark):
+    """Constructed dataset with known equivalence classes: 2 QI columns,
+    one singleton class (k-violation), one class lacking sensitive
+    diversity. The report must count rows-at-risk (rows, not classes) and
+    the dropped-column search must rank the column whose removal saves
+    the most rows first."""
+    from unified_firmographic_data_pipeline_spark.quality.privacy import (
+        generalization_candidates,
+        kanonymity_classes,
+        kanonymity_report,
+    )
+
+    rows = (
+        # class (30, "x"): 3 rows, sensitive diverse
+        [(30, "x", "d1"), (30, "x", "d2"), (30, "x", "d3")]
+        # class (30, "y"): 3 rows, sensitive CONSTANT -> l-violation
+        + [(30, "y", "d1")] * 3
+        # class (40, "x"): singleton -> k-violation at k=2
+        + [(40, "x", "d2")]
+    )
+    df = spark.createDataFrame(rows, "age int, zip string, diag string")
+
+    cls = {
+        (r["age"], r["zip"]): (r["class_size"], r["l_distinct"])
+        for r in kanonymity_classes(df, ["age", "zip"], "diag").collect()
+    }
+    assert cls == {(30, "x"): (3, 3), (30, "y"): (3, 1), (40, "x"): (1, 1)}
+
+    rep = kanonymity_report(df, ["age", "zip"], k=2, sensitive_col="diag", l=2).collect()[0]
+    assert rep["k"] == 2 and rep["n_classes"] == 3 and rep["n_rows"] == 7
+    assert rep["min_class_size"] == 1 and not rep["is_k_anonymous"]
+    assert rep["classes_below_k"] == 1 and rep["rows_at_risk"] == 1
+    assert rep["min_l"] == 1 and rep["classes_below_l"] == 2
+    assert not rep["is_l_diverse"]
+
+    # dropping zip merges (40,x) into the age=40... no: age 40 stays a
+    # singleton on its own, but dropping AGE merges (40,"x") into "x" (4
+    # rows) -> zero rows at risk; dropping zip leaves age=40 a singleton
+    cand = [(r["dropped"], r["rows_at_risk"])
+            for r in generalization_candidates(df, ["age", "zip"], k=2).collect()]
+    assert cand[0] == ("age", 0), cand
+    assert ("zip", 1) in cand and ("(none)", 1) in cand

@@ -1,0 +1,94 @@
+"""Privacy audits for published / training datasets: k-anonymity and
+l-diversity over quasi-identifier combinations.
+
+A record is k-anonymous if at least ``k`` rows share its full
+quasi-identifier (QI) combination (Sweeney 2002); an equivalence class is
+l-diverse if its sensitive attribute takes at least ``l`` distinct values
+(Machanavajjhala et al. 2007). These are the standard release gates a
+data pipeline runs before publishing row-level extracts — and a
+PII-adjacent complement to the redaction pass in ``plans/pretrain.py``
+(redaction removes literal identifiers; these audits catch
+RE-identification risk from benign-looking column combinations).
+
+Scale shape: both audits are ONE map-side-combinable groupBy on the QI
+columns (the class axis is data-dependent but each class reduces to one
+row; the shuffle carries QI keys + counts only), plus a tiny summary
+aggregate. No self-joins, no windows over the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kanonymity_classes(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str | None = None
+) -> DataFrame:
+    """Equivalence classes of the quasi-identifier combination:
+    ``(*quasi_cols, class_size[, l_distinct])`` — one row per distinct QI
+    combination, with the sensitive attribute's distinct count when a
+    ``sensitive_col`` is given (exact; sensitive domains are small by
+    definition, so count_distinct's state is bounded per class)."""
+    aggs = [F.count("*").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("l_distinct"))
+    return df.groupBy(*quasi_cols).agg(*aggs)
+
+
+def kanonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int = 2,
+) -> DataFrame:
+    """One-row release-gate summary: is the dataset k-anonymous (every QI
+    class has >= k rows), how many rows/classes violate, the smallest
+    class (= the dataset's actual k), and — with a sensitive column — the
+    l-diversity counterpart. ``rows_at_risk`` is the number of ROWS in
+    violating classes (the re-identifiable population, the number a
+    release review asks for), not the class count."""
+    cls = kanonymity_classes(df, quasi_cols, sensitive_col)
+    aggs = [
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.count_if(F.col("class_size") < k).cast("long").alias("classes_below_k"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        (F.min("class_size") >= k).alias("is_k_anonymous"),
+    ]
+    if sensitive_col is not None:
+        aggs += [
+            F.min("l_distinct").cast("long").alias("min_l"),
+            F.count_if(F.col("l_distinct") < l).cast("long").alias("classes_below_l"),
+            (F.min("l_distinct") >= l).alias("is_l_diverse"),
+        ]
+    return cls.agg(*aggs).select(F.lit(k).cast("int").alias("k"), "*")
+
+
+def generalization_candidates(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Which single QI column, if DROPPED from the combination, yields the
+    largest reduction in at-risk rows — the first move of a
+    generalization search (full Incognito-style lattice search is a
+    policy decision; this emits the evidence). One groupBy per candidate
+    (|quasi_cols| bounded passes over the QI projection)."""
+    base = kanonymity_report(df, quasi_cols, k).select(
+        F.lit("(none)").alias("dropped"), "rows_at_risk"
+    )
+    outs = [base]
+    for c in quasi_cols:
+        rest = [q for q in quasi_cols if q != c]
+        outs.append(
+            kanonymity_report(df, rest, k).select(
+                F.lit(c).alias("dropped"), "rows_at_risk"
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.orderBy("rows_at_risk", "dropped")
