@@ -385,3 +385,64 @@ def test_kanonymity_report_and_generalization(spark):
             for r in generalization_candidates(df, ["age", "zip"], k=2).collect()]
     assert cand[0] == ("age", 0), cand
     assert ("zip", 1) in cand and ("(none)", 1) in cand
+
+
+def test_dominant_script_and_script_counts(spark):
+    from unified_firmographic_data_pipeline_spark.functions.scripts import (
+        dominant_script,
+        script_counts,
+    )
+
+    rows = [
+        (1, "hello world"),                       # latin
+        (2, "привет мир"),                        # cyrillic
+        (3, "你好世界你好"),                        # cjk
+        (4, "مرحبا بالعالم"),                      # arabic
+        (5, "γεια σου κόσμε"),                     # greek
+        (6, "こんにちは"),                          # kana
+        (7, "12345 !!!"),                          # no script chars -> und
+        (8, "hello мир мир"),                      # cyrillic 6 > latin 5
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", dominant_script("text").alias("s")).collect()
+    }
+    assert out == {
+        1: "latin", 2: "cyrillic", 3: "cjk", 4: "arabic", 5: "greek",
+        6: "kana", 7: "und", 8: "cyrillic", 9: None,
+    }
+    counts = df.filter(F.col("id") == 8).select(
+        *[c.alias(n) for n, c in script_counts("text").items()]
+    ).collect()[0]
+    assert counts["latin"] == 5 and counts["cyrillic"] == 6
+
+
+def test_mojibake_and_replacement_signals(spark):
+    from unified_firmographic_data_pipeline_spark.functions.scripts import (
+        mojibake_hits,
+        mojibake_score,
+        replacement_char_ratio,
+    )
+
+    rows = [
+        (1, "itâ€™s a test with Ã© and Ã¨ artifacts"),  # classic wrecks
+        (2, "perfectly clean text, no artifacts here"),
+        (3, "lossy �� transcode �"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["hits"], r["score"], r["rep"])
+        for r in df.select(
+            "id",
+            mojibake_hits("text").alias("hits"),
+            mojibake_score("text").alias("score"),
+            replacement_char_ratio("text").alias("rep"),
+        ).collect()
+    }
+    assert got[1][0] == 3 and got[1][1] > 0
+    assert got[2] == (0, 0.0, 0.0)
+    assert got[3][2] == 3 / len("lossy �� transcode �")
+    assert got[4] == (0, None, None)
