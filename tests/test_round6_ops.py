@@ -446,3 +446,61 @@ def test_mojibake_and_replacement_signals(spark):
     assert got[2] == (0, 0.0, 0.0)
     assert got[3][2] == 3 / len("lossy �� transcode �")
     assert got[4] == (0, None, None)
+
+
+def test_weighted_jaccard_exact_counts_repetition(spark):
+    """Multiset vs set Jaccard on constructed profiles: repetition must
+    matter (the set form calls doc 1 and 2 identical; the weighted form
+    must not), and the min/max identity must reproduce hand-computed
+    values exactly."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        weighted_jaccard_exact,
+    )
+
+    rows = [
+        (1, "the the the cat"),       # {the:3, cat:1}
+        (2, "the cat"),               # {the:1, cat:1}
+        (3, "the cat sat"),           # {the:1, cat:1, sat:1}
+        (4, "dog dog"),               # disjoint from 1-3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in weighted_jaccard_exact(df, threshold=0.0).collect()
+    }
+    # J_w(1,2) = (min(3,1)+min(1,1)) / (max(3,1)+max(1,1)) = 2/4
+    r12 = out[(1, 2)]
+    assert (r12["w_common"], r12["w_a"], r12["w_b"]) == (2, 4, 2)
+    assert r12["weighted_jaccard"] == 0.5
+    # J_w(2,3) = 2/3
+    assert out[(2, 3)]["weighted_jaccard"] == round(2 / 3, 6)
+    # disjoint docs never pair (inverted index, no cross product)
+    assert not any(4 in p for p in out)
+
+
+def test_multiset_minhash_estimates_weighted_jaccard(spark):
+    """The unary-expansion sketch: identical multisets estimate 1.0 with
+    zero error; distinct-but-overlapping profiles estimate within the
+    16-hash resolution (err is a multiple of 1/16, |err| well inside the
+    binomial envelope on this fixed corpus — deterministic, not flaky)."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        weighted_jaccard_estimate_vs_exact,
+    )
+
+    rows = [
+        (1, "alpha alpha beta gamma"),
+        (2, "alpha alpha beta gamma"),       # identical multiset -> J_w = 1
+        (3, "alpha beta beta gamma delta"),  # overlapping, different counts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in weighted_jaccard_estimate_vs_exact(df, threshold=0.1).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12["weighted_jaccard"] == 1.0 and r12["mh_est"] == 1.0 and r12["err"] == 0.0
+    r13 = out[(1, 3)]
+    # exact: min sums = alpha 1 + beta 1 + gamma 1 = 3; max = 2+2+1+1 = 6
+    assert r13["weighted_jaccard"] == 0.5
+    assert abs(r13["err"]) <= 0.25  # within 4/16 on a 16-hash sketch
+    assert round(r13["mh_est"] * 16) == r13["mh_est"] * 16  # multiple of 1/16

@@ -659,3 +659,142 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def multiset_token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document term-frequency multiset: ``(id, tok, cnt)`` — the
+    shared input of the exact and sketched weighted-Jaccard tiers. One
+    explode + one map-side-combinable groupBy."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def weighted_jaccard_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact weighted (multiset) Jaccard between term-frequency profiles:
+    ``J_w = Σ_t min(cnt_a, cnt_b) / Σ_t max(cnt_a, cnt_b)`` — the right
+    similarity when REPETITION matters: set Jaccard calls "the the the
+    cat" and "the cat" identical; the multiset form does not. Same
+    inverted-index shape as :func:`jaccard_pairs` (only token-sharing
+    pairs are generated, never the cross product) with the min/max
+    identity ``Σ max = |A| + |B| - Σ min`` so the non-shared tail of both
+    profiles never joins. With ``candidates`` only those pairs are scored
+    (the scale path behind an LSH/banding front).
+    Returns ``(id_a, id_b, w_common, w_a, w_b, weighted_jaccard)``."""
+    tf = multiset_token_counts(df, id_col, text_col)
+    sizes = tf.groupBy(id_col).agg(F.sum("cnt").cast("long").alias("__n"))
+    a, b = tf.alias("a"), tf.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.sum(F.least("a.cnt", "b.cnt")).cast("long").alias("w_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        common.join(sizes.withColumnsRenamed({id_col: "id_a", "__n": "w_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "__n": "w_b"}), "id_b")
+        .withColumn(
+            "weighted_jaccard",
+            F.round(
+                F.col("w_common").cast("double")
+                / (F.col("w_a") + F.col("w_b") - F.col("w_common")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return out.filter(F.col("weighted_jaccard") >= threshold).select(
+        "id_a", "id_b", "w_common", "w_a", "w_b", "weighted_jaccard"
+    )
+
+
+def multiset_minhash_signature_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash over the MULTISET via unary expansion: integer term counts
+    make weighted Jaccard exactly the set Jaccard of ``(token, k)`` pairs
+    for ``k = 1..cnt`` (each occurrence is its own element — the classic
+    reduction; Ioffe's CWS generalizes to real weights, which integer
+    term frequencies don't need). So the estimator machinery is plain
+    MinHash over the expanded element ``tok || '#' || k`` with the repo's
+    md5-permutation device — bit-replayable by a SQL oracle end to end.
+
+    Expansion cost is Σ cnt = the corpus token count, i.e. the same row
+    count the tokenizer explode already produced — NOT a blowup; counts
+    cap at document length by construction. Returns ``(id, h, m)`` rows
+    (num_hashes minima per document)."""
+    tf = multiset_token_counts(df, id_col, text_col)
+    expanded = tf.select(
+        F.col(id_col),
+        F.explode(F.expr("sequence(1, cnt)")).alias("k"),
+        "tok",
+    ).select(
+        id_col, F.concat(F.col("tok"), F.lit("#"), F.col("k")).alias("el")
+    )
+    h = expanded.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        "el",
+    )
+    return h.groupBy(id_col, "h").agg(
+        F.min(F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("el"))))
+        .alias("m")
+    )
+
+
+def weighted_jaccard_estimate_vs_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Calibration frame for the multiset sketch: exact weighted Jaccard
+    (pairs above ``threshold``) next to the MinHash estimate (matching
+    signature positions / num_hashes) and their signed error — the
+    multiset twin of :func:`minhash_estimate_vs_exact`. Estimate cost is
+    signature-sized (num_hashes rows per doc), pair generation is the
+    exact tier's inverted index."""
+    exact = weighted_jaccard_exact(df, id_col, text_col, threshold)
+    sig = multiset_minhash_signature_md5(df, id_col, text_col, num_hashes)
+    sa = sig.withColumnsRenamed({id_col: "id_a"})
+    sb = sig.withColumnsRenamed({id_col: "id_b", "m": "mb"})
+    est = (
+        exact.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(
+                F.count_if(F.col("m") == F.col("mb")).cast("double")
+                / F.lit(float(num_hashes)),
+                6,
+            ).alias("mh_est")
+        )
+    )
+    return exact.join(est, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "weighted_jaccard",
+        "mh_est",
+        F.round(F.col("mh_est") - F.col("weighted_jaccard"), 6).alias("err"),
+    )
