@@ -504,3 +504,45 @@ def test_multiset_minhash_estimates_weighted_jaccard(spark):
     assert r13["weighted_jaccard"] == 0.5
     assert abs(r13["err"]) <= 0.25  # within 4/16 on a 16-hash sketch
     assert round(r13["mh_est"] * 16) == r13["mh_est"] * 16  # multiple of 1/16
+
+
+def test_doctype_signals_and_router(spark):
+    from unified_firmographic_data_pipeline_spark.functions.doctype import (
+        classify_doctype,
+        delimiter_line_ratio,
+        ident_token_ratio,
+        symbol_density,
+    )
+
+    code = (
+        "def main(argv):\n"
+        "    result = compute_value(argv[0]);\n"
+        "    if result > THRESHOLD_MAX:\n"
+        "        return frob.nicate(result)\n"
+    )
+    prose = (
+        "The quick brown fox jumps over the lazy dog. It was a bright\n"
+        "cold day in April and the clocks were striking thirteen.\n"
+    )
+    table = (
+        "name | qty | price\n"
+        "apple | 3 | 1.20\n"
+        "pear | 5 | 0.99\n"
+    )
+    rows = [(1, code), (2, prose), (3, table), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            symbol_density("text").alias("sym"),
+            ident_token_ratio("text").alias("ident"),
+            delimiter_line_ratio("text").alias("delim"),
+            classify_doctype("text").alias("kind"),
+        ).collect()
+    }
+    assert out[1]["kind"] == "code" and out[1]["sym"] > 0.04
+    assert out[1]["ident"] > 0.15  # compute_value, THRESHOLD_MAX, frob.nicate...
+    assert out[2]["kind"] == "prose" and out[2]["sym"] < 0.02 and out[2]["ident"] == 0.0
+    assert out[3]["kind"] == "table" and out[3]["delim"] >= 0.5
+    assert out[4]["kind"] is None and out[5]["kind"] is None
