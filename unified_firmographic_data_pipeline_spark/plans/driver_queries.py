@@ -14451,6 +14451,779 @@ def categorical_psi_eventtypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "kanonymity_release_gate",
+    """
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+        FROM customer),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               CAST(COUNT(DISTINCT bal_bucket) AS BIGINT) AS l_distinct
+        FROM qi GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(5 AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(count_if(class_size < 5) AS BIGINT) AS classes_below_k,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           (MIN(class_size) >= 5) AS is_k_anonymous,
+           CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+           CAST(count_if(l_distinct < 2) AS BIGINT) AS classes_below_l,
+           (MIN(l_distinct) >= 2) AS is_l_diverse
+    FROM cls
+    """,
+)
+def kanonymity_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release gate (quality/privacy.py:
+    kanonymity_report; Sweeney 2002, Machanavajjhala et al. 2007): the
+    quasi-identifier combination (nation, market segment) must have >= 5
+    rows per equivalence class, and the sensitive account-balance bucket
+    must take >= 2 distinct values inside every class before a row-level
+    extract ships. One map-side-combinable groupBy on the QI keys plus a
+    1-row summary — no self-joins, no windows; at 100 TB the shuffle
+    carries QI keys + counts only. The oracle replays classes, both
+    violation counts and both boolean gates."""
+    from unified_firmographic_data_pipeline_spark.quality.privacy import (
+        kanonymity_report,
+    )
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return kanonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="bal_bucket", l=2
+    )
+
+
+@q(
+    "kanonymity_generalization_scan",
+    """
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+        FROM customer),
+    full_ AS (
+        SELECT '(none)' AS dropped,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk
+        FROM (SELECT COUNT(*) AS n FROM qi
+              GROUP BY c_nationkey, c_mktsegment, bal_bucket)),
+    d1 AS (
+        SELECT 'c_nationkey' AS dropped,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM qi GROUP BY c_mktsegment, bal_bucket)),
+    d2 AS (
+        SELECT 'c_mktsegment' AS dropped,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM qi GROUP BY c_nationkey, bal_bucket)),
+    d3 AS (
+        SELECT 'bal_bucket' AS dropped,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM qi GROUP BY c_nationkey, c_mktsegment))
+    SELECT * FROM full_ UNION ALL SELECT * FROM d1
+    UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+    """,
+)
+def kanonymity_generalization_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First move of a generalization search (quality/privacy.py:
+    generalization_candidates): for the 3-column QI combination
+    (nation, segment, balance bucket), which single column's removal
+    shrinks the re-identifiable population the most. |QI| bounded passes
+    over the QI projection, each one groupBy — evidence for the
+    Incognito-style lattice walk without running it. The oracle replays
+    all four at-risk populations."""
+    from unified_firmographic_data_pipeline_spark.quality.privacy import (
+        generalization_candidates,
+    )
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    return generalization_candidates(
+        c, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    ).select("dropped", "rows_at_risk")
+
+
+def _fs_em_w_sql() -> str:
+    """The per-pattern posterior w = pm / (pm + pu) for the 2-field EM
+    oracle, referencing the recursive CTE's (p, m1, m2, u1, u2) state and
+    the pattern element ``t`` = [a1, a2, n] — the same left-to-right
+    multiply order fs_em_fit uses (pm = p * f1 * f2)."""
+    pm = (
+        "(p * (CASE WHEN t[1] = 1 THEN m1 ELSE 1.0 - m1 END)"
+        " * (CASE WHEN t[2] = 1 THEN m2 ELSE 1.0 - m2 END))"
+    )
+    pu = (
+        "((1.0 - p) * (CASE WHEN t[1] = 1 THEN u1 ELSE 1.0 - u1 END)"
+        " * (CASE WHEN t[2] = 1 THEN u2 ELSE 1.0 - u2 END))"
+    )
+    return f"({pm} / ({pm} + {pu}))"
+
+
+_FS_W = _fs_em_w_sql()
+
+
+@q(
+    "fellegi_sunter_em_params",
+    f"""
+    WITH RECURSIVE
+    c AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               c_custkey // 50 AS blk
+        FROM customer),
+    pr AS (
+        SELECT CAST(x.c_mktsegment = y.c_mktsegment AS INT) AS a1,
+               CAST(x.bal_bucket = y.bal_bucket AS INT) AS a2
+        FROM c x JOIN c y ON x.blk = y.blk AND x.c_custkey < y.c_custkey),
+    pats AS (
+        SELECT list([CAST(a1 AS DOUBLE), CAST(a2 AS DOUBLE),
+                     CAST(n AS DOUBLE)] ORDER BY a1, a2) AS pl
+        FROM (SELECT a1, a2, COUNT(*) AS n FROM pr GROUP BY a1, a2)),
+    em AS (
+        SELECT 0 AS it, CAST(0.1 AS DOUBLE) AS p,
+               CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+               CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2
+        UNION ALL
+        SELECT it + 1,
+               least(1.0 - 1e-6, greatest(1e-6, acc[1] / acc[2])),
+               least(1.0 - 1e-6, greatest(1e-6, acc[3] / acc[1])),
+               least(1.0 - 1e-6, greatest(1e-6, acc[4] / acc[1])),
+               least(1.0 - 1e-6, greatest(1e-6, acc[5] / acc[7])),
+               least(1.0 - 1e-6, greatest(1e-6, acc[6] / acc[7]))
+        FROM em, pats, LATERAL (
+            SELECT list_reduce(
+                list_concat([[0, 0, 0, 0, 0, 0, 0]::DOUBLE[]], pl),
+                (a, t) -> [
+                    a[1] + {_FS_W} * t[3],
+                    a[2] + t[3],
+                    a[3] + CASE WHEN t[1] = 1
+                               THEN {_FS_W} * t[3] ELSE 0 END,
+                    a[4] + CASE WHEN t[2] = 1
+                               THEN {_FS_W} * t[3] ELSE 0 END,
+                    a[5] + CASE WHEN t[1] = 1
+                               THEN (1.0 - {_FS_W}) * t[3] ELSE 0 END,
+                    a[6] + CASE WHEN t[2] = 1
+                               THEN (1.0 - {_FS_W}) * t[3] ELSE 0 END,
+                    a[7] + (1.0 - {_FS_W}) * t[3]
+                ]) AS acc) l
+        WHERE it < 25),
+    fin AS (SELECT p, m1 AS m, m2, u1 AS u, u2 FROM em WHERE it = 25)
+    SELECT 'mktsegment' AS field, round(m, 6) AS m, round(u, 6) AS u,
+           round(log2(m / u), 6) AS weight_agree,
+           round(log2((1.0 - m) / (1.0 - u)), 6) AS weight_disagree,
+           round(p, 6) AS p
+    FROM fin
+    UNION ALL
+    SELECT 'bal_bucket', round(m2, 6), round(u2, 6),
+           round(log2(m2 / u2), 6),
+           round(log2((1.0 - m2) / (1.0 - u2)), 6), round(p, 6)
+    FROM fin
+    """,
+)
+def fellegi_sunter_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter fit (operators/linkage.py:
+    fs_em_parameters; Winkler 1988 EM for the 1969 mixture model) — the
+    labeled `fellegi_sunter_weights` query's production counterpart:
+    same bounded candidate blocks (custkey DIV 50), same two agreement
+    fields (market segment, balance bucket), but m/u/p are recovered by
+    25 EM iterations with NO match labels. Spark's one job is the
+    pattern aggregation (<= 2^K rows regardless of pair count — the
+    shuffle carries agreement bits only); the EM fixed point runs
+    driver-side over that bounded table as a sequential left fold in
+    sorted pattern order, which the oracle replays EXACTLY: a recursive
+    CTE iterates the same 25 steps, each a DuckDB list_reduce over the
+    same sorted pattern list with the same multiply/accumulate order and
+    the same 1e-6 boundary clamp — so every float op matches IEEE
+    bit-for-bit, not just the rounded tail."""
+    from unified_firmographic_data_pipeline_spark.operators.linkage import (
+        fs_em_parameters,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.col("c_custkey") / 50).cast("long").alias("blk"),
+    )
+    x, y = c.alias("x"), c.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.blk") == F.col("y.blk"))
+        & (F.col("x.c_custkey") < F.col("y.c_custkey")),
+    ).select(
+        (F.col("x.c_mktsegment") == F.col("y.c_mktsegment")).alias("a1"),
+        (F.col("x.bal_bucket") == F.col("y.bal_bucket")).alias("a2"),
+    )
+    out = fs_em_parameters(pairs, ["a1", "a2"], n_iter=25)
+    field = (
+        F.when(F.col("field") == "a1", F.lit("mktsegment"))
+        .otherwise(F.lit("bal_bucket"))
+        .alias("field")
+    )
+    return out.select(
+        field, "m", "u", "weight_agree", "weight_disagree", "p"
+    )
+
+
+@q(
+    "weighted_jaccard_pairs",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+              FROM documents WHERE doc_id < 100)
+        GROUP BY doc_id, tok),
+    sizes AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(least(a.cnt, b.cnt)) AS BIGINT) AS w_common
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, w_common, sa.n AS w_a, sb.n AS w_b,
+           round(CAST(w_common AS DOUBLE)
+                 / CAST(sa.n + sb.n - w_common AS DOUBLE), 6) AS weighted_jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(w_common AS DOUBLE)
+                / CAST(sa.n + sb.n - w_common AS DOUBLE), 6) >= 0.3
+    """,
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard near-dup pairs (operators/neardup.py:
+    weighted_jaccard_exact): J_w = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b)
+    over term-frequency profiles — the similarity that sees repetition
+    (set Jaccard calls 'the the the cat' and 'the cat' identical). Same
+    inverted-index shape as the set tier: only token-sharing pairs are
+    generated, and Σ max is recovered from the identity
+    Σmax = |A| + |B| - Σmin so the non-shared tail never joins. Bounded
+    doc subset by the registry convention; the oracle replays tf
+    profiles, the min-fold and the identity bit-for-bit."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        weighted_jaccard_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return weighted_jaccard_exact(d, threshold=0.3)
+
+
+@q(
+    "weighted_jaccard_mh_calibration",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+              FROM documents WHERE doc_id < 100)
+        GROUP BY doc_id, tok),
+    sizes AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(least(a.cnt, b.cnt)) AS BIGINT) AS w_common
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    exact_ AS (
+        SELECT id_a, id_b,
+               round(CAST(w_common AS DOUBLE)
+                     / CAST(sa.n + sb.n - w_common AS DOUBLE), 6)
+                   AS weighted_jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(w_common AS DOUBLE)
+                    / CAST(sa.n + sb.n - w_common AS DOUBLE), 6) >= 0.3),
+    expanded AS (
+        SELECT doc_id, tok || '#' || CAST(u.k AS VARCHAR) AS el
+        FROM tf, UNNEST(generate_series(1, cnt)) AS u(k)),
+    sig AS (
+        SELECT doc_id, g.h,
+               MIN(md5(CAST(g.h AS VARCHAR) || ':' || el)) AS m
+        FROM expanded, UNNEST(generate_series(0, 15)) AS g(h)
+        GROUP BY doc_id, g.h),
+    est AS (
+        SELECT e.id_a, e.id_b,
+               round(CAST(count_if(sa.m = sb.m) AS DOUBLE)
+                     / CAST(16.0 AS DOUBLE), 6) AS mh_est
+        FROM exact_ e
+        JOIN sig sa ON sa.doc_id = e.id_a
+        JOIN sig sb ON sb.doc_id = e.id_b AND sb.h = sa.h
+        GROUP BY 1, 2)
+    SELECT e.id_a, e.id_b, e.weighted_jaccard, est.mh_est,
+           round(est.mh_est - e.weighted_jaccard, 6) AS err
+    FROM exact_ e JOIN est ON est.id_a = e.id_a AND est.id_b = e.id_b
+    """,
+)
+def weighted_jaccard_mh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset-MinHash sketch audit (operators/neardup.py:
+    weighted_jaccard_estimate_vs_exact): integer term counts reduce
+    weighted Jaccard EXACTLY to set Jaccard over unary-expanded
+    ``(token, k<=tf)`` elements (each occurrence its own element; Ioffe's
+    CWS handles the real-weight general case these integer counts don't
+    need), so the standard md5-permutation MinHash estimates it. Exact
+    value, 16-hash estimate and signed error side by side per
+    above-threshold pair — the calibration a sketch deployment decision
+    reads. Expansion cost is the corpus token count (counts cap at doc
+    length), never a blowup; the oracle replays expansion, signatures
+    and the match-fraction estimate bit-for-bit."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        weighted_jaccard_estimate_vs_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return weighted_jaccard_estimate_vs_exact(d, threshold=0.3, num_hashes=16)
+
+
+@q(
+    "mutual_nn_pairs",
+    f"""
+    WITH planes(pid, p) AS (VALUES
+       {_lsh_planes_sql()}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bk AS (
+        SELECT vec_id,
+               SUM(CASE WHEN list_dot_product(e, p) > 0
+                        THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS bucket
+        FROM v, planes GROUP BY vec_id),
+    bv AS (SELECT v.vec_id, v.e, bk.bucket FROM v JOIN bk USING (vec_id)),
+    sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e) /
+                     (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim
+        FROM bv q JOIN bv c
+          ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+    topk AS (
+        SELECT query_id, neighbor_id, cosine_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC,
+                                                  neighbor_id) AS rn
+            FROM sc) WHERE rn <= 3),
+    mu AS (
+        SELECT a.query_id, a.neighbor_id, a.cosine_sim
+        FROM topk a JOIN topk b
+          ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id)
+    SELECT DISTINCT least(query_id, neighbor_id) AS id_a,
+                    greatest(query_id, neighbor_id) AS id_b, cosine_sim
+    FROM mu
+    """,
+)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor mining (operators/similarity.py:
+    mutual_nearest_pairs): pairs where each vector is in the OTHER's
+    top-3 cosine list — the high-precision gate behind
+    CCMatrix/LASER-style pair mining (one-directional neighbors are hub
+    artifacts; mutual ones are near-certain matches). Top-k lists come
+    from the hyperplane-LSH tier (bucket equi-join, never a cross join);
+    reciprocity is a self-join of the bounded top-k rows on the reversed
+    key. The oracle replays planes, buckets, per-query ranking AND the
+    reciprocity join; cosine symmetry makes the pair's single sim exact
+    from either direction."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        mutual_nearest_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mutual_nearest_pairs(e, k=3)
+
+
+def _hilbert_pts_sql() -> str:
+    """Shared quantized-point CTE for the Hilbert/Z layout queries: the
+    customer table projected onto a 256x256 grid (custkey mod, shifted
+    acctbal floor mod) — non-negative integers below 2^8 as the curve
+    contracts require."""
+    return """
+        SELECT c_custkey, c_custkey % 256 AS gx,
+               CAST(floor(c_acctbal + 1000) AS BIGINT) % 256 AS gy
+        FROM customer"""
+
+
+def _hilbert_expr_sql() -> str:
+    from unified_firmographic_data_pipeline_spark.operators.hilbert import hilbert_sql
+
+    return hilbert_sql("gx", "gy", bits=8)
+
+
+def _z8_expr_sql() -> str:
+    from unified_firmographic_data_pipeline_spark.operators.zorder import z_value_sql
+
+    return z_value_sql(["gx", "gy"], bits=8)
+
+
+@q(
+    "hilbert_locality_buckets",
+    f"""
+    WITH pts AS ({_hilbert_pts_sql()}),
+    hv AS (SELECT gx, gy, {_hilbert_expr_sql()} AS h FROM pts)
+    SELECT CAST(h // 4096 AS BIGINT) AS h_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gx) AS BIGINT) AS x_min, CAST(MAX(gx) AS BIGINT) AS x_max,
+           CAST(MIN(gy) AS BIGINT) AS y_min, CAST(MAX(gy) AS BIGINT) AS y_max,
+           CAST((MAX(gx) - MIN(gx) + 1) * (MAX(gy) - MIN(gy) + 1) AS BIGINT)
+               AS box_area
+    FROM hv GROUP BY 1
+    """,
+)
+def hilbert_locality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve bucket stats (operators/hilbert.py:with_hilbert —
+    the locality-tight sibling of `zorder_locality_buckets`): customers
+    quantized onto a 256x256 (custkey, acctbal) grid, Hilbert-indexed by
+    the classic bit-rotation loop (one narrow chained projection per bit
+    level — NOT one exponential expression tree; plan size is linear in
+    bits and the whole ladder fuses into a single WholeStageCodegen
+    span), then equal-width curve ranges report their min-max boxes —
+    exactly the per-file statistics a lakehouse scan prunes against. The
+    oracle replays every bit level through a DuckDB list_reduce fold
+    (`hilbert_sql`), so the curve VALUES are bit-verified, not just the
+    bucket counts. Integer-only end to end; one shuffle (the groupBy)."""
+    from unified_firmographic_data_pipeline_spark.operators.hilbert import with_hilbert
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 256).alias("gx"),
+        (F.floor(F.col("c_acctbal") + 1000).cast("long") % 256).alias("gy"),
+    )
+    hv = with_hilbert(c, "gx", "gy", bits=8, out="h")
+    return hv.groupBy(F.expr("h div 4096").alias("h_bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("gx").alias("x_min"),
+        F.max("gx").alias("x_max"),
+        F.min("gy").alias("y_min"),
+        F.max("gy").alias("y_max"),
+        ((F.max("gx") - F.min("gx") + 1) * (F.max("gy") - F.min("gy") + 1)).alias(
+            "box_area"
+        ),
+    )
+
+
+@q(
+    "layout_box_tightness_z_vs_hilbert",
+    f"""
+    WITH pts AS ({_hilbert_pts_sql()}),
+    hv AS (SELECT c_custkey, gx, gy, {_hilbert_expr_sql()} AS h FROM pts),
+    zv AS (SELECT c_custkey, gx, gy, ({_z8_expr_sql()}) AS z FROM pts),
+    hf AS (SELECT gx, gy, ntile(16) OVER (ORDER BY h, c_custkey) AS f FROM hv),
+    zf AS (SELECT gx, gy, ntile(16) OVER (ORDER BY z, c_custkey) AS f FROM zv),
+    boxes AS (
+        SELECT 'hilbert' AS layout, f,
+               (MAX(gx) - MIN(gx) + 1) * (MAX(gy) - MIN(gy) + 1) AS box
+        FROM hf GROUP BY f
+        UNION ALL
+        SELECT 'zorder', f,
+               (MAX(gx) - MIN(gx) + 1) * (MAX(gy) - MIN(gy) + 1)
+        FROM zf GROUP BY f)
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(box) AS BIGINT) AS total_box_area,
+           CAST(MAX(box) AS BIGINT) AS max_box_area
+    FROM boxes GROUP BY layout
+    """,
+)
+def layout_box_tightness_z_vs_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head data-skipping audit: the SAME quantized points laid
+    out in 16 equal-count files along the Z curve vs the Hilbert curve,
+    scored by the per-file min-max box area a scan would have to admit —
+    Hilbert's no-jump property should yield tighter boxes (smaller total
+    area = fewer false-positive file reads, forever, on every query).
+    Deterministic file assignment: ntile over (curve value, custkey).
+    The ntile window is single-partition by nature — this is a bounded
+    diagnostic SAMPLE audit; the production write path is
+    `cluster_by_hilbert`/`cluster_by_zorder`'s repartitionByRange sort,
+    which distributes. Integer-only; both curves bit-replayed by the
+    oracle."""
+    from unified_firmographic_data_pipeline_spark.operators.hilbert import with_hilbert
+    from unified_firmographic_data_pipeline_spark.operators.zorder import z_value
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 256).alias("gx"),
+        (F.floor(F.col("c_acctbal") + 1000).cast("long") % 256).alias("gy"),
+    )
+    hv = with_hilbert(c, "gx", "gy", bits=8, out="__curve")
+    zv = c.withColumn("__curve", z_value(["gx", "gy"], bits=8))
+    outs = []
+    for layout, df in (("hilbert", hv), ("zorder", zv)):
+        w = Window.orderBy("__curve", "c_custkey")
+        f = df.select("gx", "gy", F.ntile(16).over(w).alias("f"))
+        outs.append(
+            f.groupBy("f")
+            .agg(
+                (
+                    (F.max("gx") - F.min("gx") + 1) * (F.max("gy") - F.min("gy") + 1)
+                ).alias("box")
+            )
+            .select(F.lit(layout).alias("layout"), "box")
+        )
+    boxes = outs[0].unionByName(outs[1])
+    return boxes.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum("box").cast("long").alias("total_box_area"),
+        F.max("box").cast("long").alias("max_box_area"),
+    )
+
+
+#: deterministic multilingual prefixes grafted onto the (all-Latin)
+#: synthetic docs so the script router has real work at every sf — the
+#: driver data stays the input; the transformation is replayed verbatim by
+#: the oracle. Each prefix carries more in-script characters than the
+#: 20-char Latin tail it is paired with, so the intended script wins.
+_SCRIPT_MIX = (
+    ("cyrillic", "съешь же еще этих мягких французских булок "),
+    ("cjk", "中文文本去重质量评分流水线的测试文档语料库构建与相似检索 "),
+    ("greek", "γαζεες και μυρτιες δεν θα βρω πια στο χρυσαφι ξεφωτο "),
+    ("kana", "こんにちはせかいのみなさんおはようございます "),
+)
+
+
+def _script_mix_case_sql() -> str:
+    whens = "\n".join(
+        f"            WHEN doc_id % 5 = {i + 1} THEN '{txt}' || substr(text, 1, 20)"
+        for i, (_, txt) in enumerate(_SCRIPT_MIX)
+    )
+    return f"CASE\n{whens}\n            ELSE text END"
+
+
+def _script_counts_union_sql() -> str:
+    from unified_firmographic_data_pipeline_spark.functions.scripts import (
+        SCRIPT_RANGES,
+    )
+
+    parts = [
+        f"""SELECT doc_id,
+               '{name}' AS script,
+               CAST(length(txt) - length(regexp_replace(txt, '[{rng}]', '', 'g'))
+                    AS BIGINT) AS n
+        FROM mixed"""
+        for name, rng in SCRIPT_RANGES
+    ]
+    return "\n        UNION ALL\n        ".join(parts)
+
+
+@q(
+    "dominant_script_mix",
+    f"""
+    WITH mixed AS (
+        SELECT doc_id, {_script_mix_case_sql()} AS txt
+        FROM documents),
+    cn AS (
+        {_script_counts_union_sql()}),
+    best AS (
+        SELECT doc_id, script, n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, script DESC) AS rn
+        FROM cn),
+    dom AS (
+        SELECT doc_id,
+               CASE WHEN n >= 1 THEN script ELSE 'und' END AS script
+        FROM best WHERE rn = 1)
+    SELECT script, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dom GROUP BY script
+    """,
+)
+def dominant_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script routing (functions/scripts.py:dominant_script) —
+    the first decision of a multilingual pipeline: which writing system
+    is each document? Characters are counted per major script block with
+    one regexp_replace per block (pure JVM expressions, no explode, no
+    UDF) and the argmax script wins with a deterministic tiebreak. The
+    synthetic corpus is all-Latin, so four deterministic in-script
+    prefixes (doc_id mod 5) are grafted on BOTH sides — the oracle
+    replays the graft, all ten per-block counts and the argmax, so the
+    counting expressions themselves are bit-verified."""
+    from unified_firmographic_data_pipeline_spark.functions.scripts import (
+        dominant_script,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    for i, (_, prefix) in enumerate(_SCRIPT_MIX):
+        txt = F.when(
+            F.col("doc_id") % 5 == i + 1,
+            F.concat(F.lit(prefix), F.substring("text", 1, 20)),
+        ).otherwise(txt)
+    return (
+        d.select(dominant_script(txt).alias("script"))
+        .groupBy("script")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+#: deterministic encoding-corruption grafts: the classic UTF-8-as-Latin-1
+#: digraph wreckage (doc_id % 7 == 0) and the lossy-transcode U+FFFD
+#: tombstone (doc_id % 7 == 1); everything else stays clean.
+_MOJIBAKE_GRAFT = "Ã©Ã¨â€™Ã»Â«"
+_FFFD_GRAFT = "��"
+
+
+@q(
+    "mojibake_encoding_buckets",
+    f"""
+    WITH mixed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                        THEN substr(text, 1, 40) || '{_MOJIBAKE_GRAFT}'
+                    WHEN doc_id % 7 = 1
+                        THEN substr(text, 1, 60) || '{_FFFD_GRAFT}'
+                    ELSE text END AS txt
+        FROM documents),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '(Ã.|Â.|â€.)')) AS BIGINT)
+                   AS mojibake_hits,
+               CASE WHEN length(txt) > 0 THEN
+                   round(CAST(len(regexp_extract_all(txt, '(Ã.|Â.|â€.)'))
+                              AS DOUBLE) * 100.0
+                         / CAST(length(txt) AS DOUBLE), 6)
+               END AS mojibake_score,
+               CASE WHEN length(txt) > 0 THEN
+                   CAST(length(txt) - length(regexp_replace(txt, '{_FFFD_GRAFT[:1]}', '', 'g'))
+                        AS DOUBLE) / CAST(length(txt) AS DOUBLE)
+               END AS replacement_ratio
+        FROM mixed)
+    SELECT doc_id, mojibake_hits, mojibake_score, replacement_ratio,
+           CASE WHEN mojibake_hits > 0 THEN 'double_encoded'
+                WHEN replacement_ratio > 0 THEN 'lossy'
+                ELSE 'clean' END AS bucket
+    FROM sig
+    """,
+)
+def mojibake_encoding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption detection (functions/scripts.py:
+    mojibake_hits/mojibake_score/replacement_char_ratio): double-encoded
+    UTF-8 leaves Ã/Â/â€-class digraphs, lossy transcodes leave U+FFFD —
+    the two high-precision signals behind every web corpus's
+    encoding-garbage bucket. Deterministic grafts (doc_id mod 7) corrupt
+    a slice of the clean synthetic corpus on BOTH sides so each bucket
+    is populated; per-document signal values and the routing bucket are
+    all bit-replayed (the digraph alternatives are prefix-disjoint, so
+    Java and RE2 leftmost scans agree by construction)."""
+    from unified_firmographic_data_pipeline_spark.functions.scripts import (
+        mojibake_hits,
+        mojibake_score,
+        replacement_char_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    txt = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.substring("text", 1, 40), F.lit(_MOJIBAKE_GRAFT)),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.substring("text", 1, 60), F.lit(_FFFD_GRAFT)),
+        )
+        .otherwise(F.col("text"))
+    )
+    hits = mojibake_hits(txt)
+    repl = replacement_char_ratio(txt)
+    return d.select(
+        "doc_id",
+        hits.alias("mojibake_hits"),
+        mojibake_score(txt).alias("mojibake_score"),
+        repl.alias("replacement_ratio"),
+        F.when(hits > 0, F.lit("double_encoded"))
+        .when(repl > 0, F.lit("lossy"))
+        .otherwise(F.lit("clean"))
+        .alias("bucket"),
+    )
+
+
+@q(
+    "doctype_routing_mix",
+    f"""
+    WITH mixed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 1
+                        THEN regexp_replace(text, ' ', '(); ', 'g')
+                    WHEN doc_id % 3 = 2
+                        THEN regexp_replace(text, ' ', '|', 'g')
+                    ELSE text END AS txt
+        FROM documents),
+    sig AS (
+        SELECT doc_id, txt,
+               CASE WHEN length(txt) > 0 THEN
+                   round(CAST(length(txt) - length(regexp_replace(txt,
+                              '[{{}}();=<>\\[\\]]', '', 'g')) AS DOUBLE)
+                         / CAST(length(txt) AS DOUBLE), 6)
+               END AS sym,
+               CASE WHEN txt IS NOT NULL AND length(txt) > 0 THEN
+                   round(CAST(len(list_filter(string_split(txt, chr(10)),
+                              ln -> regexp_matches(ln,
+                                  '([|,\\t][^|,\\t\\n]*){{2}}[|,\\t]?')))
+                              AS DOUBLE)
+                         / CAST(len(string_split(txt, chr(10))) AS DOUBLE), 6)
+               END AS dlr,
+               CASE WHEN txt IS NOT NULL
+                         AND len(string_split(trim(regexp_replace(txt, '\\s+', ' ', 'g')), ' ')) > 0
+                         AND NOT (len(string_split(trim(regexp_replace(txt, '\\s+', ' ', 'g')), ' ')) = 1
+                                  AND string_split(trim(regexp_replace(txt, '\\s+', ' ', 'g')), ' ')[1] = '')
+               THEN
+                   round(CAST(len(regexp_extract_all(txt,
+                       '\\b(?:[a-z0-9]+_[a-z0-9_]+|[a-z]+[A-Z][A-Za-z0-9]*|[A-Za-z][A-Za-z0-9]*(?:\\.[A-Za-z][A-Za-z0-9]*)+|[A-Z0-9]+_[A-Z0-9_]+)\\b'))
+                              AS DOUBLE)
+                         / CAST(len(string_split(trim(regexp_replace(txt, '\\s+', ' ', 'g')), ' '))
+                                AS DOUBLE), 6)
+               END AS ident
+        FROM mixed),
+    routed AS (
+        SELECT CASE WHEN txt IS NULL OR length(txt) = 0 THEN NULL
+                    WHEN dlr >= 0.5 THEN 'table'
+                    WHEN sym >= 0.04 OR ident >= 0.15 THEN 'code'
+                    ELSE 'prose' END AS doctype,
+               sym, dlr
+        FROM sig)
+    SELECT doctype, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(sym) AS max_symbol_density,
+           MAX(dlr) AS max_delim_ratio
+    FROM routed GROUP BY doctype
+    """,
+)
+def doctype_routing_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-type routing (functions/doctype.py:classify_doctype):
+    code vs prose vs table, the coarse split that decides which per-type
+    pipeline a document enters (lexer-aware dedup for code, LM quality
+    scoring for prose, structure extraction for tables). Pure surface
+    statistics — symbol density, delimiter-line ratio, identifier-token
+    share — as JVM-side expressions; the transparent rule router is
+    auditable and fully SQL-replayable. Deterministic doc_id mod 3
+    rewrites turn slices of the synthetic prose into code-shaped and
+    table-shaped text on BOTH sides; the oracle replays every signal
+    AND the routing decision."""
+    from unified_firmographic_data_pipeline_spark.functions.doctype import (
+        classify_doctype,
+        delimiter_line_ratio,
+        symbol_density,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    txt = (
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.regexp_replace("text", " ", "(); "),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.regexp_replace("text", " ", "|"),
+        )
+        .otherwise(F.col("text"))
+    )
+    sel = d.select(
+        classify_doctype(txt).alias("doctype"),
+        symbol_density(txt).alias("sym"),
+        delimiter_line_ratio(txt).alias("dlr"),
+    )
+    return sel.groupBy("doctype").agg(
+        F.count("*").alias("n_docs"),
+        F.max("sym").alias("max_symbol_density"),
+        F.max("dlr").alias("max_delim_ratio"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
