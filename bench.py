@@ -297,6 +297,20 @@ HEADLINE = [
     "curriculum_interleave_head",
     "kmv_vocab_distinct_est",
     "kmv_vocab_source_overlap",
+    # round-6 late registrations (privacy, linkage-EM, multiset Jaccard,
+    # mutual-NN, Hilbert layout, script/encoding/doctype routing)
+    "kanonymity_release_gate",
+    "kanonymity_generalization_scan",
+    "fellegi_sunter_em_params",
+    "weighted_jaccard_pairs",
+    "weighted_jaccard_mh_calibration",
+    "mutual_nn_pairs",
+    "hilbert_locality_buckets",
+    "layout_box_tightness_z_vs_hilbert",
+    "dominant_script_mix",
+    "mojibake_encoding_buckets",
+    "doctype_routing_mix",
+    "entity_resolution_golden",
 ]
 
 

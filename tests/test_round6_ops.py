@@ -546,3 +546,71 @@ def test_doctype_signals_and_router(spark):
     assert out[2]["kind"] == "prose" and out[2]["sym"] < 0.02 and out[2]["ident"] == 0.0
     assert out[3]["kind"] == "table" and out[3]["delim"] >= 0.5
     assert out[4]["kind"] is None and out[5]["kind"] is None
+
+
+def test_entity_resolution_plan_planted_duplicates(spark):
+    """plans/entities.py end to end on a constructed roster: three feeds
+    of the same two companies (agreeing on every field) plus unrelated
+    records that share only the block. EM must separate them and the
+    golden pick must keep the best-ordered member."""
+    from unified_firmographic_data_pipeline_spark.plans.entities import (
+        candidate_pairs,
+        em_match_weights,
+        golden_records,
+        resolve_entities,
+    )
+
+    # block 0: ids 1-3 are one true entity (all three fields agree),
+    # ids 4-5 another (all agree), ids 6-9 unrelated filler records that
+    # disagree on everything; block 1 mirrors the filler so the EM's
+    # unmatch class has mass.
+    rows = [
+        (1, 0, "TECH", 7, 10, 900.0),
+        (2, 0, "TECH", 7, 10, 950.0),
+        (3, 0, "TECH", 7, 10, 920.0),
+        (4, 0, "RETAIL", 2, 4, 100.0),
+        (5, 0, "RETAIL", 2, 4, 300.0),
+        (6, 0, "AUTO", 1, 3, 10.0),
+        (7, 0, "ENERGY", 5, 8, 20.0),
+        (8, 0, "MEDIA", 9, 1, 30.0),
+        (9, 0, "FOOD", 4, 6, 40.0),
+    ] + [
+        (10 + i, 1, seg, i, i + 2, float(i))
+        for i, seg in enumerate(
+            ["AUTO", "ENERGY", "MEDIA", "FOOD", "TECH", "RETAIL", "BANK", "AIR"]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, blk long, seg string, nat long, bal long, score double"
+    )
+    fields = ["seg", "nat", "bal"]
+
+    pairs = candidate_pairs(df, "id", "blk", fields)
+    # 9 choose 2 + 8 choose 2 pairs, never cross-block
+    assert pairs.count() == 36 + 28
+    weights = em_match_weights(pairs, fields, n_iter=25)
+    for f in fields:
+        wa, wd = weights[f]
+        assert wa > 0 > wd, f"EM failed to separate m/u for {f}: {weights[f]}"
+
+    asg = {
+        r["id"]: r["entity_id"]
+        for r in resolve_entities(
+            df, "id", "blk", fields, threshold_micro=2_000_000
+        ).collect()
+    }
+    assert asg[1] == asg[2] == asg[3] == 1
+    assert asg[4] == asg[5] == 4
+    singles = [i for i in asg if i not in (1, 2, 3, 4, 5)]
+    assert all(asg[i] == i for i in singles)
+
+    g = golden_records(
+        df,
+        resolve_entities(df, "id", "blk", fields, threshold_micro=2_000_000),
+        "id",
+        [F.col("score").desc(), F.col("id").asc()],
+    )
+    got = {r["entity_id"]: (r["id"], r["n_members"]) for r in g.collect()}
+    assert got[1] == (2, 3)   # id 2 has the best score in the TECH entity
+    assert got[4] == (5, 2)   # id 5 wins the RETAIL entity
+    assert got[6] == (6, 1)   # singletons keep themselves

@@ -15224,6 +15224,167 @@ def doctype_routing_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_em_cte_sql(k: int, n_iter: int = 25) -> str:
+    """Generalized K-field EM recursive-CTE body (the 2-field device of
+    ``fellegi_sunter_em_params`` parameterized): expects a ``pats`` CTE
+    with one row whose ``pl`` is the sorted list of ``[a1..aK, n]``
+    DOUBLE lists, and emits the ``em`` CTE whose row at ``it = n_iter``
+    carries the EM state ``(p, m1..mK, u1..uK)``. The per-iteration
+    list_reduce fold matches ``operators/linkage.fs_em_fit``'s Python
+    fold op for op: same sorted pattern order, same left-to-right
+    multiply order in the posterior, same accumulator additions, same
+    1e-6 boundary clamp — the whole trajectory is IEEE-bit-exact."""
+    pm = " * ".join(
+        [f"p"]
+        + [f"(CASE WHEN t[{i}] = 1 THEN m{i} ELSE 1.0 - m{i} END)" for i in range(1, k + 1)]
+    )
+    pu = " * ".join(
+        [f"(1.0 - p)"]
+        + [f"(CASE WHEN t[{i}] = 1 THEN u{i} ELSE 1.0 - u{i} END)" for i in range(1, k + 1)]
+    )
+    w = f"(({pm}) / (({pm}) + ({pu})))"
+    n = f"t[{k + 1}]"
+    acc_len = 3 + 2 * k
+    init = ", ".join(["0"] * acc_len)
+    upd = [f"a[1] + {w} * {n}", f"a[2] + {n}"]
+    upd += [
+        f"a[{2 + i}] + CASE WHEN t[{i}] = 1 THEN {w} * {n} ELSE 0 END"
+        for i in range(1, k + 1)
+    ]
+    upd += [
+        f"a[{2 + k + i}] + CASE WHEN t[{i}] = 1 THEN (1.0 - {w}) * {n} ELSE 0 END"
+        for i in range(1, k + 1)
+    ]
+    upd.append(f"a[{acc_len}] + (1.0 - {w}) * {n}")
+    clamp = lambda e: f"least(1.0 - 1e-6, greatest(1e-6, {e}))"  # noqa: E731
+    nxt = [clamp("acc[1] / acc[2]")]
+    nxt += [clamp(f"acc[{2 + i}] / acc[1]") for i in range(1, k + 1)]
+    nxt += [clamp(f"acc[{2 + k + i}] / acc[{acc_len}]") for i in range(1, k + 1)]
+    head = ", ".join(
+        ["CAST(0.1 AS DOUBLE) AS p"]
+        + [f"CAST(0.9 AS DOUBLE) AS m{i}" for i in range(1, k + 1)]
+        + [f"CAST(0.1 AS DOUBLE) AS u{i}" for i in range(1, k + 1)]
+    )
+    nxt_sql = ",\n               ".join(nxt)
+    upd_sql = ",\n                    ".join(upd)
+    return f"""em AS (
+        SELECT 0 AS it, {head}
+        UNION ALL
+        SELECT it + 1,
+               {nxt_sql}
+        FROM em, pats, LATERAL (
+            SELECT list_reduce(
+                list_concat([[{init}]::DOUBLE[]], pl),
+                (a, t) -> [
+                    {upd_sql}
+                ]) AS acc) l
+        WHERE it < {n_iter})"""
+
+
+@q(
+    "entity_resolution_golden",
+    f"""
+    WITH RECURSIVE
+    c AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               c_custkey // 50 AS blk
+        FROM customer),
+    pr AS (
+        SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+               (x.c_mktsegment = y.c_mktsegment) AS g1,
+               (x.bal_bucket = y.bal_bucket) AS g2,
+               (x.c_nationkey = y.c_nationkey) AS g3
+        FROM c x JOIN c y ON x.blk = y.blk AND x.c_custkey < y.c_custkey),
+    pats AS (
+        SELECT list([CAST(a1 AS DOUBLE), CAST(a2 AS DOUBLE),
+                     CAST(a3 AS DOUBLE), CAST(n AS DOUBLE)]
+                    ORDER BY a1, a2, a3) AS pl
+        FROM (SELECT CAST(g1 AS INT) AS a1, CAST(g2 AS INT) AS a2,
+                     CAST(g3 AS INT) AS a3, COUNT(*) AS n
+              FROM pr GROUP BY 1, 2, 3)),
+    {_fs_em_cte_sql(3)},
+    wts AS (
+        SELECT CAST(round(log2(m1 / u1) * 1e6) AS BIGINT) AS wa1,
+               CAST(round(log2((1.0 - m1) / (1.0 - u1)) * 1e6) AS BIGINT) AS wd1,
+               CAST(round(log2(m2 / u2) * 1e6) AS BIGINT) AS wa2,
+               CAST(round(log2((1.0 - m2) / (1.0 - u2)) * 1e6) AS BIGINT) AS wd2,
+               CAST(round(log2(m3 / u3) * 1e6) AS BIGINT) AS wa3,
+               CAST(round(log2((1.0 - m3) / (1.0 - u3)) * 1e6) AS BIGINT) AS wd3
+        FROM em WHERE it = 25),
+    ed0 AS (
+        SELECT id_a, id_b FROM pr, wts
+        WHERE (CASE WHEN g1 THEN wa1 ELSE wd1 END)
+            + (CASE WHEN g2 THEN wa2 ELSE wd2 END)
+            + (CASE WHEN g3 THEN wa3 ELSE wd3 END) >= 3000000),
+    ed AS (SELECT id_a AS src, id_b AS dst FROM ed0
+           UNION SELECT id_b AS src, id_a AS dst FROM ed0),
+    tn AS (SELECT DISTINCT src AS node FROM ed),
+    reach AS (
+        SELECT node, node AS lbl FROM tn
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN ed e ON e.src = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    asg AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               COALESCE(comp.component, c.c_custkey) AS entity_id
+        FROM c LEFT JOIN comp ON comp.node = c.c_custkey),
+    g AS (
+        SELECT entity_id, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY entity_id
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY entity_id) AS n_members
+        FROM asg)
+    SELECT entity_id, CAST(n_members AS BIGINT) AS n_members,
+           c_custkey AS golden_custkey, c_acctbal AS golden_acctbal
+    FROM g WHERE rn = 1
+    """,
+)
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end probabilistic entity resolution (plans/entities.py) —
+    the scale generalization of the reference's exact-name company
+    unification (cr_company_complete.sql:47-51): blocked candidate pairs
+    (custkey DIV 50 — constant block size, linear pair fan-out) →
+    UNSUPERVISED Fellegi-Sunter EM weights over three agreement fields
+    (segment, balance bucket, nation) → integer micro-unit match scores
+    (no float crosses the engine boundary) → edges at score >= 3.0 bits
+    → min-label components → golden record per entity (best balance,
+    custkey tiebreak; the reference's keep-one window over EM-resolved
+    entities instead of exact name groups). The oracle replays ALL of
+    it: the 25-iteration EM trajectory (recursive CTE + list_reduce,
+    IEEE-bit-exact), the weight quantization, the integer threshold, the
+    transitive closure and the golden window."""
+    from unified_firmographic_data_pipeline_spark.plans.entities import (
+        golden_records,
+        resolve_entities,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.col("c_custkey") / 50).cast("long").alias("blk"),
+    )
+    asg = resolve_entities(
+        c,
+        "c_custkey",
+        "blk",
+        ["c_mktsegment", "bal_bucket", "c_nationkey"],
+        threshold_micro=3_000_000,
+    )
+    g = golden_records(
+        c, asg, "c_custkey", [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    )
+    return g.select(
+        "entity_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("c_custkey").alias("golden_custkey"),
+        F.col("c_acctbal").alias("golden_acctbal"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
