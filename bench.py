@@ -311,6 +311,9 @@ HEADLINE = [
     "mojibake_encoding_buckets",
     "doctype_routing_mix",
     "entity_resolution_golden",
+    "bigram_surprisal_scores",
+    "compaction_bin_plan",
+    "sequence_packing_plan",
 ]
 
 

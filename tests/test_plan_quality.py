@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     # 1-row corpus scalars (N, avgdl) broadcast into the idf table —
     # same scalar-subquery shape as tfidf_top_terms
     "bm25_query_scores",
+    # 1-row vocabulary-size scalar broadcast into the add-k denominator —
+    # same scalar-subquery shape as unigram_logprob_scores
+    "bigram_surprisal_scores",
     # 1-row wedge/degree totals x 1-row triangle count -> one summary row
     "triangle_stats_copurchase",
     # 1-row (n_days, total) broadcast into the per-day deviation expression

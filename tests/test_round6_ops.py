@@ -614,3 +614,82 @@ def test_entity_resolution_plan_planted_duplicates(spark):
     assert got[1] == (2, 3)   # id 2 has the best score in the TECH entity
     assert got[4] == (5, 2)   # id 5 wins the RETAIL entity
     assert got[6] == (6, 1)   # singletons keep themselves
+
+
+def test_bigram_surprisal_matches_hand_model(spark):
+    """operators/lm.py on a 3-doc corpus small enough to hand-compute:
+    train counts, add-k smoothing of seen/unseen bigrams, micro-quantized
+    sums and the perplexity proxy."""
+    import math
+
+    from unified_firmographic_data_pipeline_spark.operators.lm import (
+        bigram_counts,
+        doc_surprisal,
+        unigram_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b z"), (3, "a"), (5, "")], "doc_id long, text string"
+    )
+
+    bi = {(r["w1"], r["w2"]): r["c12"] for r in bigram_counts(train).collect()}
+    # train bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+    assert bi == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    uni = {r["w1"]: r["c1"] for r in unigram_counts(train).collect()}
+    # left-context counts: Σ_w2 c12(w1, w2) must equal c1(w1)
+    assert uni == {"a": 3, "b": 2}
+
+    out = {r["doc_id"]: r for r in doc_surprisal(score, train, k=0.5).collect()}
+    # docs with < 2 tokens have no bigrams and drop out entirely
+    assert set(out) == {1}
+    v = 2.0  # distinct left-context unigrams
+    lp_ab = math.log2((3 + 0.5) / (3 + 0.5 * v))   # seen bigram
+    lp_bz = math.log2((0 + 0.5) / (2 + 0.5 * v))   # unseen bigram, seen context
+    s_micro = round(lp_ab * 1e6) + round(lp_bz * 1e6)
+    r = out[1]
+    assert r["n_bigrams"] == 2
+    assert r["sum_logp_micro"] == s_micro
+    avg = s_micro / 2 / 1e6
+    assert r["avg_logp"] == round(avg, 6)
+    assert r["ppl_proxy"] == round(2.0 ** -avg, 6)
+    # the unseen bigram must be strictly more surprising than the seen one
+    assert lp_bz < lp_ab
+
+
+def test_ffd_compaction_pack_semantics(spark):
+    """operators/compaction.py: FFD ordering, first-fit probing in bin
+    creation order, oversized singleton bins, and the distributed
+    planner's agreement with the pure-Python reference."""
+    from unified_firmographic_data_pipeline_spark.operators.compaction import (
+        ffd_pack,
+        plan_compaction_bins,
+    )
+
+    # sizes 60, 50, 40, 30, 20 with cap 100:
+    #   60 -> bin1; 50 -> bin2; 40 -> bin1 (60+40=100); 30 -> bin2 (80);
+    #   20 -> bin2 (100)  => bins [(100, 2), (100, 3)]
+    sizes = [(1, 60), (2, 50), (3, 40), (4, 30), (5, 20)]
+    assert ffd_pack(sizes, cap=100) == [(100, 2), (100, 3)]
+    # oversized file gets its own bin, never splits
+    assert ffd_pack([(1, 250), (2, 10)], cap=100) == [(250, 1), (10, 1)]
+    # size ties probe in id order (deterministic permutation invariance)
+    assert ffd_pack([(2, 50), (1, 50), (3, 50)], cap=100) == [(100, 2), (50, 1)]
+
+    rows = [("p1", i, s) for i, s in enumerate([60, 50, 40, 30, 20])] + [
+        ("p2", 99, 250),
+        ("p2", 100, 10),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    got = {
+        (r["source"], r["bin_id"]): (r["bin_bytes"], r["n_files"])
+        for r in plan_compaction_bins(df, target_bytes=100).collect()
+    }
+    assert got == {
+        ("p1", 1): (100, 2),
+        ("p1", 2): (100, 3),
+        ("p2", 1): (250, 1),
+        ("p2", 2): (10, 1),
+    }

@@ -120,6 +120,12 @@ HEAVY = [
     "curriculum_interleave_head", # quality expr + by-domain window + TakeOrdered
     "kmv_vocab_distinct_est",     # bigram explode + distinct + k-min window
     "kmv_vocab_source_overlap",   # sketches + bounded pair axis
+    # round-6 late registrations
+    "mutual_nn_pairs",            # LSH top-k lists + reversed-key self-join
+    "entity_resolution_golden",   # blocked pairs + EM + components + window
+    "bigram_surprisal_scores",    # bigram model shuffle + broadcast score join
+    "compaction_bin_plan",        # per-partition FFD via applyInPandas
+    "weighted_jaccard_pairs",     # tf inverted index (bounded doc subset)
 ]
 
 

@@ -1,0 +1,154 @@
+"""N-gram language-model surprisal scoring — the CCNet/KenLM-style
+quality gate: score each document by its cross-entropy under a reference
+n-gram model; implausible token sequences (boilerplate soup, lorem-ipsum,
+SEO keyword stuffing, OCR wreckage) score high-surprisal even when they
+pass the cheap length/stopword heuristics in ``functions/scoring.py``.
+
+Public method (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", LREC 2020 — a KenLM 5-gram model's
+perplexity buckets web documents into head/middle/tail): this module
+implements the same decision with an add-k-smoothed bigram model trained
+inside the engine, so the whole loop (train counts -> score -> bucket) is
+Spark-native and SQL-replayable:
+
+- :func:`bigram_counts` / :func:`unigram_counts`: one explode over a
+  SLICED-array zip (bigrams come from ``arrays_zip(t[0:n-1], t[1:n-1])``
+  — expression-only, no position self-join) and a map-side-combinable
+  groupBy. Model size is vocab-shaped, not corpus-shaped; a
+  ``min_count`` prune keeps the scoring join's build side broadcastable.
+- :func:`doc_surprisal`: each scored document's bigrams LEFT-join the
+  model (absent bigram/unigram counts coalesce to 0 — add-k handles
+  unseen mass), per-bigram log2 probability
+  ``log2((c12 + k) / (c1 + k * V))`` is quantized to integer micro-units
+  at the row level (the repo's cross-engine-exact device,
+  ``driver_queries._dsum``), so the per-document SUM is integer-exact
+  and the final mean is one deterministic division on both engines.
+
+Scale shape: training is one shuffle on the bigram key; scoring is one
+equi-join against the (pruned, usually broadcast) model plus one
+doc-keyed aggregation. Nothing is corpus-quadratic; the vocabulary-size
+scalar V is a 1-row aggregate. At 100 TB you train on a sampled slice
+(the model converges long before the corpus ends) and score everything —
+exactly the CCNet deployment shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.functions.text import tokens
+
+
+def _bigram_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per in-document bigram, expression-only.
+
+    ``F.split`` never returns an empty array (``tokens('') == ['']``), so
+    docs with fewer than two real tokens simply produce an empty slice
+    and drop out at the explode; no special-casing."""
+    t = tokens(text_col)
+    n = F.size(t)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def bigram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus bigram table ``(w1, w2, c12)``; ``min_count`` prunes the
+    long tail so the scoring join's build side stays broadcastable."""
+    out = (
+        _bigram_rows(df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("c12") >= min_count)
+    return out
+
+
+def unigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus LEFT-context unigram table ``(w1, c1)`` — counts of tokens
+    in bigram-head position (= all but each doc's last token), which is
+    the correct add-k denominator: ``Σ_w2 c12(w1, w2) = c1(w1)``."""
+    return (
+        _bigram_rows(df, id_col, text_col)
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+
+
+def doc_surprisal(
+    score_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    min_count: int = 1,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document bigram cross-entropy under the train-corpus model:
+    ``(id, n_bigrams, sum_logp_micro, avg_logp, ppl_proxy)`` where
+    ``avg_logp`` is the mean add-k log2 probability and ``ppl_proxy`` is
+    ``2 ** -avg_logp``. Bigrams/contexts unseen in training coalesce to
+    count 0 — add-k assigns them the uniform floor ``k / (c1 + k V)``.
+
+    Every per-bigram log-probability is rounded to integer micro-units
+    BEFORE summing (floats re-associate across engines; integers don't),
+    making the document score bit-replayable by a SQL oracle. Docs with
+    fewer than two tokens have no bigrams and drop out (no NULL rows).
+    """
+    model_bi = bigram_counts(train_docs, id_col, text_col, min_count=min_count)
+    model_uni = unigram_counts(train_docs, id_col, text_col)
+    v = model_uni.agg(F.count("*").cast("long").alias("__v"))
+
+    bg = _bigram_rows(score_docs, id_col, text_col)
+    joined = (
+        bg.join(
+            F.broadcast(model_bi) if broadcast_model else model_bi,
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            F.broadcast(model_uni) if broadcast_model else model_uni,
+            ["w1"],
+            "left",
+        )
+        .crossJoin(F.broadcast(v))
+    )
+    logp: Column = F.log2(
+        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(float(k)))
+        / (
+            F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+            + F.lit(float(k)) * F.col("__v").cast("double")
+        )
+    )
+    per = joined.select(
+        id_col, F.round(logp * 1e6).cast("long").alias("__lp_micro")
+    )
+    agg = per.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("__lp_micro").cast("long").alias("sum_logp_micro"),
+    )
+    avg = (
+        F.col("sum_logp_micro").cast("double")
+        / F.col("n_bigrams").cast("double")
+        / F.lit(1e6)
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "sum_logp_micro",
+        F.round(avg, 6).alias("avg_logp"),
+        F.round(F.pow(F.lit(2.0), -avg), 6).alias("ppl_proxy"),
+    )

@@ -15385,6 +15385,197 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "bigram_surprisal_scores",
+    f"""
+    WITH tr AS (
+        SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE doc_id % 2 = 0),
+    trb AS (
+        SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+        FROM tr, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+    bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM trb GROUP BY 1, 2),
+    uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM trb GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    sc AS (
+        SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE doc_id % 2 = 1),
+    scb AS (
+        SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+        FROM sc, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+    lp AS (
+        SELECT doc_id,
+               CAST(round(log2(
+                   (CAST(COALESCE(bi.c12, 0) AS DOUBLE) + 0.5)
+                   / (CAST(COALESCE(uni.c1, 0) AS DOUBLE)
+                      + 0.5 * CAST(vv.v AS DOUBLE))) * 1e6) AS BIGINT) AS lpm
+        FROM scb
+        LEFT JOIN bi USING (w1, w2)
+        LEFT JOIN uni USING (w1), vv),
+    ag AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lpm) AS BIGINT) AS sum_logp_micro
+        FROM lp GROUP BY 1)
+    SELECT doc_id, n_bigrams, sum_logp_micro,
+           round(CAST(sum_logp_micro AS DOUBLE)
+                 / CAST(n_bigrams AS DOUBLE) / 1e6, 6) AS avg_logp,
+           round(pow(2.0, -(CAST(sum_logp_micro AS DOUBLE)
+                            / CAST(n_bigrams AS DOUBLE) / 1e6)), 6) AS ppl_proxy
+    FROM ag
+    """,
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM cross-entropy quality gate (operators/lm.py:
+    doc_surprisal; Wenzek et al. LREC 2020 — CCNet's KenLM perplexity
+    buckets, re-expressed with an engine-trained add-k bigram model):
+    even doc_ids train the model, odd doc_ids are scored. The SEQUENTIAL
+    step up from `unigram_logprob_scores`: a bag-of-words score can't
+    see scrambled word order or n-gram-implausible keyword stuffing; the
+    bigram cross-entropy can. Training is one bigram-key shuffle
+    (vocab-shaped, min_count-prunable); scoring is one equi-join against
+    the broadcast model + one doc-keyed aggregation; the vocabulary
+    scalar rides a 1-row broadcast cross join (the q11 scalar-subquery
+    shape). Per-bigram log2 probabilities are micro-rounded to integers
+    BEFORE summing, so the oracle replays counts, smoothing, quantized
+    sums, the mean and the perplexity proxy bit-for-bit."""
+    from unified_firmographic_data_pipeline_spark.operators.lm import doc_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return doc_surprisal(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        k=0.5,
+    )
+
+
+#: first-fit test reused four times inside the FFD fold (the bin encode is
+#: load * 1000 + file_count — integer-exact in doubles at any realistic
+#: load, decoded on output)
+_FFD_FIT = "list_transform(acc, x -> floor(x / 1000) + it[1] <= 1024.0)"
+
+
+@q(
+    "compaction_bin_plan",
+    f"""
+    WITH items AS (
+        SELECT source,
+               list(CAST(n_chars AS DOUBLE) ORDER BY n_chars DESC, doc_id) AS its
+        FROM documents GROUP BY source),
+    packed AS (
+        SELECT source,
+               list_reduce(
+                   list_concat([CAST([] AS DOUBLE[])],
+                               list_transform(its, s -> [s])),
+                   (acc, it) -> CASE
+                       WHEN COALESCE(list_position({_FFD_FIT}, true), 0) = 0
+                           THEN list_concat(acc, [it[1] * 1000 + 1])
+                       ELSE list_concat(
+                           list_concat(
+                               acc[1:list_position({_FFD_FIT}, true) - 1],
+                               [acc[list_position({_FFD_FIT}, true)]
+                                + it[1] * 1000 + 1]),
+                           list_slice(acc,
+                               list_position({_FFD_FIT}, true) + 1,
+                               len(acc)))
+                   END) AS bins
+        FROM items)
+    SELECT source, CAST(u.i AS INT) AS bin_id,
+           CAST(floor(bins[u.i] / 1000) AS BIGINT) AS bin_bytes,
+           CAST(bins[u.i] % 1000 AS BIGINT) AS n_files
+    FROM packed, UNNEST(generate_series(1, len(bins))) AS u(i)
+    """,
+)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style compaction planning (operators/compaction.py:
+    plan_compaction_bins; first-fit-decreasing, Johnson 1973): each
+    source partition's document inventory is packed into 1 KiB-target
+    rewrite bins. Packing is per-partition sequential by nature, so the
+    parallel unit is the partition — an Arrow-batched ``applyInPandas``
+    group per source (the sanctioned Python tier for inherently
+    iterative per-group logic), one shuffle total. Deterministic by the
+    (size DESC, id ASC) order + creation-order probing contract; the
+    oracle replays the ENTIRE fold per partition with list_reduce and
+    checks every bin's byte load and file count in creation order."""
+    from unified_firmographic_data_pipeline_spark.operators.compaction import (
+        plan_compaction_bins,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return plan_compaction_bins(d, target_bytes=1024)
+
+
+#: sequence-packing twin of _FFD_FIT: 512-token context windows
+_SEQ_FIT = "list_transform(acc, x -> floor(x / 1000) + it[1] <= 512.0)"
+
+
+@q(
+    "sequence_packing_plan",
+    f"""
+    WITH sized AS (
+        SELECT lang, doc_id,
+               CAST(CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                         THEN 0 ELSE len({_TOKENS_SQL}) END AS BIGINT) AS n_tok
+        FROM documents),
+    items AS (
+        SELECT lang, list(CAST(n_tok AS DOUBLE) ORDER BY n_tok DESC, doc_id) AS its
+        FROM sized WHERE n_tok > 0 AND n_tok <= 512 GROUP BY lang),
+    packed AS (
+        SELECT lang,
+               list_reduce(
+                   list_concat([CAST([] AS DOUBLE[])],
+                               list_transform(its, s -> [s])),
+                   (acc, it) -> CASE
+                       WHEN COALESCE(list_position({_SEQ_FIT}, true), 0) = 0
+                           THEN list_concat(acc, [it[1] * 1000 + 1])
+                       ELSE list_concat(
+                           list_concat(
+                               acc[1:list_position({_SEQ_FIT}, true) - 1],
+                               [acc[list_position({_SEQ_FIT}, true)]
+                                + it[1] * 1000 + 1]),
+                           list_slice(acc,
+                               list_position({_SEQ_FIT}, true) + 1,
+                               len(acc)))
+                   END) AS bins
+        FROM items)
+    SELECT lang, CAST(u.i AS INT) AS bin_id,
+           CAST(floor(bins[u.i] / 1000) AS BIGINT) AS seq_tokens,
+           CAST(bins[u.i] % 1000 AS BIGINT) AS n_docs,
+           CAST(512 - floor(bins[u.i] / 1000) AS BIGINT) AS pad_tokens
+    FROM packed, UNNEST(generate_series(1, len(bins))) AS u(i)
+    """,
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/compaction.py reused over
+    token counts — the GPT-style pack-documents-into-context-windows
+    step): documents that fit a 512-token window are FFD-packed per
+    language shard, and each output row is one training sequence with
+    its token load, member count and padding waste. Packing is the exact
+    bin-packing problem compaction solves, so the planner is the same
+    per-group Arrow-batched FFD; the economics it reports (pad_tokens)
+    is the number a pretraining budget review asks for — naive
+    one-doc-per-sequence padding wastes ~40% of FLOPs on real corpora
+    (cf. the published sequence-packing notes for T5/GPT-NeoX). Docs
+    over the window are chunked upstream (`token_window_chunks`), not
+    split here. The oracle replays the whole per-shard fold."""
+    from unified_firmographic_data_pipeline_spark.functions.text import token_count
+    from unified_firmographic_data_pipeline_spark.operators.compaction import (
+        plan_compaction_bins,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    d = d.filter((F.col("n_tok") > 0) & (F.col("n_tok") <= 512))
+    plan = plan_compaction_bins(
+        d, part_col="lang", id_col="doc_id", size_col="n_tok", target_bytes=512
+    )
+    return plan.select(
+        "lang",
+        "bin_id",
+        F.col("bin_bytes").alias("seq_tokens"),
+        F.col("n_files").alias("n_docs"),
+        (F.lit(512) - F.col("bin_bytes")).cast("long").alias("pad_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
