@@ -160,6 +160,29 @@ SHOWCASE = {
         "range-partitioned sort on (domain_rank, domain), never a "
         "single-reducer row-number."
     ),
+    "entity_resolution_golden": (
+        "End-to-end probabilistic ER: the candidate join is a same-block "
+        "equi-join (SortMergeJoin on blk — linear pair fan-out by the "
+        "constant-block-size contract); the EM fit consumed one "
+        "pattern-space aggregation driver-side, so the scoring stage is "
+        "pure integer expressions over the pair rows; the component "
+        "iteration is node-keyed joins over localCheckpointed labels; "
+        "the golden pick is one window per entity."
+    ),
+    "bigram_surprisal_scores": (
+        "LM scoring: bigram extraction is an in-scan sliced-array zip "
+        "(no position self-join), the model is vocab-shaped and enters "
+        "as BroadcastHashJoin build sides, the vocabulary scalar is the "
+        "allowlisted 1-row BroadcastNestedLoopJoin, and the document "
+        "score is one doc-keyed hash aggregation of integer micro-units."
+    ),
+    "compaction_bin_plan": (
+        "OPTIMIZE planning: one shuffle on the partition key feeds "
+        "FlatMapGroupsInPandas — the sanctioned Python tier for "
+        "inherently-sequential-per-group bin packing; thousands of "
+        "partitions pack concurrently, and the output is plan rows, "
+        "never data movement."
+    ),
 }
 
 
