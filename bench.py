@@ -314,6 +314,7 @@ HEADLINE = [
     "bigram_surprisal_scores",
     "compaction_bin_plan",
     "sequence_packing_plan",
+    "skipgram_pair_counts",
 ]
 
 

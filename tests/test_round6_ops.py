@@ -693,3 +693,31 @@ def test_ffd_compaction_pack_semantics(spark):
         ("p2", 1): (250, 1),
         ("p2", 2): (10, 1),
     }
+
+
+def test_skipgram_pairs_window_and_directions(spark):
+    """operators/lm.py:skipgram_pairs on 'a b c d': distance-1 and
+    distance-2 neighbors, both directions, correct counts."""
+    from unified_firmographic_data_pipeline_spark.operators.lm import skipgram_pairs
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    got = {(r["w"], r["c"]): r["n"] for r in skipgram_pairs(df, window=2).collect()}
+    expect = {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1, ("c", "b"): 1,
+        ("c", "d"): 1, ("d", "c"): 1,              # offset 1
+        ("a", "c"): 1, ("c", "a"): 1, ("b", "d"): 1, ("d", "b"): 1,  # offset 2
+    }
+    assert got == expect
+
+    # symmetry: the (w, c) table must equal its own transpose
+    df2 = spark.createDataFrame(
+        [(0, "x y x y x")], "doc_id long, text string"
+    )
+    got2 = {(r["w"], r["c"]): r["n"] for r in skipgram_pairs(df2, window=2).collect()}
+    assert all(got2[(a, b)] == got2[(b, a)] for (a, b) in got2)
+    # x sits at positions 1/3/5: x-x at distance 2 -> pairs (1,3),(3,5),
+    # both directions = 4; y-y at distance 2 -> (2,4) both directions = 2;
+    # x-y adjacency -> 4 ordered pairs each way
+    assert got2[("x", "x")] == 4
+    assert got2[("y", "y")] == 2
+    assert got2[("x", "y")] == got2[("y", "x")] == 4

@@ -60,11 +60,20 @@ def plan_compaction_bins(
     id_col: str = "doc_id",
     size_col: str = "n_chars",
     target_bytes: int = 1024,
+    max_files_per_partition: int = 100_000,
 ) -> DataFrame:
     """Compaction plan: one row per rewrite bin,
     ``(part_col, bin_id, bin_bytes, n_files)``, bins numbered in creation
     order per partition. One shuffle on the partition key; each group
-    packs independently in Arrow batches."""
+    packs independently in Arrow batches.
+
+    FFD is O(files x bins) PER PARTITION, so the scale contract is
+    incremental compaction: each run packs only the small files
+    accumulated since the last run (bounded inventory), partitions pack
+    in parallel. A partition inventory beyond ``max_files_per_partition``
+    raises loudly instead of packing quadratically — run compaction more
+    often or shard the partition (the ``cosine_topk_numpy`` max_queries
+    precedent: enforced bounds, not silent cliffs)."""
     part_t = files.schema[part_col].dataType.simpleString()
     schema = (
         f"{part_col} {part_t}, bin_id int, bin_bytes long, n_files long"
@@ -72,6 +81,13 @@ def plan_compaction_bins(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         part = pdf[part_col].iloc[0]
+        if len(pdf) > max_files_per_partition:
+            raise ValueError(
+                f"partition {part!r} has {len(pdf)} files > "
+                f"max_files_per_partition={max_files_per_partition}; FFD is "
+                "O(files x bins) per partition — compact more often or "
+                "shard the partition"
+            )
         bins = ffd_pack(
             list(zip(pdf[id_col].tolist(), pdf[size_col].tolist())),
             cap=target_bytes,

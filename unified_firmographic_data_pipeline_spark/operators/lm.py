@@ -152,3 +152,40 @@ def doc_surprisal(
         F.round(avg, 6).alias("avg_logp"),
         F.round(F.pow(F.lit(2.0), -avg), 6).alias("ppl_proxy"),
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Skip-gram (center, context) training pairs with corpus counts —
+    the word2vec data-generation step (Mikolov et al. 2013): every token
+    pairs with its neighbors at distance 1..window, both directions.
+
+    Expression-only: per offset, the (center, context) stream is one
+    ``arrays_zip`` of two shifted slices of the token array (the bigram
+    device generalized), all offsets concatenated and exploded in a
+    single pass — pair volume is ``2 * window * corpus_tokens``, linear
+    in the corpus, and the only shuffle is the (w, c) count. Mikolov's
+    frequent-word subsampling is a policy knob upstream (drop tokens by
+    a deterministic hash threshold before calling) — not baked in here.
+    Returns ``(w, c, n)`` with ``n >= min_count``."""
+    t = tokens(text_col)
+    n = F.size(t)
+    arrays = []
+    for off in range(1, window + 1):
+        ln = F.greatest(n - off, F.lit(0))
+        a = F.slice(t, 1, ln)
+        b = F.slice(t, 1 + off, ln)
+        arrays.append(F.arrays_zip(a.alias("w"), b.alias("c")))
+        arrays.append(F.arrays_zip(b.alias("w"), a.alias("c")))
+    pairs = df.select(F.explode(F.concat(*arrays)).alias("p")).select(
+        F.col("p.w").alias("w"), F.col("p.c").alias("c")
+    )
+    out = pairs.groupBy("w", "c").agg(F.count("*").cast("long").alias("n"))
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out

@@ -15576,6 +15576,43 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "skipgram_pair_counts",
+    f"""
+    WITH toks AS (SELECT {_TOKENS_SQL} AS t FROM documents),
+    pr AS (
+        SELECT t[u.i] AS w, t[u.i + 1] AS c
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        UNION ALL
+        SELECT t[u.i + 1], t[u.i]
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        UNION ALL
+        SELECT t[u.i], t[u.i + 2]
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        UNION ALL
+        SELECT t[u.i + 2], t[u.i]
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i))
+    SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair generation (operators/lm.py:
+    skipgram_pairs; Mikolov et al. 2013) — the word2vec/embedding-model
+    data step: every token pairs with its neighbors at distance 1..2 in
+    both directions, counted corpus-wide. Pair extraction is
+    expression-only (per offset, one arrays_zip of two shifted slices —
+    the bigram device generalized; all offsets concatenate into a single
+    explode), volume is 2·window·corpus_tokens (linear), and the only
+    shuffle is the vocab²-bounded (w, c) count. The oracle replays every
+    offset stream and the count gate."""
+    from unified_firmographic_data_pipeline_spark.operators.lm import skipgram_pairs
+
+    return skipgram_pairs(
+        _t(spark, sf_dir, "documents"), window=2, min_count=2
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
