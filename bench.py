@@ -315,6 +315,7 @@ HEADLINE = [
     "compaction_bin_plan",
     "sequence_packing_plan",
     "skipgram_pair_counts",
+    "entity_resolution_incremental",
 ]
 
 

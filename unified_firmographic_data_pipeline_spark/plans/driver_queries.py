@@ -15613,6 +15613,150 @@ def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared integer-score expression for the incremental-ER oracle
+_ER_SCORE = (
+    "(CASE WHEN g1 THEN wa1 ELSE wd1 END)"
+    " + (CASE WHEN g2 THEN wa2 ELSE wd2 END)"
+    " + (CASE WHEN g3 THEN wa3 ELSE wd3 END)"
+)
+
+
+@q(
+    "entity_resolution_incremental",
+    f"""
+    WITH RECURSIVE
+    c AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               c_custkey // 50 AS blk
+        FROM customer),
+    old_ AS (SELECT * FROM c WHERE c_custkey % 10 != 0),
+    new_ AS (SELECT * FROM c WHERE c_custkey % 10 = 0),
+    opr AS (
+        SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+               (x.c_mktsegment = y.c_mktsegment) AS g1,
+               (x.bal_bucket = y.bal_bucket) AS g2,
+               (x.c_nationkey = y.c_nationkey) AS g3
+        FROM old_ x JOIN old_ y
+          ON x.blk = y.blk AND x.c_custkey < y.c_custkey),
+    pats AS (
+        SELECT list([CAST(a1 AS DOUBLE), CAST(a2 AS DOUBLE),
+                     CAST(a3 AS DOUBLE), CAST(n AS DOUBLE)]
+                    ORDER BY a1, a2, a3) AS pl
+        FROM (SELECT CAST(g1 AS INT) AS a1, CAST(g2 AS INT) AS a2,
+                     CAST(g3 AS INT) AS a3, COUNT(*) AS n
+              FROM opr GROUP BY 1, 2, 3)),
+    {_fs_em_cte_sql(3)},
+    wts AS (
+        SELECT CAST(round(log2(m1 / u1) * 1e6) AS BIGINT) AS wa1,
+               CAST(round(log2((1.0 - m1) / (1.0 - u1)) * 1e6) AS BIGINT) AS wd1,
+               CAST(round(log2(m2 / u2) * 1e6) AS BIGINT) AS wa2,
+               CAST(round(log2((1.0 - m2) / (1.0 - u2)) * 1e6) AS BIGINT) AS wd2,
+               CAST(round(log2(m3 / u3) * 1e6) AS BIGINT) AS wa3,
+               CAST(round(log2((1.0 - m3) / (1.0 - u3)) * 1e6) AS BIGINT) AS wd3
+        FROM em WHERE it = 25),
+    oed0 AS (
+        SELECT id_a, id_b FROM opr, wts WHERE {_ER_SCORE} >= 3000000),
+    oed AS (SELECT id_a AS src, id_b AS dst FROM oed0
+            UNION SELECT id_b AS src, id_a AS dst FROM oed0),
+    otn AS (SELECT DISTINCT src AS node FROM oed),
+    oreach AS (
+        SELECT node, node AS lbl FROM otn
+        UNION
+        SELECT e.dst AS node, r.lbl FROM oreach r JOIN oed e ON e.src = r.node),
+    ocomp AS (SELECT node, MIN(lbl) AS component FROM oreach GROUP BY node),
+    landed AS (
+        SELECT o.c_custkey,
+               COALESCE(ocomp.component, o.c_custkey) AS entity_id
+        FROM old_ o LEFT JOIN ocomp ON ocomp.node = o.c_custkey),
+    npr AS (
+        SELECT DISTINCT
+               LEAST(x.c_custkey, y.c_custkey) AS id_a,
+               GREATEST(x.c_custkey, y.c_custkey) AS id_b,
+               (x.c_mktsegment = y.c_mktsegment) AS g1,
+               (x.bal_bucket = y.bal_bucket) AS g2,
+               (x.c_nationkey = y.c_nationkey) AS g3
+        FROM new_ x JOIN c y
+          ON x.blk = y.blk AND x.c_custkey <> y.c_custkey),
+    ned0 AS (
+        SELECT id_a, id_b FROM npr, wts WHERE {_ER_SCORE} >= 3000000),
+    mids AS (SELECT id_a AS id FROM ned0 UNION SELECT id_b FROM ned0),
+    anchors AS (
+        SELECT l.c_custkey AS src, l.entity_id AS dst
+        FROM landed l JOIN mids ON mids.id = l.c_custkey),
+    ged0 AS (
+        SELECT id_a AS src, id_b AS dst FROM ned0
+        UNION SELECT src, dst FROM anchors),
+    ged AS (SELECT src, dst FROM ged0
+            UNION SELECT dst AS src, src AS dst FROM ged0),
+    gtn AS (
+        SELECT c_custkey AS node FROM new_
+        UNION SELECT src FROM ged UNION SELECT dst FROM ged),
+    greach AS (
+        SELECT node, node AS lbl FROM gtn
+        UNION
+        SELECT e.dst AS node, r.lbl FROM greach r JOIN ged e ON e.src = r.node),
+    gcomp AS (SELECT node, MIN(lbl) AS component FROM greach GROUP BY node),
+    emap AS (
+        SELECT e.entity_id, g.component AS new_entity
+        FROM (SELECT DISTINCT entity_id FROM landed) e
+        JOIN gcomp g ON g.node = e.entity_id)
+    SELECT l.c_custkey, COALESCE(emap.new_entity, l.entity_id) AS entity_id
+    FROM landed l LEFT JOIN emap ON emap.entity_id = l.entity_id
+    UNION ALL
+    SELECT n.c_custkey, COALESCE(gcomp.component, n.c_custkey) AS entity_id
+    FROM new_ n LEFT JOIN gcomp ON gcomp.node = n.c_custkey
+    """,
+)
+def entity_resolution_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL entity resolution (plans/entities.py:
+    resolve_entities_incremental) — the nightly-append shape of
+    `entity_resolution_golden`, and the ER member of the repo's
+    incremental-index family (`lsh_incremental_candidates`,
+    `embedding_incremental_candidates`): customers with custkey % 10 == 0
+    play tonight's feed; the rest carry landed entity ids (replayed from
+    the old-only resolve). The increment's pairs join old ∪ new within
+    blocks ONLY through the new side — old x old never recomputes; pairs
+    score with the STORED EM weights (the model is versioned state, not
+    per-increment work); matched old records anchor to their entity ids
+    so min-label propagation attaches new records, merges bridged
+    entities and relabels them in one bounded iteration over TOUCHED
+    nodes. Pinned equal to the from-scratch resolve of the union under
+    shared weights (test_incremental_er_equals_full_batch). The oracle
+    replays the EM trajectory, the landed resolve, the increment join,
+    anchor edges, closure and relabeling — the full state machine."""
+    from unified_firmographic_data_pipeline_spark.plans.entities import (
+        candidate_pairs,
+        em_match_weights,
+        resolve_entities,
+        resolve_entities_incremental,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.col("c_custkey") / 50).cast("long").alias("blk"),
+    )
+    fields = ["c_mktsegment", "bal_bucket", "c_nationkey"]
+    old = c.filter(F.col("c_custkey") % 10 != 0)
+    new = c.filter(F.col("c_custkey") % 10 == 0)
+    weights = em_match_weights(candidate_pairs(old, "c_custkey", "blk", fields), fields)
+    landed = resolve_entities(
+        old, "c_custkey", "blk", fields, threshold_micro=3_000_000, weights=weights
+    )
+    return resolve_entities_incremental(
+        old.join(landed, "c_custkey"),
+        new,
+        "c_custkey",
+        "blk",
+        fields,
+        weights=weights,
+        threshold_micro=3_000_000,
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is

@@ -126,14 +126,18 @@ def resolve_entities(
     threshold_micro: int,
     n_iter: int = 25,
     max_iter: int = 60,
+    weights: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Full resolution: blocked pairs → EM weights → integer scores →
     edges at ``score_micro >= threshold_micro`` → min-label components.
     Returns ``(id_col, entity_id)`` for EVERY input record (singletons
     label themselves). ``max_iter`` bounds the component iteration; match
-    components cannot outgrow a block, so the default is generous."""
+    components cannot outgrow a block, so the default is generous.
+    Pass ``weights`` to score with a stored model instead of re-fitting
+    (the incremental contract — see :func:`resolve_entities_incremental`)."""
     pairs = candidate_pairs(records, id_col, block_col, fields)
-    weights = em_match_weights(pairs, fields, n_iter=n_iter)
+    if weights is None:
+        weights = em_match_weights(pairs, fields, n_iter=n_iter)
     scored = score_pairs_micro(pairs, fields, weights)
     edges = scored.filter(F.col("score_micro") >= threshold_micro).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -164,3 +168,103 @@ def golden_records(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def resolve_entities_incremental(
+    old_assigned: DataFrame,
+    new_records: DataFrame,
+    id_col: str,
+    block_col: str,
+    fields: list[str],
+    weights: dict[str, tuple[int, int]],
+    threshold_micro: int,
+    max_iter: int = 60,
+) -> DataFrame:
+    """Attach tonight's increment to the landed entity table WITHOUT
+    re-resolving old x old — the nightly-append shape the repo's
+    incremental LSH / embedding indexes use, applied to ER:
+
+    1. Candidate pairs are NEW-vs-(old ∪ new) only (same-block equi-join;
+       old x old pairs were previous runs' output and never recompute).
+    2. Pairs score with the STORED ``weights`` (no EM re-fit — the model
+       is versioned state, re-fit on a cadence, not per increment).
+    3. The match graph adds one ANCHOR EDGE per matched old record to its
+       entity id. Entity ids are min-member ids, so min-label propagation
+       over (new ids ∪ matched old ids ∪ their entity ids) yields exactly
+       the full-batch label: if a new record bridges two old entities,
+       the merged component's min is the min of both entity ids — the
+       same id a from-scratch resolve of the union would pick (pinned by
+       test: incremental == full batch under shared weights).
+    4. Old entities touched by a merge are RELABELED through an
+       (entity_id → component) map — a key-joined update of the landed
+       table, never an old x old recompute; untouched entities coalesce
+       through unchanged.
+
+    Returns the full post-increment assignment table ``(id, entity_id)``.
+    Component iteration runs over TOUCHED nodes only."""
+    rec_cols = [id_col, block_col, *fields]
+    all_recs = (
+        old_assigned.select(*rec_cols).unionByName(new_records.select(*rec_cols))
+    )
+    x = new_records.alias("x")
+    y = all_recs.alias("y")
+    cond = (F.col(f"x.{block_col}") == F.col(f"y.{block_col}")) & (
+        F.col(f"x.{id_col}") != F.col(f"y.{id_col}")
+    )
+    pairs = (
+        x.join(y, cond)
+        .select(
+            F.least(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"x.{id_col}"), F.col(f"y.{id_col}")).alias("id_b"),
+            *[
+                (F.col(f"x.{f}") == F.col(f"y.{f}")).alias(f"agree_{f}")
+                for f in fields
+            ],
+        )
+        .distinct()  # new-new pairs enter from both sides; agreement is symmetric
+    )
+    edges = score_pairs_micro(pairs, fields, weights).filter(
+        F.col("score_micro") >= threshold_micro
+    )
+    # anchor matched OLD nodes to their entity ids so min-label propagates
+    # the landed labels instead of re-deriving them from old x old edges
+    match_ids = (
+        edges.select(F.col("id_a").alias(id_col))
+        .unionByName(edges.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    old_matched = old_assigned.join(match_ids, id_col, "left_semi")
+    anchors = old_matched.select(
+        F.col(id_col).alias("src"), F.col("entity_id").alias("dst")
+    )
+    graph_edges = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(anchors)
+    nodes = (
+        new_records.select(F.col(id_col).alias("node"))
+        .unionByName(graph_edges.select(F.col("src").alias("node")))
+        .unionByName(graph_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comp = connected_components(nodes, graph_edges, max_iter=max_iter)
+
+    # entity_id -> merged component label (only for touched entities)
+    ent_map = comp.withColumnRenamed("node", "entity_id").withColumnRenamed(
+        "component", "__new_entity"
+    )
+    old_out = (
+        old_assigned.select(id_col, "entity_id")
+        .join(F.broadcast(ent_map), "entity_id", "left")
+        .select(
+            id_col,
+            F.coalesce("__new_entity", "entity_id").alias("entity_id"),
+        )
+    )
+    new_out = (
+        new_records.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("component", F.col(id_col)).alias("entity_id")
+        )
+    )
+    return old_out.unionByName(new_out)
