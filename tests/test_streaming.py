@@ -455,3 +455,73 @@ def test_stream_kmv_sketch_sink_converges_to_batch_sketch(spark, tmp_path):
     before = landed()
     run()
     assert landed() == before
+
+
+def test_stream_entity_attach_matches_batch(spark, tmp_path):
+    """Streaming entity attach (stream_entity_attach_sink) == the
+    from-scratch batch resolve of everything seen so far, after every
+    micro-batch — sequential increments compose; replay changes nothing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from unified_firmographic_data_pipeline_spark.plans.entities import (
+        resolve_entities,
+    )
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        stream_entity_attach_sink,
+    )
+
+    sch = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("blk", LongType()),
+            StructField("seg", StringType()),
+            StructField("nat", LongType()),
+        ]
+    )
+    src = str(tmp_path / "feed")
+    recs = str(tmp_path / "er_records")
+    asg = str(tmp_path / "er_assignments")
+    ckpt = str(tmp_path / "ckpt_er")
+    fields = ["seg", "nat"]
+    # stored model: agreement on both fields clears 2.0 bits, one misses
+    weights = {"seg": (1_500_000, -800_000), "nat": (1_200_000, -500_000)}
+
+    def run():
+        q = stream_entity_attach_sink(
+            spark.readStream.schema(sch).parquet(src),
+            recs, asg, checkpoint=ckpt,
+            id_col="id", block_col="blk", fields=fields,
+            weights=weights, threshold_micro=2_000_000,
+        )
+        q.awaitTermination()
+
+    def landed():
+        return {(r["id"], r["entity_id"]) for r in spark.read.parquet(asg).collect()}
+
+    def batch_equiv(rows):
+        df = spark.createDataFrame(rows, sch)
+        out = resolve_entities(
+            df, "id", "blk", fields, threshold_micro=2_000_000, weights=weights
+        )
+        return {(r["id"], r["entity_id"]) for r in out.collect()}
+
+    # batch 1: ids 5/7 match (same seg+nat in block 0); 9 is a singleton
+    b1 = [(5, 0, "T", 1), (7, 0, "T", 1), (9, 0, "R", 2)]
+    spark.createDataFrame(b1, sch).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert landed() == batch_equiv(b1) == {(5, 5), (7, 5), (9, 9)}
+
+    # batch 2: id 3 matches the existing {5,7} entity with a SMALLER id ->
+    # the landed entity must relabel to 3; id 8 attaches to 9's singleton
+    b2 = [(3, 0, "T", 1), (8, 0, "R", 2)]
+    spark.createDataFrame(b2, sch).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert landed() == batch_equiv(b1 + b2)
+    assert (5, 3) in landed() and (7, 3) in landed() and (8, 8) in landed()
+    assert (9, 8) in landed()  # 8 < 9: the new record becomes the min label
+
+    # replay with nothing new: checkpoint skips, state unchanged
+    before = landed()
+    run()
+    assert landed() == before
