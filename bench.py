@@ -316,6 +316,9 @@ HEADLINE = [
     "sequence_packing_plan",
     "skipgram_pair_counts",
     "entity_resolution_incremental",
+    "entity_survivorship_attributes",
+    "blocking_quality_audit",
+    "skipgram_negative_sampling_table",
 ]
 
 

@@ -48,6 +48,12 @@ BNLJ_ALLOWED = {
     # 1-row vocabulary-size scalar broadcast into the add-k denominator —
     # same scalar-subquery shape as unigram_logprob_scores
     "bigram_surprisal_scores",
+    # four 1-row pair-count aggregates cross-joined into one summary row —
+    # the funnel_click_signup_purchase shape
+    "blocking_quality_audit",
+    # 1-row normalizing-total broadcast into the vocab-sized distribution —
+    # same scalar-subquery shape as heavy_hitter_tokens
+    "skipgram_negative_sampling_table",
     # 1-row wedge/degree totals x 1-row triangle count -> one summary row
     "triangle_stats_copurchase",
     # 1-row (n_days, total) broadcast into the per-day deviation expression

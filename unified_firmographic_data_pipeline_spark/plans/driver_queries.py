@@ -15757,6 +15757,256 @@ def entity_resolution_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _er_asg_ctes() -> str:
+    """The entity-assignment CTE chain shared by the ER-family oracles
+    (the `entity_resolution_golden` pipeline up to the per-record
+    ``asg(c_custkey, c_acctbal, entity_id)`` table): blocked pairs → EM →
+    micro-weight scoring → closure → assignment."""
+    return f"""c AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               c_custkey // 50 AS blk
+        FROM customer),
+    pr AS (
+        SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+               (x.c_mktsegment = y.c_mktsegment) AS g1,
+               (x.bal_bucket = y.bal_bucket) AS g2,
+               (x.c_nationkey = y.c_nationkey) AS g3
+        FROM c x JOIN c y ON x.blk = y.blk AND x.c_custkey < y.c_custkey),
+    pats AS (
+        SELECT list([CAST(a1 AS DOUBLE), CAST(a2 AS DOUBLE),
+                     CAST(a3 AS DOUBLE), CAST(n AS DOUBLE)]
+                    ORDER BY a1, a2, a3) AS pl
+        FROM (SELECT CAST(g1 AS INT) AS a1, CAST(g2 AS INT) AS a2,
+                     CAST(g3 AS INT) AS a3, COUNT(*) AS n
+              FROM pr GROUP BY 1, 2, 3)),
+    {_fs_em_cte_sql(3)},
+    wts AS (
+        SELECT CAST(round(log2(m1 / u1) * 1e6) AS BIGINT) AS wa1,
+               CAST(round(log2((1.0 - m1) / (1.0 - u1)) * 1e6) AS BIGINT) AS wd1,
+               CAST(round(log2(m2 / u2) * 1e6) AS BIGINT) AS wa2,
+               CAST(round(log2((1.0 - m2) / (1.0 - u2)) * 1e6) AS BIGINT) AS wd2,
+               CAST(round(log2(m3 / u3) * 1e6) AS BIGINT) AS wa3,
+               CAST(round(log2((1.0 - m3) / (1.0 - u3)) * 1e6) AS BIGINT) AS wd3
+        FROM em WHERE it = 25),
+    ed0 AS (
+        SELECT id_a, id_b FROM pr, wts WHERE {_ER_SCORE} >= 3000000),
+    ed AS (SELECT id_a AS src, id_b AS dst FROM ed0
+           UNION SELECT id_b AS src, id_a AS dst FROM ed0),
+    tn AS (SELECT DISTINCT src AS node FROM ed),
+    reach AS (
+        SELECT node, node AS lbl FROM tn
+        UNION
+        SELECT e.dst AS node, r.lbl FROM reach r JOIN ed e ON e.src = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    asg AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.c_nationkey,
+               COALESCE(comp.component, c.c_custkey) AS entity_id
+        FROM c LEFT JOIN comp ON comp.node = c.c_custkey)"""
+
+
+@q(
+    "entity_survivorship_attributes",
+    f"""
+    WITH RECURSIVE
+    {_er_asg_ctes()},
+    base AS (
+        SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(c_acctbal) AS c_acctbal_survived
+        FROM asg GROUP BY entity_id),
+    seg_mode AS (
+        SELECT entity_id, c_mktsegment AS c_mktsegment_survived FROM (
+            SELECT entity_id, c_mktsegment,
+                   row_number() OVER (PARTITION BY entity_id
+                                      ORDER BY COUNT(*) DESC, c_mktsegment)
+                       AS rn
+            FROM asg GROUP BY entity_id, c_mktsegment) WHERE rn = 1),
+    nat_mode AS (
+        SELECT entity_id, c_nationkey AS c_nationkey_survived FROM (
+            SELECT entity_id, c_nationkey,
+                   row_number() OVER (PARTITION BY entity_id
+                                      ORDER BY COUNT(*) DESC, c_nationkey)
+                       AS rn
+            FROM asg GROUP BY entity_id, c_nationkey) WHERE rn = 1)
+    SELECT b.entity_id, b.n_members, b.c_acctbal_survived,
+           s.c_mktsegment_survived, nt.c_nationkey_survived
+    FROM base b
+    JOIN seg_mode s ON s.entity_id = b.entity_id
+    JOIN nat_mode nt ON nt.entity_id = b.entity_id
+    """,
+)
+def entity_survivorship_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTE-level survivorship over the EM-resolved entities
+    (plans/entities.py:survivorship) — the MDM step after matching:
+    where `entity_resolution_golden` keeps one whole row, master-data
+    practice picks each attribute independently (most frequent segment
+    and nation with deterministic smallest-value tiebreaks, best account
+    balance). One count agg + one entity-keyed window per mode column —
+    never a global window. The oracle replays the full resolution chain
+    AND every survivorship rule."""
+    from unified_firmographic_data_pipeline_spark.plans.entities import (
+        resolve_entities,
+        survivorship,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.col("c_custkey") / 50).cast("long").alias("blk"),
+    )
+    fields = ["c_mktsegment", "bal_bucket", "c_nationkey"]
+    asg = resolve_entities(
+        c, "c_custkey", "blk", fields, threshold_micro=3_000_000
+    )
+    return survivorship(
+        c,
+        asg,
+        "c_custkey",
+        mode_cols=["c_mktsegment", "c_nationkey"],
+        max_cols=["c_acctbal"],
+    ).select(
+        "entity_id",
+        "n_members",
+        "c_acctbal_survived",
+        "c_mktsegment_survived",
+        "c_nationkey_survived",
+    )
+
+
+@q(
+    "blocking_quality_audit",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_custkey // 50 AS blk FROM customer),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    per_blk AS (SELECT blk, COUNT(*) AS m FROM c GROUP BY blk),
+    per_nat AS (SELECT c_nationkey, COUNT(*) AS m FROM c GROUP BY c_nationkey),
+    per_both AS (
+        SELECT blk, c_nationkey, COUNT(*) AS m
+        FROM c GROUP BY blk, c_nationkey),
+    agg AS (
+        SELECT
+            (SELECT n * (n - 1) // 2 FROM nb) AS total_pairs,
+            (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) FROM per_blk)
+                AS blocked_pairs,
+            (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) FROM per_nat)
+                AS true_pairs,
+            (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) FROM per_both)
+                AS blocked_true_pairs)
+    SELECT total_pairs, blocked_pairs, true_pairs, blocked_true_pairs,
+           round(1.0 - CAST(blocked_pairs AS DOUBLE)
+                       / CAST(total_pairs AS DOUBLE), 6) AS reduction_ratio,
+           round(CAST(blocked_true_pairs AS DOUBLE)
+                 / CAST(true_pairs AS DOUBLE), 6) AS pairs_completeness
+    FROM agg
+    """,
+)
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (Christen, "Data Matching", 2012, ch.7:
+    reduction ratio + pairs completeness) for the ER family's custkey
+    DIV 50 blocks against the nation-agreement truth convention — the
+    audit that decides whether a blocking key is safe BEFORE any pair
+    ever materializes: every metric derives from GROUP COUNTS
+    (Σ m·(m-1)/2 per block / per truth class / per intersection), so the
+    audit costs three aggregations at any scale, never a pair join. One
+    summary row; the oracle replays all four pair counts and both
+    ratios."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_custkey") / 50).cast("long").alias("blk"),
+    )
+
+    def pair_sum(df, *keys):
+        per = df.groupBy(*keys).agg(F.count("*").alias("m"))
+        return per.agg(
+            F.sum(F.expr("m * (m - 1) DIV 2")).cast("long").alias("p")
+        )
+
+    n = c.agg(F.count("*").alias("n")).select(
+        F.expr("n * (n - 1) DIV 2").cast("long").alias("total_pairs")
+    )
+    blocked = pair_sum(c, "blk").withColumnRenamed("p", "blocked_pairs")
+    true_p = pair_sum(c, "c_nationkey").withColumnRenamed("p", "true_pairs")
+    both = pair_sum(c, "blk", "c_nationkey").withColumnRenamed(
+        "p", "blocked_true_pairs"
+    )
+    row = (
+        n.crossJoin(F.broadcast(blocked))
+        .crossJoin(F.broadcast(true_p))
+        .crossJoin(F.broadcast(both))
+    )
+    return row.select(
+        "total_pairs",
+        "blocked_pairs",
+        "true_pairs",
+        "blocked_true_pairs",
+        F.round(
+            1.0
+            - F.col("blocked_pairs").cast("double")
+            / F.col("total_pairs").cast("double"),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(
+            F.col("blocked_true_pairs").cast("double")
+            / F.col("true_pairs").cast("double"),
+            6,
+        ).alias("pairs_completeness"),
+    )
+
+
+@q(
+    "skipgram_negative_sampling_table",
+    f"""
+    WITH uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+        GROUP BY tok),
+    pw AS (
+        SELECT tok, c,
+               CAST(round(pow(CAST(c AS DOUBLE), 0.75) * 1e6) AS BIGINT)
+                   AS w_micro
+        FROM uni),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS t FROM pw)
+    SELECT tok, c, w_micro,
+           round(CAST(w_micro AS DOUBLE) / CAST(t AS DOUBLE), 9)
+               AS neg_weight
+    FROM pw, tot
+    """,
+)
+def skipgram_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling distribution (Mikolov et al. 2013:
+    unigram counts raised to the 3/4 power, normalized) — the companion
+    table `skipgram_pair_counts` trains against. Vocab-shaped; the
+    pow(c, 0.75) values are micro-quantized to integers BEFORE the
+    normalizing sum (the _dsum device) so the distribution is bit-exact
+    across engines; the total rides a 1-row broadcast."""
+    from unified_firmographic_data_pipeline_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pw = uni.withColumn(
+        "w_micro",
+        F.round(F.pow(F.col("c").cast("double"), F.lit(0.75)) * 1e6).cast("long"),
+    )
+    tot = pw.agg(F.sum("w_micro").cast("long").alias("t"))
+    return pw.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c",
+        "w_micro",
+        F.round(
+            F.col("w_micro").cast("double") / F.col("t").cast("double"), 9
+        ).alias("neg_weight"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is

@@ -268,3 +268,42 @@ def resolve_entities_incremental(
         )
     )
     return old_out.unionByName(new_out)
+
+
+def survivorship(
+    records: DataFrame,
+    assignments: DataFrame,
+    id_col: str,
+    mode_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+) -> DataFrame:
+    """ATTRIBUTE-level survivorship — the MDM complement of
+    :func:`golden_records`: where golden keeps one whole ROW, real master
+    data picks each attribute independently (Talend/Informatica-style
+    survivorship rules): the most frequent value per entity for
+    categorical columns (``mode_cols``, ties break to the smallest
+    value — deterministic), the max/min for ``max_cols``/``min_cols``.
+
+    One count aggregation + one window per mode column (entity-keyed,
+    never global) and a single agg for the max/min columns; all
+    entity-keyed shuffles. Returns one row per entity:
+    ``(entity_id, n_members, <col>_survived...)``."""
+    joined = records.join(assignments, id_col)
+    base = joined.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        *[F.max(c).alias(f"{c}_survived") for c in (max_cols or [])],
+        *[F.min(c).alias(f"{c}_survived") for c in (min_cols or [])],
+    )
+    for c in mode_cols or []:
+        counts = joined.groupBy("entity_id", c).agg(F.count("*").alias("__n"))
+        w = Window.partitionBy("entity_id").orderBy(
+            F.col("__n").desc(), F.col(c).asc()
+        )
+        mode = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("entity_id", F.col(c).alias(f"{c}_survived"))
+        )
+        base = base.join(mode, "entity_id")
+    return base
