@@ -319,6 +319,8 @@ HEADLINE = [
     "entity_survivorship_attributes",
     "blocking_quality_audit",
     "skipgram_negative_sampling_table",
+    "fs_pattern_posteriors",
+    "er_threshold_sweep",
 ]
 
 

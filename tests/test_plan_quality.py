@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
     # 1-row normalizing-total broadcast into the vocab-sized distribution —
     # same scalar-subquery shape as heavy_hitter_tokens
     "skipgram_negative_sampling_table",
+    # 3-row literal threshold axis broadcast onto the scored pairs —
+    # the bounded-axis sweep shape (neardup_threshold_sweep)
+    "er_threshold_sweep",
     # 1-row wedge/degree totals x 1-row triangle count -> one summary row
     "triangle_stats_copurchase",
     # 1-row (n_days, total) broadcast into the per-day deviation expression

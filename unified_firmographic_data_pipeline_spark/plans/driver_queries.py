@@ -16007,6 +16007,189 @@ def skipgram_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@q(
+    "fs_pattern_posteriors",
+    f"""
+    WITH RECURSIVE
+    c AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               c_custkey // 50 AS blk
+        FROM customer),
+    pr AS (
+        SELECT (x.c_mktsegment = y.c_mktsegment) AS g1,
+               (x.bal_bucket = y.bal_bucket) AS g2,
+               (x.c_nationkey = y.c_nationkey) AS g3
+        FROM c x JOIN c y ON x.blk = y.blk AND x.c_custkey < y.c_custkey),
+    pcounts AS (
+        SELECT CAST(g1 AS INT) AS a1, CAST(g2 AS INT) AS a2,
+               CAST(g3 AS INT) AS a3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pr GROUP BY 1, 2, 3),
+    pats AS (
+        SELECT list([CAST(a1 AS DOUBLE), CAST(a2 AS DOUBLE),
+                     CAST(a3 AS DOUBLE), CAST(n AS DOUBLE)]
+                    ORDER BY a1, a2, a3) AS pl
+        FROM pcounts),
+    {_fs_em_cte_sql(3)},
+    fin AS (SELECT * FROM em WHERE it = 25)
+    SELECT a1, a2, a3, n,
+           round((p * (CASE WHEN a1 = 1 THEN m1 ELSE 1.0 - m1 END)
+                    * (CASE WHEN a2 = 1 THEN m2 ELSE 1.0 - m2 END)
+                    * (CASE WHEN a3 = 1 THEN m3 ELSE 1.0 - m3 END))
+                 / ((p * (CASE WHEN a1 = 1 THEN m1 ELSE 1.0 - m1 END)
+                       * (CASE WHEN a2 = 1 THEN m2 ELSE 1.0 - m2 END)
+                       * (CASE WHEN a3 = 1 THEN m3 ELSE 1.0 - m3 END))
+                    + ((1.0 - p)
+                       * (CASE WHEN a1 = 1 THEN u1 ELSE 1.0 - u1 END)
+                       * (CASE WHEN a2 = 1 THEN u2 ELSE 1.0 - u2 END)
+                       * (CASE WHEN a3 = 1 THEN u3 ELSE 1.0 - u3 END))), 6)
+               AS posterior
+    FROM pcounts, fin
+    """,
+)
+def fs_pattern_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posterior match probability per agreement pattern under the
+    EM-fit Fellegi-Sunter mixture — the table a linkage review reads to
+    SET the decision threshold (Fellegi & Sunter 1969 §3: patterns rank
+    by likelihood ratio; the posterior P(M | pattern) makes the
+    upper/lower threshold choice an explicit error-rate tradeoff).
+    At most 2^K rows regardless of pair count (the pattern aggregation
+    is the only data-sized work — same contract as the EM fit); the
+    posterior arithmetic replays the E-step of the final EM state with
+    the same left-to-right multiply order, so the oracle is bit-exact
+    through the mixture, not just the counts."""
+    import math as _math
+
+    from unified_firmographic_data_pipeline_spark.operators.linkage import (
+        agreement_patterns,
+        fs_em_fit,
+    )
+    from unified_firmographic_data_pipeline_spark.plans.entities import (
+        candidate_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.col("c_custkey") / 50).cast("long").alias("blk"),
+    )
+    fields = ["c_mktsegment", "bal_bucket", "c_nationkey"]
+    pairs = candidate_pairs(c, "c_custkey", "blk", fields)
+    pats = agreement_patterns(pairs, [f"agree_{f}" for f in fields])
+    fit = fs_em_fit(pats, len(fields), n_iter=25)
+    p, m, u = fit["p"], fit["m"], fit["u"]
+    rows = []
+    for row in pats:
+        a, n = row[:3], row[3]
+        pm, pu = p, 1.0 - p
+        for i in range(3):
+            pm *= m[i] if a[i] else (1.0 - m[i])
+            pu *= u[i] if a[i] else (1.0 - u[i])
+        rows.append((*[int(x) for x in a], int(n), round(pm / (pm + pu), 6)))
+    return spark.createDataFrame(
+        rows, "a1 int, a2 int, a3 int, n bigint, posterior double"
+    )
+
+
+@q(
+    "er_threshold_sweep",
+    f"""
+    WITH RECURSIVE
+    {_er_asg_ctes().replace("asg AS (", "__unused_asg AS (")},
+    scored AS (
+        SELECT ({_ER_SCORE}) AS s, g3 AS is_true
+        FROM pr, wts),
+    th(threshold_micro) AS (VALUES (1000000), (2000000), (3000000)),
+    m AS (
+        SELECT th.threshold_micro,
+               CAST(count_if(s >= th.threshold_micro) AS BIGINT) AS n_matched,
+               CAST(count_if(s >= th.threshold_micro AND is_true) AS BIGINT)
+                   AS n_true_matched,
+               CAST(count_if(is_true) AS BIGINT) AS n_true
+        FROM scored, th GROUP BY th.threshold_micro)
+    SELECT threshold_micro, n_matched, n_true_matched, n_true,
+           round(CAST(n_true_matched AS DOUBLE)
+                 / CAST(n_matched AS DOUBLE), 6) AS precision,
+           round(CAST(n_true_matched AS DOUBLE)
+                 / CAST(n_true AS DOUBLE), 6) AS recall
+    FROM m
+    """,
+)
+def er_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the ER decision threshold: candidate
+    pairs scored with the EM micro-weights, evaluated at 1.0 / 2.0 / 3.0
+    bits against the nation-agreement truth convention —
+    precision/recall per threshold, the `neardup_threshold_sweep`
+    pattern applied to linkage (choosing Fellegi-Sunter's upper
+    threshold IS choosing this row). One pass over the blocked pairs
+    with a 3-row literal threshold axis; the oracle replays the EM, the
+    integer scores and all six counters."""
+    from unified_firmographic_data_pipeline_spark.plans.entities import (
+        em_match_weights,
+        score_pairs_micro,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.col("c_custkey") / 50).cast("long").alias("blk"),
+    )
+    x, y = c.alias("x"), c.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.blk") == F.col("y.blk"))
+        & (F.col("x.c_custkey") < F.col("y.c_custkey")),
+    ).select(
+        (F.col("x.c_mktsegment") == F.col("y.c_mktsegment")).alias(
+            "agree_c_mktsegment"
+        ),
+        (F.col("x.bal_bucket") == F.col("y.bal_bucket")).alias(
+            "agree_bal_bucket"
+        ),
+        (F.col("x.c_nationkey") == F.col("y.c_nationkey")).alias(
+            "agree_c_nationkey"
+        ),
+    )
+    fields = ["c_mktsegment", "bal_bucket", "c_nationkey"]
+    weights = em_match_weights(pairs, fields)
+    scored = score_pairs_micro(pairs, fields, weights).select(
+        F.col("score_micro").alias("s"),
+        F.col("agree_c_nationkey").alias("is_true"),
+    )
+    th = spark.createDataFrame(
+        [(1_000_000,), (2_000_000,), (3_000_000,)], "threshold_micro long"
+    )
+    m = scored.crossJoin(F.broadcast(th)).groupBy("threshold_micro").agg(
+        F.count_if(F.col("s") >= F.col("threshold_micro"))
+        .cast("long")
+        .alias("n_matched"),
+        F.count_if((F.col("s") >= F.col("threshold_micro")) & F.col("is_true"))
+        .cast("long")
+        .alias("n_true_matched"),
+        F.count_if(F.col("is_true")).cast("long").alias("n_true"),
+    )
+    return m.select(
+        "threshold_micro",
+        "n_matched",
+        "n_true_matched",
+        "n_true",
+        F.round(
+            F.col("n_true_matched").cast("double")
+            / F.col("n_matched").cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("n_true_matched").cast("double")
+            / F.col("n_true").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
