@@ -781,3 +781,32 @@ def test_incremental_er_equals_full_batch(spark):
         k for k in a if k % 10 == 0 and ent_sizes[a[k]] > 1
     ]
     assert touched, "increment produced no matches - test data too sparse"
+
+
+def test_survivorship_null_semantics(spark):
+    """NULL never wins a mode vote even when modal; all-NULL entities
+    survive NULL through the left join instead of dropping."""
+    from unified_firmographic_data_pipeline_spark.plans.entities import (
+        survivorship,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            (1, None, 10.0), (2, None, 20.0), (3, "A", 5.0),   # entity 1
+            (4, None, 1.0), (5, None, 2.0),                     # entity 4: all NULL
+        ],
+        "id long, seg string, bal double",
+    )
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "id long, entity_id long"
+    )
+    out = {
+        r["entity_id"]: r
+        for r in survivorship(
+            recs, asg, "id", mode_cols=["seg"], max_cols=["bal"]
+        ).collect()
+    }
+    assert out[1]["seg_survived"] == "A"     # NULL was modal but never wins
+    assert out[1]["bal_survived"] == 20.0
+    assert out[4]["seg_survived"] is None    # all-NULL entity not dropped
+    assert out[4]["n_members"] == 2

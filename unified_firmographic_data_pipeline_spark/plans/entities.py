@@ -288,7 +288,13 @@ def survivorship(
     One count aggregation + one window per mode column (entity-keyed,
     never global) and a single agg for the max/min columns; all
     entity-keyed shuffles. Returns one row per entity:
-    ``(entity_id, n_members, <col>_survived...)``."""
+    ``(entity_id, n_members, <col>_survived...)``.
+
+    NULL handling: NULL never wins a mode vote (missing data is absence
+    of evidence, not a candidate value — standard survivorship
+    semantics); an entity whose members are ALL NULL in a mode column
+    survives NULL for it (left join), so entities are never dropped.
+    ``max``/``min`` ignore NULLs by SQL aggregation semantics already."""
     joined = records.join(assignments, id_col)
     base = joined.groupBy("entity_id").agg(
         F.count("*").cast("long").alias("n_members"),
@@ -296,7 +302,11 @@ def survivorship(
         *[F.min(c).alias(f"{c}_survived") for c in (min_cols or [])],
     )
     for c in mode_cols or []:
-        counts = joined.groupBy("entity_id", c).agg(F.count("*").alias("__n"))
+        counts = (
+            joined.filter(F.col(c).isNotNull())
+            .groupBy("entity_id", c)
+            .agg(F.count("*").alias("__n"))
+        )
         w = Window.partitionBy("entity_id").orderBy(
             F.col("__n").desc(), F.col(c).asc()
         )
@@ -305,5 +315,5 @@ def survivorship(
             .filter(F.col("__rn") == 1)
             .select("entity_id", F.col(c).alias(f"{c}_survived"))
         )
-        base = base.join(mode, "entity_id")
+        base = base.join(mode, "entity_id", "left")
     return base
