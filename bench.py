@@ -321,6 +321,13 @@ HEADLINE = [
     "skipgram_negative_sampling_table",
     "fs_pattern_posteriors",
     "er_threshold_sweep",
+    # round-6 continuation (audio probes, walks, CDC, NFC, isotonic)
+    "audio_container_probes",
+    "audio_pcm_square_stats",
+    "random_walk_corpus",
+    "cdc_change_events",
+    "nfc_normalization_drift",
+    "isotonic_calibration_pav",
 ]
 
 

@@ -313,3 +313,29 @@ def jaro_winkler(a: Column | str, b: Column | str) -> Column:
         )
 
     return pandas_udf(_jw, "double")(_col(a), _col(b))
+
+
+def nfc_normalize_pandas(c: Column | str) -> Column:
+    """Unicode NFC normalization (UAX #15 canonical composition) as an
+    Arrow-batched scalar ``pandas_udf`` over ``unicodedata.normalize`` —
+    Spark has no normalization builtin, and normalization tables are the
+    one text transform a regexp cannot express. Per-row only because
+    composition is; the batch transfer is Arrow (UDF-policy tier 2, same
+    as jaro_winkler above). Web corpora need this before fingerprinting:
+    'é' composed and 'e'+U+0301 decomposed hash differently but read
+    identically, so un-normalized dedup under-merges."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # `from __future__ import annotations` stringifies hints, which the
+    # pandas_udf type-inferencer can't resolve against a local `pd` —
+    # assign real annotation objects instead (the _count pattern above).
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")(_col(c))

@@ -16191,6 +16191,395 @@ def er_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 6 (cont.): audio-container probes + real PCM sample decode. The
+# multimodal family (SURVEY.md §2.M) gains the audio half: FLAC/MP3/OGG
+# header walks beside the existing WAV tier, and a numpy sample-decode
+# path whose statistics the oracle replays in closed form. The payloads
+# are synthesized from typed parameter columns (media_from_text\'s
+# pattern), so DuckDB derives the expected metadata from the SAME
+# parameters Spark built the bytes from — the probe round-trip is the
+# thing under test.
+# --------------------------------------------------------------------------
+
+
+def _audio_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc audio generation parameters: container from
+    doc_id % 4, the free index u = doc_id div 4 drives rates/sizes so every
+    container sees varied parameters."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("doc_id") % 4).alias("cc"),
+        F.expr("doc_id div 4").alias("u"),
+    )
+    u = F.col("u")
+    return d.select(
+        "media_id",
+        F.when(F.col("cc") == 0, "wav")
+        .when(F.col("cc") == 1, "flac")
+        .when(F.col("cc") == 2, "mp3")
+        .otherwise("ogg")
+        .alias("container"),
+        F.when(F.col("cc") == 0, 8000)
+        .when(F.col("cc") == 1, 16000)
+        .when(
+            F.col("cc") == 2,
+            F.when(u % 3 == 0, 44100).when(u % 3 == 1, 48000).otherwise(32000),
+        )
+        .otherwise(22050)
+        .cast("int")
+        .alias("sample_rate"),
+        F.when(F.col("cc") == 1, (u % 2 + 1)).when(F.col("cc") == 3, 2).otherwise(1)
+        .cast("int")
+        .alias("channels"),
+        F.when(
+            F.col("cc") == 2,
+            F.when((u / 3).cast("long") % 3 == 0, 96)
+            .when((u / 3).cast("long") % 3 == 1, 128)
+            .otherwise(192),
+        )
+        .cast("int")
+        .alias("bitrate_kbps"),
+        F.when(F.col("cc") == 0, 400 + (u * 13) % 4000)
+        .when(F.col("cc") == 1, 16000 + (u * 53) % 1000000)
+        .when(F.col("cc") == 2, (u % 200 + 1) * 1152)
+        .otherwise(22050 + (u * 31) % 500000)
+        .cast("long")
+        .alias("total_samples"),
+        F.when(F.col("cc") == 0, 100 + (u % 900) * 10).cast("int").alias("amplitude"),
+        F.when(F.col("cc") == 0, u % 50 + 1).cast("int").alias("half_period"),
+    )
+
+
+@q(
+    "audio_container_probes",
+    """
+    WITH p AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               doc_id % 4 AS cc, doc_id // 4 AS u
+        FROM documents),
+    x AS (
+        SELECT media_id,
+               CASE cc WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                       WHEN 2 THEN 'mp3' ELSE 'ogg' END AS container,
+               CASE cc WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       WHEN 2 THEN CASE u % 3 WHEN 0 THEN 44100
+                                              WHEN 1 THEN 48000
+                                              ELSE 32000 END
+                       ELSE 22050 END AS sample_rate,
+               CASE cc WHEN 1 THEN 1 + u % 2 WHEN 3 THEN 2 ELSE 1 END AS channels,
+               CASE cc WHEN 2 THEN CASE (u // 3) % 3 WHEN 0 THEN 96
+                                                     WHEN 1 THEN 128
+                                                     ELSE 192 END END AS bitrate_kbps,
+               CASE cc WHEN 0 THEN 400 + (u * 13) % 4000
+                       WHEN 1 THEN 16000 + (u * 53) % 1000000
+                       WHEN 2 THEN (1 + u % 200) * 1152
+                       ELSE 22050 + (u * 31) % 500000 END AS total
+        FROM p)
+    SELECT media_id, container, CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(bitrate_kbps AS INTEGER) AS bitrate_kbps,
+           CAST(total * 1000 // sample_rate AS BIGINT) AS duration_ms
+    FROM x
+    """,
+)
+def audio_container_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-container metadata ladder: synthesize WAV / FLAC / MP3 / OGG
+    payloads from typed parameters, then recover (sample_rate, channels,
+    bitrate, duration) by probing the BYTES — RIFF fmt+data walk, FLAC
+    STREAMINFO bit unpack, MPEG-1 Layer III frame walk, Ogg page walk to
+    the final granule (sources/multimodal.py). The oracle derives the
+    same metadata from the generation parameters, so any probe bug
+    breaks the match. Payloads never cross a shuffle: encode and probe
+    are back-to-back map stages, metadata-only output."""
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        audio_from_params,
+        probe_audio_meta,
+    )
+
+    params = _audio_params(spark, sf_dir)
+    media = audio_from_params(params)
+    return probe_audio_meta(media.select("media_id", "payload"))
+
+
+@q(
+    "audio_pcm_square_stats",
+    """
+    WITH p AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               100 + (doc_id % 900) * 10 AS amplitude,
+               1 + doc_id % 50 AS half_period,
+               400 + (doc_id * 13) % 4000 AS n
+        FROM documents)
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(amplitude AS INTEGER) AS peak,
+           round(CAST(amplitude AS DOUBLE), 6) AS rms,
+           CAST((n - 1) // half_period AS BIGINT) AS zero_crossings
+    FROM p
+    """,
+)
+def audio_pcm_square_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode tier: 16-bit square-wave WAVs built per doc, data
+    chunk reinterpreted as int16 via numpy (wav_pcm_samples — the audio
+    analogue of the vendored PNG codec), then whole-array reductions for
+    peak / RMS / zero crossings. The square wave makes every statistic
+    exactly replayable: RMS == amplitude (n * A^2 < 2^53 so the float
+    mean is exact), crossings == (n-1) div half_period."""
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import (
+        pcm_stats,
+        wav_encode_square,  # noqa: F401  (cited: the generator under test)
+    )
+    from unified_firmographic_data_pipeline_spark.sources.multimodal import audio_from_params
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("wav").alias("container"),
+        F.lit(8000).cast("int").alias("sample_rate"),
+        F.lit(1).cast("int").alias("channels"),
+        F.lit(None).cast("int").alias("bitrate_kbps"),
+        (400 + (F.col("doc_id") * 13) % 4000).cast("long").alias("total_samples"),
+        (100 + (F.col("doc_id") % 900) * 10).cast("int").alias("amplitude"),
+        (F.col("doc_id") % 50 + 1).cast("int").alias("half_period"),
+    )
+    media = audio_from_params(d)
+    stats = pcm_stats(media.select("media_id", "payload"))
+    return stats.select(
+        "media_id",
+        "n_samples",
+        "peak",
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
+@q(
+    "random_walk_corpus",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS src,
+                        CAST(y.l_partkey AS BIGINT) AS dst
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e WHERE src % 40 = 0),
+    s1 AS (SELECT walk_id, node FROM (
+        SELECT s0.walk_id, e.dst AS node, row_number() OVER (
+            PARTITION BY s0.walk_id
+            ORDER BY md5(CAST(s0.walk_id AS VARCHAR) || ':1:' || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+        FROM s0 JOIN e ON e.src = s0.node) WHERE rn = 1),
+    s2 AS (SELECT walk_id, node FROM (
+        SELECT s1.walk_id, e.dst AS node, row_number() OVER (
+            PARTITION BY s1.walk_id
+            ORDER BY md5(CAST(s1.walk_id AS VARCHAR) || ':2:' || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+        FROM s1 JOIN e ON e.src = s1.node) WHERE rn = 1),
+    s3 AS (SELECT walk_id, node FROM (
+        SELECT s2.walk_id, e.dst AS node, row_number() OVER (
+            PARTITION BY s2.walk_id
+            ORDER BY md5(CAST(s2.walk_id AS VARCHAR) || ':3:' || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+        FROM s2 JOIN e ON e.src = s2.node) WHERE rn = 1)
+    SELECT walk_id, CAST(0 AS INTEGER) AS step, node FROM s0
+    UNION ALL SELECT walk_id, CAST(1 AS INTEGER), node FROM s1
+    UNION ALL SELECT walk_id, CAST(2 AS INTEGER), node FROM s2
+    UNION ALL SELECT walk_id, CAST(3 AS INTEGER), node FROM s3
+    """,
+)
+def random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the co-purchase graph: 3-step
+    deterministic walks from every node divisible by 40, next hop =
+    argmin md5(walk_id:step:dst) over out-neighbors (operators/walks.py
+    — uniform in distribution, bit-replayable by the oracle\'s chained
+    per-step CTEs). Each step is a frontier-x-edges equi-join plus a
+    per-walk argmin; the walk corpus feeds skipgram_pair_counts\'s
+    generator for graph embeddings."""
+    from unified_firmographic_data_pipeline_spark.operators.walks import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    und = _copurchase_edges(li)
+    # the edge table feeds every step AND every union branch of the walk
+    # output — checkpoint it once or the basket explode re-runs per
+    # branch (12.2s -> 3.3s warm at sf0.1); the tiny per-step frontiers
+    # stay lazy (500 walks — checkpoint overhead exceeds the recompute)
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        edges.filter(F.col("src") % 40 == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    return random_walks(edges, seeds, length=3)
+
+
+@q(
+    "cdc_change_events",
+    """
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    old AS (SELECT * FROM o WHERE o_orderkey % 11 <> 0),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 26 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM o WHERE o_orderkey % 7 <> 0),
+    j AS (
+        SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+               old.o_orderkey IS NOT NULL AS in_old,
+               new.o_orderkey IS NOT NULL AS in_new,
+               old.o_orderstatus AS os, new.o_orderstatus AS ns,
+               old.o_totalprice AS opr, new.o_totalprice AS npr
+        FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'I' WHEN NOT in_new THEN 'D' ELSE 'U' END AS op,
+           CASE WHEN in_old AND in_new THEN array_to_string(list_filter([
+                    CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+                    CASE WHEN opr IS DISTINCT FROM npr THEN 'o_totalprice' END
+                ], x -> x IS NOT NULL), ',') END AS changed_cols
+    FROM j
+    WHERE NOT in_old OR NOT in_new
+       OR os IS DISTINCT FROM ns OR opr IS DISTINCT FROM npr
+    """,
+)
+def cdc_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC event derivation (operators/incremental.py:cdc_events): two
+    order snapshots — % 11 keys absent from old (inserts), % 7 keys
+    dropped from new (deletes), % 13 prices bumped and % 26 statuses
+    flipped (updates) — classified I/U/D with a per-update changed-column
+    mask, in table_diff\'s single full-outer key shuffle. The feed shape
+    a MERGE sink or SCD2 applier consumes when the source exposes only
+    snapshots (reference\'s warehouse MERGE: dbt_project.yml:35-56)."""
+    from unified_firmographic_data_pipeline_spark.operators.incremental import cdc_events
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 11 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 26 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return cdc_events(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@q(
+    "nfc_normalization_drift",
+    """
+    WITH g AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               text || CASE doc_id % 4
+                           WHEN 0 THEN ''
+                           WHEN 1 THEN 'e' || chr(769)
+                           WHEN 2 THEN 'A' || chr(776)
+                           ELSE chr(233) END AS txt
+        FROM documents),
+    n AS (SELECT doc_id, txt, nfc_normalize(txt) AS nfc FROM g)
+    SELECT doc_id, (nfc <> txt) AS changed,
+           CAST(length(txt) AS INTEGER) AS len_raw,
+           CAST(length(nfc) AS INTEGER) AS len_nfc
+    FROM n
+    """,
+)
+def nfc_normalization_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit: graft decomposed combining
+    sequences (e+U+0301, A+U+0308) onto a quarter of the docs each, plus
+    an already-composed quarter, then measure what canonical composition
+    changes — the pre-fingerprinting step every multilingual web corpus
+    needs (decomposed twins dodge exact dedup). Spark runs
+    unicodedata.normalize in an Arrow-batched pandas_udf
+    (functions/text.py:nfc_normalize_pandas); the oracle replays with
+    DuckDB's utf8proc nfc_normalize — two independent UAX #15
+    implementations agreeing character-for-character IS the check."""
+    from unified_firmographic_data_pipeline_spark.functions.text import nfc_normalize_pandas
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("e\u0301"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("A\u0308"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("\u00e9"))
+        .otherwise(F.lit(""))
+    )
+    g = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("text"), suffix).alias("txt"),
+    )
+    n = g.select("doc_id", "txt", nfc_normalize_pandas("txt").alias("nfc"))
+    return n.select(
+        "doc_id",
+        (F.col("nfc") != F.col("txt")).alias("changed"),
+        F.length("txt").cast("int").alias("len_raw"),
+        F.length("nfc").cast("int").alias("len_nfc"),
+    )
+
+
+@q(
+    "isotonic_calibration_pav",
+    """
+    WITH RECURSIVE
+    bins AS (
+        SELECT CAST(least(15, greatest(0, floor(o_totalprice / 37500.0))) AS INTEGER) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM orders GROUP BY 1),
+    items AS (
+        SELECT list({'b': bin, 'n': n, 'p': pos} ORDER BY bin) AS xs,
+               CAST(count(*) AS INTEGER) AS cnt
+        FROM bins),
+    pav AS (
+        SELECT CAST([] AS STRUCT(lo INTEGER, hi INTEGER, n BIGINT, p BIGINT)[]) AS stack,
+               1 AS i
+        UNION ALL
+        SELECT
+            CASE WHEN len(stack) >= 2
+                      AND stack[-1].p * stack[-2].n < stack[-2].p * stack[-1].n
+                 THEN stack[1:len(stack)-2]
+                      || [{'lo': stack[-2].lo, 'hi': stack[-1].hi,
+                           'n': stack[-2].n + stack[-1].n, 'p': stack[-2].p + stack[-1].p}]
+                 ELSE stack || [{'lo': xs[i].b, 'hi': xs[i].b, 'n': xs[i].n, 'p': xs[i].p}]
+            END AS stack,
+            CASE WHEN len(stack) >= 2
+                      AND stack[-1].p * stack[-2].n < stack[-2].p * stack[-1].n
+                 THEN i ELSE i + 1 END AS i
+        FROM pav, items
+        WHERE i <= cnt
+           OR (len(stack) >= 2 AND stack[-1].p * stack[-2].n < stack[-2].p * stack[-1].n)),
+    final AS (
+        SELECT stack FROM pav, items
+        WHERE i = cnt + 1
+          AND NOT (len(stack) >= 2
+                   AND stack[-1].p * stack[-2].n < stack[-2].p * stack[-1].n)),
+    pools AS (SELECT unnest(stack) AS pool FROM final)
+    SELECT b.bin, b.n, b.pos,
+           round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+           round(CAST(pool.p AS DOUBLE) / CAST(pool.n AS DOUBLE), 6) AS fitted_rate
+    FROM bins b JOIN pools ON b.bin BETWEEN pool.lo AND pool.hi
+    """,
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of a per-bin event rate: 16 fixed-width
+    o_totalprice bins vs the 'F' status rate, pooled-adjacent-violators
+    fit (operators/isotonic.py — distributed binning agg, bounded
+    driver-side fold with INTEGER cross-multiplied mean comparisons, pool
+    map broadcast back). The oracle replays the exact push/merge stack
+    trajectory in a recursive CTE, so the pooling DECISIONS are verified,
+    not just the fitted curve. Zadrozny & Elkan KDD'02."""
+    from unified_firmographic_data_pipeline_spark.operators.isotonic import (
+        isotonic_calibrate_bins,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", (F.col("o_orderstatus") == "F").alias("is_f")
+    )
+    return isotonic_calibrate_bins(
+        o, "o_totalprice", "is_f", n_bins=16, lo=0.0, hi=600000.0
+    )
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -695,3 +696,360 @@ def media_from_text(df: DataFrame, id_col: str, text_col: str, kind: str = "imag
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio containers beyond WAV: FLAC / MP3 / OGG-Vorbis header probes, plus
+# a REAL PCM sample-decode tier (numpy over the WAV data chunk). Same
+# contract as the image/video probes above: pure-stdlib header walks, no
+# entropy/transform decode, (None, ...) on malformed streams. Reference
+# parity target: the reference treats media as opaque staged blobs
+# (DAG:24-39 stages bytes untyped); the typed probe ladder is the
+# Spark-first extension SURVEY.md §2.M calls for.
+# --------------------------------------------------------------------------
+
+
+def is_flac(b: bytes | None) -> bool:
+    return b is not None and len(b) >= 42 and b[:4] == b"fLaC"
+
+
+def flac_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """(sample_rate, channels, duration_ms) from the mandatory STREAMINFO
+    block (first metadata block per the FLAC spec): sample rate is 20 bits,
+    channels-1 is 3 bits, total samples is 36 bits, packed big-endian at
+    byte 18 of the stream (4 magic + 4 block header + 10 into the body)."""
+    if not is_flac(b) or (b[4] & 0x7F) != 0:  # first block must be STREAMINFO
+        return None, None, None
+    packed = int.from_bytes(b[18:26], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        return None, None, None
+    return sample_rate, channels, total_samples * 1000 // sample_rate
+
+
+def flac_encode_minimal(sample_rate: int, channels: int, total_samples: int) -> bytes:
+    """Minimal valid FLAC stream: magic + a last-flagged STREAMINFO block
+    (34 bytes; zero min/max frame sizes and MD5 are legal 'unknown'
+    sentinels). No audio frames — a header-only fixture, like
+    ``mp4_encode_minimal`` above."""
+    bps = 16
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bps - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = (
+        (4096).to_bytes(2, "big") * 2          # min/max blocksize
+        + bytes(6)                              # min/max framesize unknown
+        + packed.to_bytes(8, "big")
+        + bytes(16)                             # MD5 unknown
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+#: MPEG-1 Layer III bitrate table (kbps) and sample-rate table, per
+#: ISO/IEC 11172-3; index 0 is 'free format', 15 is forbidden.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def is_mp3(b: bytes | None) -> bool:
+    # frame sync (11 set bits) + MPEG-1 + Layer III: 0xFF 0xFA/0xFB
+    return b is not None and len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xFE) == 0xFA
+
+
+def mp3_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """(sample_rate, bitrate_kbps, duration_ms) by walking CBR MPEG-1
+    Layer III frames: each frame is 144 * bitrate / sample_rate (+1 with
+    the padding bit) bytes and carries 1152 samples. Frame counting (not
+    size/bitrate division) so VBR-with-constant-tables streams still
+    measure correctly."""
+    if not is_mp3(b):
+        return None, None, None
+    br_i, sr_i = b[2] >> 4, (b[2] >> 2) & 0x3
+    if br_i in (0, 15) or sr_i == 3:
+        return None, None, None
+    sample_rate, bitrate = _MP3_RATES[sr_i], _MP3_BITRATES[br_i]
+    off = n_frames = 0
+    while off + 4 <= len(b) and b[off] == 0xFF and (b[off + 1] & 0xFE) == 0xFA:
+        pad = (b[off + 2] >> 1) & 0x1
+        off += 144 * bitrate * 1000 // sample_rate + pad
+        n_frames += 1
+    return sample_rate, bitrate, n_frames * 1152 * 1000 // sample_rate
+
+
+def mp3_encode_minimal(n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100) -> bytes:
+    """``n_frames`` zero-payload CBR MPEG-1 Layer III frames (no padding
+    bit), silence-equivalent; a header-walkable fixture."""
+    br_i = _MP3_BITRATES.index(bitrate_kbps)
+    sr_i = _MP3_RATES.index(sample_rate)
+    size = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = bytes([0xFF, 0xFB, (br_i << 4) | (sr_i << 2), 0]) + bytes(size - 4)
+    return frame * n_frames
+
+
+def is_ogg(b: bytes | None) -> bool:
+    return b is not None and len(b) >= 28 and b[:4] == b"OggS"
+
+
+def ogg_vorbis_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """(sample_rate, channels, duration_ms) from an Ogg-Vorbis stream:
+    channels/rate come from the Vorbis identification header on the first
+    page (packet type 1 + 'vorbis'); duration is the LAST page's granule
+    position (absolute PCM sample count, per the Ogg spec) over the rate.
+    Pure page walk — segment-table lengths, no CRC verification (probes
+    read, they don't validate; same stance as the MP4 box walk)."""
+    if not is_ogg(b):
+        return None, None, None
+    # first page: header is 27 bytes + n_segs lacing values, then the packet
+    n_segs = b[26]
+    body = 27 + n_segs
+    if len(b) < body + 16 or b[body : body + 7] != b"\x01vorbis":
+        return None, None, None
+    channels = b[body + 11]
+    sample_rate = int.from_bytes(b[body + 12 : body + 16], "little")
+    # walk pages; the final page's granule position is the total samples
+    off, granule = 0, None
+    while off + 27 <= len(b) and b[off : off + 4] == b"OggS":
+        granule = int.from_bytes(b[off + 6 : off + 14], "little")
+        segs = b[off + 26]
+        off += 27 + segs + sum(b[off + 27 : off + 27 + segs])
+    if not sample_rate or granule is None:
+        return None, None, None
+    return sample_rate, channels, granule * 1000 // sample_rate
+
+
+def ogg_vorbis_encode_minimal(sample_rate: int, channels: int, total_samples: int) -> bytes:
+    """Two-page minimal Ogg-Vorbis: page 0 (BOS) carries the 30-byte
+    identification header; page 1 (EOS) carries a 1-byte stub packet and
+    the stream's final granule position. CRCs are zeroed (see
+    ``ogg_vorbis_meta`` — the probe does not validate them)."""
+
+    def page(header_type: int, granule: int, seq: int, packet: bytes) -> bytes:
+        head = (
+            b"OggS" + bytes([0, header_type])
+            + granule.to_bytes(8, "little")
+            + (1).to_bytes(4, "little")      # serial
+            + seq.to_bytes(4, "little")
+            + bytes(4)                        # crc zeroed
+            + bytes([1, len(packet)])         # one segment < 255
+        )
+        return head + packet
+    ident = (
+        b"\x01vorbis" + bytes(4)              # version 0
+        + bytes([channels])
+        + sample_rate.to_bytes(4, "little")
+        + bytes(12)                           # bitrates unset
+        + bytes([0x66, 0x01])                 # blocksizes + framing bit
+    )
+    return page(0x02, 0, 0, ident) + page(0x04, total_samples, 1, b"\x00")
+
+
+def wav_fmt(b: bytes) -> tuple[int | None, int | None]:
+    """(sample_rate, channels) from the RIFF/WAVE fmt chunk — the probe
+    ``wav_duration_ms`` skips past; kept separate so existing callers'
+    contracts don't change."""
+    import struct
+
+    off = 12
+    while off + 8 <= len(b):
+        cid, ln = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
+        if cid == b"fmt " and off + 16 <= len(b):
+            ch, sr = struct.unpack("<HI", b[off + 10 : off + 16])
+            return sr, ch
+        off += 8 + ln + (ln & 1)
+    return None, None
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def audio_meta(b: bytes | None) -> tuple:
+    """Dispatch one payload across the audio-container ladder. Returns
+    (container, sample_rate, channels, bitrate_kbps, duration_ms); all-None
+    with container 'unknown' when nothing matches (NULL-means-unparseable,
+    as everywhere in this module)."""
+    if is_wav(b):
+        sr, ch = wav_fmt(b)
+        return "wav", sr, ch, None, wav_duration_ms(b)
+    if is_flac(b):
+        sr, ch, dur = flac_meta(b)
+        return "flac", sr, ch, None, dur
+    if is_mp3(b):
+        sr, br, dur = mp3_meta(b)
+        return "mp3", sr, 1, br, dur
+    if is_ogg(b):
+        sr, ch, dur = ogg_vorbis_meta(b)
+        return "ogg", sr, ch, None, dur
+    return "unknown", None, None, None, None
+
+
+def probe_audio_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio-container probe: (media_id, payload) ->
+    AUDIO_META_SCHEMA rows. Column-wise like ``decode_media_meta`` — only
+    the per-payload header walk touches individual values, and the payload
+    never leaves the map stage (downstream shuffles move metadata only)."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame(
+                (audio_meta(b) for b in pdf["payload"]),
+                columns=["container", "sample_rate", "channels", "bitrate_kbps", "duration_ms"],
+                index=pdf.index,
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "container": meta["container"],
+                    "sample_rate": meta["sample_rate"].astype("Int32"),
+                    "channels": meta["channels"].astype("Int32"),
+                    "bitrate_kbps": meta["bitrate_kbps"].astype("Int32"),
+                    "duration_ms": meta["duration_ms"].astype("Int64"),
+                }
+            )
+
+    return df.mapInPandas(_probe, AUDIO_META_SCHEMA)
+
+
+def wav_encode_square(
+    amplitude: int, half_period: int, n_samples: int, sample_rate: int = 8000
+) -> bytes:
+    """Deterministic 16-bit mono PCM square wave: sample i is +amplitude
+    when (i // half_period) is even, else -amplitude. The closed forms a
+    verifier can replay exactly: RMS == amplitude, peak == amplitude,
+    zero crossings == (n_samples - 1) // half_period."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples)
+    samples = np.where((i // half_period) % 2 == 0, amplitude, -amplitude).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def wav_pcm_samples(b: bytes) -> "object":
+    """REAL sample decode for 16-bit PCM RIFF/WAVE: locate the data chunk
+    and reinterpret it as little-endian int16 via ``numpy.frombuffer`` —
+    zero-copy over the chunk slice, the audio analogue of the vendored PNG
+    codec tier (decode runs for real, no external codec). Returns None when
+    the stream is not 16-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    if not is_wav(b):
+        return None
+    off, bps, data = 12, None, None
+    while off + 8 <= len(b):
+        cid, ln = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
+        if cid == b"fmt " and off + 24 <= len(b):
+            bps = struct.unpack("<H", b[off + 22 : off + 24])[0]
+        elif cid == b"data":
+            data = b[off + 8 : off + 8 + ln]
+        off += 8 + ln + (ln & 1)
+    if bps != 16 or data is None:
+        return None
+    return np.frombuffer(data, dtype="<i2")
+
+
+def pcm_stats(df: DataFrame) -> DataFrame:
+    """Decoded-sample statistics over 16-bit PCM WAV payloads:
+    (media_id, n_samples, peak, rms, zero_crossings). The decode is
+    ``wav_pcm_samples`` (numpy reinterpretation of the data chunk); the
+    statistics are whole-array numpy reductions — per-payload, never
+    per-sample Python. Rows whose payload is not 16-bit PCM are dropped
+    (probe-then-route callers should use ``probe_audio_meta`` first)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                x = wav_pcm_samples(b)
+                if x is None or len(x) == 0:
+                    continue
+                xi = x.astype(np.int64)
+                rms = float(np.sqrt(np.mean(xi * xi)))
+                crossings = int(np.count_nonzero(np.signbit(xi[1:]) != np.signbit(xi[:-1])))
+                rows.append((mid, len(x), int(np.max(np.abs(xi))), rms, crossings))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "peak", "rms", "zero_crossings"]
+            ).astype({"n_samples": "int64", "peak": "Int32", "zero_crossings": "int64"})
+
+    return df.mapInPandas(_stats, PCM_STATS_SCHEMA)
+
+
+def audio_from_params(df: DataFrame, container_col: str = "container") -> DataFrame:
+    """Synthesize one audio payload per row from typed generation
+    parameters — the audio twin of ``media_from_text``. Expects columns
+    ``media_id, container, sample_rate, channels, total_samples,
+    bitrate_kbps, amplitude, half_period`` (unused fields may be NULL per
+    container) and emits (media_id, kind, payload, mime). Encoding is
+    pure-Python struct packing inside one Arrow batch, so tests and the
+    oracle can both derive expected metadata from the SAME parameter
+    columns the payload was built from."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples(index=False):
+                c = getattr(r, container_col)
+                if c == "wav":
+                    payloads.append(
+                        wav_encode_square(
+                            int(r.amplitude), int(r.half_period),
+                            int(r.total_samples), int(r.sample_rate),
+                        )
+                    )
+                elif c == "flac":
+                    payloads.append(
+                        flac_encode_minimal(int(r.sample_rate), int(r.channels), int(r.total_samples))
+                    )
+                elif c == "mp3":
+                    payloads.append(
+                        mp3_encode_minimal(int(r.total_samples) // 1152, int(r.bitrate_kbps), int(r.sample_rate))
+                    )
+                elif c == "ogg":
+                    payloads.append(
+                        ogg_vorbis_encode_minimal(int(r.sample_rate), int(r.channels), int(r.total_samples))
+                    )
+                else:
+                    payloads.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/" + pdf[container_col],
+                }
+            )
+
+    return df.mapInPandas(_enc, MEDIA_SCHEMA)
