@@ -328,6 +328,8 @@ HEADLINE = [
     "cdc_change_events",
     "nfc_normalization_drift",
     "isotonic_calibration_pav",
+    "audit_hash_chain_daily",
+    "mlm_masking_plan",
 ]
 
 

@@ -72,6 +72,9 @@ BNLJ_ALLOWED = {
     "kendall_tau_daily",
     # 1-row corpus-max-date broadcast into the censoring expression
     "kaplan_meier_order_gaps",
+    # 1-row vocabulary-count scalar broadcast onto the selected tokens —
+    # same scalar-subquery shape as unigram_logprob_scores
+    "mlm_masking_plan",
     # 1-row LM totals (na, nt, V) broadcast into the log-ratio table —
     # same scalar-subquery shape as unigram_logprob_scores
     "dsir_importance_topk",

@@ -183,6 +183,35 @@ SHOWCASE = {
         "partitions pack concurrently, and the output is plan rows, "
         "never data movement."
     ),
+    "random_walk_corpus": (
+        "Iterative frontier walk: each step is a frontier-x-edges "
+        "equi-join (tiny frontier broadcasts) plus a per-walk "
+        "min(struct(score, dst)) aggregate; the checkpointed edge table "
+        "computes the basket explode ONCE for all steps and branches."
+    ),
+    "audio_container_probes": (
+        "Multimodal plumbing: payload synth and header probe are "
+        "back-to-back ArrowEvalPython/mapInPandas stages with NO exchange "
+        "between them — bytes never cross a shuffle, only the metadata "
+        "projection leaves the scan stage."
+    ),
+    "cdc_change_events": (
+        "CDC derivation: ONE full-outer SortMergeJoin on the key; op "
+        "classification and the column-level change mask are projections "
+        "in the join's output stage — no second pass, no re-shuffle."
+    ),
+    "mlm_masking_plan": (
+        "Masking plan: token posexplode stays in the scan stage; three "
+        "md5-uniform columns are narrow expressions; the only joins are "
+        "1-row (vocab count) and broadcast (vocab lookup) — the token "
+        "stream itself never shuffles."
+    ),
+    "audit_hash_chain_daily": (
+        "Bounded sequential fold: the day axis aggregates distributed, "
+        "collect_list+aggregate folds the md5 chain in ONE expression "
+        "node — the textbook non-parallelizable fold isolated to a "
+        "30-row axis, with zero Python in the plan."
+    ),
 }
 
 

@@ -126,6 +126,12 @@ HEAVY = [
     "bigram_surprisal_scores",    # bigram model shuffle + broadcast score join
     "compaction_bin_plan",        # per-partition FFD via applyInPandas
     "weighted_jaccard_pairs",     # tf inverted index (bounded doc subset)
+    # round-6 continuation
+    "random_walk_corpus",         # per-step frontier join + per-walk argmin
+    "audio_container_probes",     # encode + header-walk map stages
+    "cdc_change_events",          # one full-outer key shuffle + change mask
+    "nfc_normalization_drift",    # Arrow-batched unicodedata pass
+    "mlm_masking_plan",           # token explode + 3 hash cols + vocab join
 ]
 
 

@@ -82,8 +82,8 @@ def isotonic_calibrate_bins(
 ) -> DataFrame:
     """Per-bin isotonic fit: (bin, n, pos, raw_rate, fitted_rate), rates
     rounded to 6dp. The distributed agg runs once; the collect is the
-    bounded bin table (n_bins rows); pools broadcast back as a literal
-    frame joined on bin range. ``fitted_rate`` is pool_pos/pool_n — the
+    bounded bin table (n_bins rows); pools broadcast back as a per-bin
+    literal frame (equi-join on bin). ``fitted_rate`` is pool_pos/pool_n — the
     isotonic L2 projection of the empirical rates under count weights."""
     bins = binned_label_rates(df, score_col, label_col, n_bins, lo, hi)
     rows = sorted(
@@ -92,14 +92,19 @@ def isotonic_calibrate_bins(
     )
     pools = pav_pools(rows)
     spark = df.sparkSession
+    # one row per COVERED bin (pool spans are disjoint and bounded), so the
+    # map-back is a broadcast EQUI-join on bin — a range join here would
+    # plan as a nested-loop, which the plan gate rightly rejects
     pools_df = spark.createDataFrame(
-        pools, "pool_lo int, pool_hi int, pool_n long, pool_pos long"
+        [
+            (b, n, p)
+            for lo, hi, n, p in pools
+            for b in range(lo, hi + 1)
+        ],
+        "bin int, pool_n long, pool_pos long",
     )
     return (
-        bins.join(
-            F.broadcast(pools_df),
-            (F.col("bin") >= F.col("pool_lo")) & (F.col("bin") <= F.col("pool_hi")),
-        )
+        bins.join(F.broadcast(pools_df), "bin")
         .select(
             "bin",
             "n",

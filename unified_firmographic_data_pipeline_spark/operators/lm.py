@@ -189,3 +189,92 @@ def skipgram_pairs(
     if min_count > 1:
         out = out.filter(F.col("n") >= min_count)
     return out
+
+
+def mlm_masking_plan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    select_p: float = 0.15,
+    mask_p: float = 0.8,
+    random_p: float = 0.1,
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """BERT-style masked-LM corpus plan (Devlin et al. 2019 §3.1): select
+    ``select_p`` of token positions; of those, ``mask_p`` become
+    ``mask_token``, ``random_p`` a random vocabulary token, the rest kept
+    — emitted as (id, pos, token, action, replacement) rows a training
+    loader consumes.
+
+    Every draw is a hash-uniform over (salt, id, pos)
+    (operators/sampling.py:hash_uniform — the 13-hex md5 mantissa), so
+    the masking plan is engine-replayable and IDENTICAL on any cluster
+    size or rerun — rerunning corpus prep cannot silently change what the
+    model sees (the reproducibility property df.sample lacks). The random
+    replacement draws from the input corpus' own distinct-token
+    vocabulary via index = floor(u * |V|), clamped, over a vocab-bounded
+    row_number — vocab table broadcasts to the join.
+
+    Narrow per-token pipeline: tokenize-explode, three hash columns, one
+    broadcast vocab join; no shuffle touches the token stream itself.
+    """
+    from pyspark.sql.window import Window
+
+    from unified_firmographic_data_pipeline_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+
+    def key(salt: str) -> F.Column:
+        return F.concat(
+            F.lit(salt),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("pos").cast("string"),
+        )
+
+    vocab = (
+        toks.select("token").distinct()
+        .select(
+            F.row_number().over(Window.orderBy("token")).alias("vid"),
+            F.col("token").alias("rand_token"),
+        )
+    )
+    n_vocab = vocab.agg(F.count("*").alias("nv"))
+    sel = (
+        toks.filter(hash_uniform(key("mlm")) < select_p)
+        .withColumn("u_act", hash_uniform(key("act")))
+        .withColumn("u_tok", hash_uniform(key("tok")))
+        .crossJoin(F.broadcast(n_vocab))
+        .withColumn(
+            "action",
+            F.when(F.col("u_act") < mask_p, "mask")
+            .when(F.col("u_act") < mask_p + random_p, "random")
+            .otherwise("keep"),
+        )
+        .withColumn(
+            "vid",
+            (
+                F.least(
+                    F.floor(F.col("u_tok") * F.col("nv")), F.col("nv") - 1
+                )
+                + 1
+            ).cast("int"),
+        )
+    )
+    return (
+        sel.join(F.broadcast(vocab), "vid")
+        .select(
+            id_col,
+            "pos",
+            "token",
+            "action",
+            F.when(F.col("action") == "mask", mask_token)
+            .when(F.col("action") == "random", F.col("rand_token"))
+            .otherwise(F.col("token"))
+            .alias("replacement"),
+        )
+    )

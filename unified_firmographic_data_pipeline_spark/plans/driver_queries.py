@@ -16101,7 +16101,9 @@ def fs_pattern_posteriors(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT ({_ER_SCORE}) AS s, g3 AS is_true
         FROM pr, wts),
-    th(threshold_micro) AS (VALUES (1000000), (2000000), (3000000)),
+    th(threshold_micro) AS (
+        VALUES (CAST(1000000 AS BIGINT)), (CAST(2000000 AS BIGINT)),
+               (CAST(3000000 AS BIGINT))),
     m AS (
         SELECT th.threshold_micro,
                CAST(count_if(s >= th.threshold_micro) AS BIGINT) AS n_matched,
@@ -16577,6 +16579,102 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibrate_bins(
         o, "o_totalprice", "is_f", n_bins=16, lo=0.0, hi=600000.0
     )
+
+
+@q(
+    "audit_hash_chain_daily",
+    """
+    WITH RECURSIVE
+    d AS (
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS vmic
+        FROM events GROUP BY 1),
+    dig AS (
+        SELECT day, md5(day || '|' || CAST(cnt AS VARCHAR) || '|'
+                        || CAST(vmic AS VARCHAR)) AS digest,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM d),
+    chain AS (
+        SELECT rn, day, digest, md5('GENESIS' || digest) AS chain
+        FROM dig WHERE rn = 1
+        UNION ALL
+        SELECT o.rn, o.day, o.digest, md5(c.chain || o.digest)
+        FROM chain c JOIN dig o ON o.rn = c.rn + 1)
+    SELECT day, digest, chain FROM chain
+    """,
+)
+def audit_hash_chain_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident run ledger (plans/graph.py:audit_hash_chain — the
+    run-metadata sink A7 extended with transparency-log integrity): daily
+    event digests (count + micro-quantized value sum, distributed agg)
+    folded into chain_i = md5(chain_{i-1} || digest_i) by one catalyst
+    ``aggregate`` expression over the bounded day axis. Rewriting any
+    historical day breaks every later chain value; the oracle replays
+    the fold as a recursive CTE, so each link is bit-verified."""
+    from unified_firmographic_data_pipeline_spark.plans.graph import audit_hash_chain
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("vmic"),
+        )
+        .select(
+            "day",
+            F.md5(F.concat_ws("|", "day", "cnt", "vmic")).alias("digest"),
+        )
+    )
+    return audit_hash_chain(daily)
+
+
+@q(
+    "mlm_masking_plan",
+    r"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tt
+        FROM d),
+    t AS (
+        SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, tt[u.i] AS token
+        FROM toks, UNNEST(generate_series(1, len(tt))) AS u(i)),
+    vocab AS (
+        SELECT row_number() OVER (ORDER BY token) AS vid, token AS rand_token
+        FROM (SELECT DISTINCT token FROM t)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM vocab),
+    sel AS (
+        SELECT doc_id, pos, token,
+               CAST(('0x' || substr(md5('act' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 13)) AS BIGINT) / CAST(4503599627370496 AS DOUBLE) AS u_act,
+               CAST(('0x' || substr(md5('tok' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 13)) AS BIGINT) / CAST(4503599627370496 AS DOUBLE) AS u_tok
+        FROM t WHERE CAST(('0x' || substr(md5('mlm' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 13)) AS BIGINT) / CAST(4503599627370496 AS DOUBLE) < 0.15),
+    act AS (
+        SELECT doc_id, pos, token,
+               CASE WHEN u_act < 0.8 THEN 'mask'
+                    WHEN u_act < 0.9 THEN 'random'
+                    ELSE 'keep' END AS action,
+               CAST(least(floor(u_tok * nv), nv - 1) + 1 AS INTEGER) AS vid
+        FROM sel, n)
+    SELECT a.doc_id, a.pos, a.token, a.action,
+           CASE a.action WHEN 'mask' THEN '[MASK]'
+                         WHEN 'random' THEN v.rand_token
+                         ELSE a.token END AS replacement
+    FROM act a JOIN vocab v ON v.vid = a.vid
+    """,
+)
+def mlm_masking_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT masked-LM corpus plan (operators/lm.py:mlm_masking_plan,
+    Devlin et al. 2019 §3.1): hash-deterministic 15% position selection,
+    80/10/10 mask/random/keep actions, random replacements drawn from the
+    corpus vocabulary by clamped floor(u * |V|). Every draw is the 13-hex
+    md5 mantissa, so the oracle replays selection, action AND the exact
+    replacement token — rerunning corpus prep provably cannot change what
+    the model trains on. One token explode + broadcast vocab join."""
+    from unified_firmographic_data_pipeline_spark.operators.lm import mlm_masking_plan
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return mlm_masking_plan(d)
 
 
 # --------------------------------------------------------------------------

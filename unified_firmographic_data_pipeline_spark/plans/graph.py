@@ -24,6 +24,7 @@ from collections.abc import Callable
 from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from unified_firmographic_data_pipeline_spark.operators.incremental import upsert
 from unified_firmographic_data_pipeline_spark.operators.scd2 import scd2_apply
@@ -185,3 +186,48 @@ def model(
         return fn
 
     return deco
+
+
+def audit_hash_chain(
+    daily: DataFrame, day_col: str = "day", digest_col: str = "digest"
+) -> DataFrame:
+    """Tamper-evident hash chain over a BOUNDED ordered digest axis:
+    chain_i = md5(chain_{i-1} || digest_i), genesis constant for i=0 —
+    the run-metadata ledger pattern (each pipeline run's summary digest
+    is chained, so silently rewriting any historical row breaks every
+    later chain value; cf. Merkle 1987 / transparency-log designs).
+
+    Contract: ``daily`` must already be aggregated to a bounded axis
+    (days, runs — not raw rows): the fold collects the axis into ONE
+    array and runs as a JVM catalyst ``aggregate`` expression, exact and
+    engine-replayable but sequential by nature (a hash chain is the
+    textbook non-parallelizable fold — that's its security property).
+    The heavy lifting (per-day digests over raw rows) stays distributed
+    upstream. ``day_col`` must sort chronologically as a STRING (ISO
+    dates do) since the collected array is sort_array-ordered."""
+    xs = daily.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(day_col).alias("day"), F.col(digest_col).alias("digest")
+                )
+            )
+        ).alias("xs")
+    )
+    folded = xs.select(
+        F.explode(
+            F.expr(
+                "aggregate(xs, "
+                "CAST(array() AS ARRAY<STRUCT<day STRING, digest STRING, chain STRING>>), "
+                "(acc, x) -> array_append(acc, named_struct("
+                "'day', x.day, 'digest', x.digest, "
+                "'chain', md5(concat(coalesce(try_element_at(acc, -1).chain, "
+                "'GENESIS'), x.digest)))))"
+            )
+        ).alias("r")
+    )
+    return folded.select(
+        F.col("r.day").alias(day_col),
+        F.col("r.digest").alias(digest_col),
+        F.col("r.chain").alias("chain"),
+    )

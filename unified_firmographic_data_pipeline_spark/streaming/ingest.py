@@ -327,3 +327,67 @@ def stream_entity_attach_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cdc_apply_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> StreamingQuery:
+    """Apply a CDC event stream (I/U/D rows with full payloads — the
+    shape ``operators.incremental.cdc_events`` derives and a Debezium
+    topic carries) to a landed table, micro-batch by micro-batch.
+
+    Per batch: keep only each key's LATEST event (max ``seq_col``, op
+    descending as the deterministic tiebreak), anti-join the landed
+    table on touched keys, then re-insert payloads whose final op is not
+    D — one keyed window + one anti-join per batch, costs tracking the
+    BATCH size, never the table history. Because only the latest event
+    per key matters, applying the same events twice is a no-op
+    (checkpoint replays converge — stream_upsert_sink's
+    exactly-once-by-construction contract), and micro-batched apply
+    equals one-shot batch apply whenever ``seq_col`` is monotone across
+    batches (pinned in tests against a from-scratch batch apply).
+
+    Same crash-safety as every sink here: the new table stages through
+    ``catalog.atomic_swap_write``; a present-but-unreadable table fails
+    the batch instead of truncating state."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from unified_firmographic_data_pipeline_spark.sources.catalog import (
+        atomic_swap_write,
+    )
+
+    payload_cols = [c for c in stream.columns if c not in (op_col, seq_col)]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.exists(table_path):
+            base = spark.read.parquet(table_path)
+            kept = base.join(latest.select(*keys), keys, "left_anti")
+        else:
+            kept = spark.createDataFrame(
+                [], batch_df.select(*payload_cols).schema
+            )
+        upserts = latest.filter(F.col(op_col) != "D").select(*payload_cols)
+        atomic_swap_write(kept.unionByName(upserts), table_path)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
