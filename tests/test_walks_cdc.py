@@ -97,6 +97,9 @@ def test_cdc_events_single_shuffle_plan(spark):
     with contextlib.redirect_stdout(buf):
         cdc_events(old, new, ["k"]).explain("formatted")
     plan = buf.getvalue()
+    # a keyed full-outer join and nothing scale-hostile: no cartesian,
+    # no nested loop (formatted mode repeats node names in the detail
+    # section, so an exact count would be brittle)
+    assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan
-    # one full-outer join, key-partitioned
-    assert plan.count("Join FullOuter") == 1 or "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

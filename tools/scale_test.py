@@ -358,10 +358,21 @@ def timeq(fn, sf_dir: str) -> float:
 
 if __name__ == "__main__":
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # the measurement JVM lives through ~100 heavies at two scales:
+    # localCheckpoint blocks and broadcast relations accumulate until the
+    # ContextCleaner's GC-driven hooks fire, and at the 10x scale a late
+    # query's broadcast build can hit "not enough memory" in an 8g heap
+    # that a fresh JVM runs fine (observed: random_walk_corpus after ~90
+    # prior heavies). 16g + periodic GC keeps reclamation ahead of
+    # accumulation; bench.py stays at the measured-optimal 8g.
     spark = get_spark(
         app_name="ufdp-scale-test",
         master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": cpus},
+        extra_conf={
+            "spark.sql.shuffle.partitions": cpus,
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            "spark.cleaner.periodicGC.interval": "60s",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     print("generating 10x dataset ...", file=sys.stderr)
@@ -702,6 +713,39 @@ if __name__ == "__main__":
     )
     lines.append(
         "doc subset by the registry convention — constant input, ~1x."
+    )
+    lines.append(
+        "Round-6 continuation rows: `random_walk_corpus`'s ~7.6x is the"
+    )
+    lines.append(
+        "edge build, not the walk — the co-purchase edge table is ~10x"
+    )
+    lines.append(
+        "rows and is checkpointed ONCE; the per-step frontier joins touch"
+    )
+    lines.append(
+        "seeds x degree rows (10x seeds at constant degree), and walk"
+    )
+    lines.append(
+        "count is the caller's knob, independent of graph size."
+    )
+    lines.append(
+        "`audio_container_probes` / `cdc_change_events` /"
+    )
+    lines.append(
+        "`nfc_normalization_drift` are map-stage-linear (1.3-1.4x)."
+    )
+    lines.append(
+        "`mlm_masking_plan`'s 2.1x is the vocabulary distinct shuffle"
+    )
+    lines.append(
+        "growing with the suffix-scheme's per-replica NEW tokens (true"
+    )
+    lines.append(
+        "vocab growth, 10x distinct bigrams — same driver as the KMV"
+    )
+    lines.append(
+        "rows); the token stream itself never shuffles."
     )
     lines.append(
         "The 10x text is generated by per-replica token suffixing (new"
