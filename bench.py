@@ -330,6 +330,7 @@ HEADLINE = [
     "isotonic_calibration_pav",
     "audit_hash_chain_daily",
     "mlm_masking_plan",
+    "tcloseness_audit",
 ]
 
 

@@ -75,6 +75,9 @@ BNLJ_ALLOWED = {
     # 1-row vocabulary-count scalar broadcast onto the selected tokens —
     # same scalar-subquery shape as unigram_logprob_scores
     "mlm_masking_plan",
+    # bounded-axis cross: QI classes x ordered sensitive values (15 x 8
+    # AGGREGATED rows — axes, never data; the kendall_tau_daily shape)
+    "tcloseness_audit",
     # 1-row LM totals (na, nt, V) broadcast into the log-ratio table —
     # same scalar-subquery shape as unigram_logprob_scores
     "dsir_importance_topk",

@@ -16677,6 +16677,65 @@ def mlm_masking_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlm_masking_plan(d)
 
 
+@q(
+    "tcloseness_audit",
+    """
+    WITH base AS (
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(least(7, greatest(0, floor(o_totalprice / 75000.0))) AS INTEGER) AS sv
+        FROM orders),
+    cls AS (SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_c
+            FROM base GROUP BY 1, 2),
+    vals AS (SELECT sv, CAST(COUNT(*) AS BIGINT) AS n_v FROM base GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, 
+                   CAST((SELECT COUNT(*) FROM vals) AS BIGINT) AS m
+            FROM base),
+    cv AS (SELECT o_orderpriority, o_orderstatus, sv, CAST(COUNT(*) AS BIGINT) AS n_cv
+           FROM base GROUP BY 1, 2, 3),
+    axis AS (
+        SELECT c.o_orderpriority, c.o_orderstatus, c.n_c, v.sv, v.n_v,
+               COALESCE(x.n_cv, 0) AS n_cv
+        FROM cls c CROSS JOIN vals v
+        LEFT JOIN cv x ON x.o_orderpriority = c.o_orderpriority
+                      AND x.o_orderstatus = c.o_orderstatus AND x.sv = v.sv),
+    cum AS (
+        SELECT o_orderpriority, o_orderstatus, n_c,
+               abs(SUM(n_cv * tot.n - n_v * n_c) OVER (
+                   PARTITION BY o_orderpriority, o_orderstatus
+                   ORDER BY sv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cum_abs,
+               tot.n, tot.m
+        FROM axis, tot)
+    SELECT o_orderpriority, o_orderstatus, n_c,
+           round(CAST(SUM(cum_abs) AS DOUBLE)
+                 / (CAST(m - 1 AS DOUBLE) * CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE)),
+                 6) AS t_emd
+    FROM cum GROUP BY o_orderpriority, o_orderstatus, n_c, n, m
+    """,
+)
+def tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit (quality/privacy.py:tcloseness_classes,
+    Li-Li-Venkatasubramanian ICDE'07): per (priority x status) class, the
+    EMD between the class's ordered totalprice-bucket distribution and
+    the global one — the skew-disclosure gate k-anonymity and
+    l-diversity don't provide. Distribution differences stay INTEGER
+    numerators over the per-class-constant denominator n_c*n; cumulative
+    sums fold as BIGINTs, ONE double division at the end — the EMD is
+    bit-replayable, not approximately compared."""
+    from unified_firmographic_data_pipeline_spark.quality.privacy import (
+        tcloseness_classes,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.least(F.lit(7), F.greatest(F.lit(0), F.floor(F.col("o_totalprice") / 75000.0)))
+        .cast("int")
+        .alias("sv"),
+    )
+    return tcloseness_classes(o, ["o_orderpriority", "o_orderstatus"], "sv")
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is

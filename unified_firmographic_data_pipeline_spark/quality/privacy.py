@@ -92,3 +92,72 @@ def generalization_candidates(
     for o in outs[1:]:
         u = u.unionByName(o)
     return u.orderBy("rows_at_risk", "dropped")
+
+
+def tcloseness_classes(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007): per
+    QI equivalence class, the Earth Mover's Distance between the class's
+    sensitive-value distribution and the GLOBAL distribution, for an
+    ORDERED sensitive attribute with m equally-spaced values:
+
+        EMD = (1/(m-1)) * sum_i | sum_{j<=i} (p_j - q_j) |
+
+    k-anonymity bounds class size and l-diversity bounds distinct values,
+    but neither stops skew disclosure (a class whose salary distribution
+    sits entirely in the top bucket leaks even with l=3 distinct values);
+    t-closeness is the release gate for that.
+
+    Exactness: p_j - q_j = n_cvj/n_c - n_vj/n is kept as the INTEGER
+    numerator (n_cvj*n - n_vj*n_c) over the per-class-constant
+    denominator n_c*n; the cumulative sums and absolute values fold as
+    BIGINTs (bounded by n_c*n <= n^2 — fine to ~3e9 rows; larger tables
+    should pre-aggregate or sample classes) and ONE double division at
+    the end makes ``t_emd`` bit-replayable cross-engine.
+
+    Scale shape: one (class x value) groupBy, one value groupBy, a
+    bounded (classes x m) axis from the crossJoin of the two DISTINCT
+    frames (axes, never data), a cumsum window partitioned BY CLASS, and
+    a final per-class fold. The raw table shuffles once. NOTE: ``m`` and
+    ``n`` are two plan-time count() jobs (scalars must be literals for
+    the integer numerators) — the documented eager-count contract of the
+    triangle auto-switch applies.
+    """
+    from pyspark.sql.window import Window
+
+    cls = df.groupBy(*quasi_cols).agg(F.count("*").alias("n_c"))
+    vals = df.groupBy(sensitive_col).agg(F.count("*").alias("n_v"))
+    n_total = df.count()
+    m = vals.count()
+    axis = cls.crossJoin(vals.select(sensitive_col, "n_v"))
+    cv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").alias("n_cv")
+    )
+    joined = axis.join(cv, [*quasi_cols, sensitive_col], "left").fillna(
+        0, subset=["n_cv"]
+    )
+    num = (
+        F.col("n_cv") * F.lit(n_total) - F.col("n_v") * F.col("n_c")
+    ).alias("num")
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.select(*quasi_cols, sensitive_col, "n_c", num).withColumn(
+        "cum_abs", F.abs(F.sum("num").over(w))
+    )
+    return (
+        cum.groupBy(*quasi_cols, "n_c")
+        .agg(F.sum("cum_abs").alias("abs_sum"))
+        .select(
+            *quasi_cols,
+            "n_c",
+            F.round(
+                F.col("abs_sum").cast("double")
+                / (F.lit(float(m - 1)) * F.col("n_c") * F.lit(float(n_total))),
+                6,
+            ).alias("t_emd"),
+        )
+    )
