@@ -341,17 +341,32 @@ def _historical_floors() -> dict[str, float]:
     DOWN, so one lucky idle-host outlier permanently poisons the floor and
     every later run on a busy host false-flags (7 sub-1.5 s queries hit
     2.0-2.3x floor with byte-identical code). The floor is therefore the
-    PREVIOUS ROUND's time: the highest-numbered BENCH_full_r*.json gives a
-    complete per-query snapshot from one recent session, so both runs see
-    comparable host conditions and the floor tracks drift in both
-    directions. Queries absent from that snapshot (registered since) fall
-    back to the all-time minimum across BENCH_r*.json; queries in neither
-    have no floor and cannot flag. The 2x + 0.4 s gate is unchanged."""
+    PREVIOUS ROUND's time: the highest-numbered BENCH_full_r*.json FROM A
+    COMPLETED ROUND gives a complete per-query snapshot from one recent
+    session, so both runs see comparable host conditions and the floor
+    tracks drift in both directions. "Completed" means a driver
+    BENCH_r{N}.json exists for it — a BENCH_full snapshot refreshed
+    mid-round would otherwise hold THIS session's lucky minima as floors
+    and false-flag the same session's later runs (observed: a new query's
+    0.90 s first reading flagging its own 1.84 s re-run at 2.04x).
+    Queries absent from that snapshot (registered since) fall back to the
+    all-time minimum across BENCH_r*.json; queries in neither have no
+    floor and cannot flag. The 2x + 0.4 s gate is unchanged."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+    completed = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+    ]
+    max_done = max(completed, default=0)
     full_snaps = sorted(
-        glob.glob(os.path.join(here, "BENCH_full_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_full_r*.json"))
+            if int(re.search(r"r(\d+)", os.path.basename(p)).group(1)) <= max_done
+        ),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     floors: dict[str, float] = {}
