@@ -206,6 +206,12 @@ SHOWCASE = {
         "1-row (vocab count) and broadcast (vocab lookup) — the token "
         "stream itself never shuffles."
     ),
+    "tcloseness_audit": (
+        "Privacy audit at scale: the raw table shuffles once into the "
+        "class x value counts; the EMD axis is a crossJoin of two "
+        "AGGREGATED distinct frames (15 x 8 rows — axes, never data), "
+        "then a BY-CLASS cumsum window over integer numerators."
+    ),
     "audit_hash_chain_daily": (
         "Bounded sequential fold: the day axis aggregates distributed, "
         "collect_list+aggregate folds the md5 chain in ONE expression "

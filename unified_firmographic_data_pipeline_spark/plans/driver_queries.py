@@ -16708,7 +16708,8 @@ def mlm_masking_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM axis, tot)
     SELECT o_orderpriority, o_orderstatus, n_c,
            round(CAST(SUM(cum_abs) AS DOUBLE)
-                 / (CAST(m - 1 AS DOUBLE) * CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE)),
+                 / (CAST(greatest(m - 1, 1) AS DOUBLE) * CAST(n_c AS DOUBLE)
+                    * CAST(n AS DOUBLE)),
                  6) AS t_emd
     FROM cum GROUP BY o_orderpriority, o_orderstatus, n_c, n, m
     """,

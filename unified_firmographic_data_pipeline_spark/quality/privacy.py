@@ -154,9 +154,13 @@ def tcloseness_classes(
         .select(
             *quasi_cols,
             "n_c",
+            # m <= 1: every class's distribution IS the global one (the
+            # numerators are identically zero), so clamping the divisor
+            # keeps t_emd an exact 0.0 instead of an ANSI divide-by-zero
+            # on a single-valued sensitive column (degenerate-sweep case)
             F.round(
                 F.col("abs_sum").cast("double")
-                / (F.lit(float(m - 1)) * F.col("n_c") * F.lit(float(n_total))),
+                / (F.lit(float(max(m - 1, 1))) * F.col("n_c") * F.lit(float(n_total))),
                 6,
             ).alias("t_emd"),
         )
