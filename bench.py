@@ -331,6 +331,7 @@ HEADLINE = [
     "audit_hash_chain_daily",
     "mlm_masking_plan",
     "tcloseness_audit",
+    "brier_score_decomposition",
 ]
 
 

@@ -78,6 +78,9 @@ BNLJ_ALLOWED = {
     # bounded-axis cross: QI classes x ordered sensitive values (15 x 8
     # AGGREGATED rows — axes, never data; the kendall_tau_daily shape)
     "tcloseness_audit",
+    # 1-row (n_tot, pos_tot) totals broadcast onto the 5-row priority
+    # axis — the q11/heavy_hitter_tokens scalar-subquery shape
+    "brier_score_decomposition",
     # 1-row LM totals (na, nt, V) broadcast into the log-ratio table —
     # same scalar-subquery shape as unigram_logprob_scores
     "dsir_importance_topk",

@@ -16737,6 +16737,93 @@ def tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tcloseness_classes(o, ["o_orderpriority", "o_orderstatus"], "sv")
 
 
+@q(
+    "brier_score_decomposition",
+    """
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(pos) AS BIGINT) AS pos_tot FROM g),
+    terms AS (
+        SELECT g.n, g.pos,
+               (CAST(g.pos + 1 AS DOUBLE) / CAST(g.n + 2 AS DOUBLE)) AS p,
+               (CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE)) AS ybar_k,
+               (CAST(tot.pos_tot AS DOUBLE) / CAST(tot.n_tot AS DOUBLE)) AS ybar,
+               tot.n_tot
+        FROM g, tot),
+    micro AS (
+        SELECT n_tot,
+               CAST(SUM(CAST(round((n * p * p - 2 * p * pos + pos) * 1e6) AS BIGINT)) AS BIGINT) AS brier_u,
+               CAST(SUM(CAST(round(n * (p - ybar_k) * (p - ybar_k) * 1e6) AS BIGINT)) AS BIGINT) AS rel_u,
+               CAST(SUM(CAST(round(n * (ybar_k - ybar) * (ybar_k - ybar) * 1e6) AS BIGINT)) AS BIGINT) AS res_u,
+               round(max(ybar) * (1 - max(ybar)), 6) AS uncertainty
+        FROM terms GROUP BY n_tot)
+    SELECT round(CAST(brier_u AS DOUBLE) / 1e6 / CAST(n_tot AS DOUBLE), 6) AS brier,
+           round(CAST(rel_u AS DOUBLE) / 1e6 / CAST(n_tot AS DOUBLE), 6) AS reliability,
+           round(CAST(res_u AS DOUBLE) / 1e6 / CAST(n_tot AS DOUBLE), 6) AS resolution,
+           uncertainty
+    FROM micro
+    """,
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition for a grouped
+    probabilistic prediction: per order-priority, predict the Laplace-
+    smoothed 'F' rate (pos+1)/(n+2); Brier = reliability - resolution +
+    uncertainty. The score and both decomposition terms reduce to the
+    5-row priority axis (one combinable groupBy of the raw table), and
+    each per-group double term is micro-quantized before the cross-group
+    sum, so all four outputs are bit-replayable. Completes the
+    calibration family: reliability bins diagnose, isotonic repairs,
+    Brier decomposition scores."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("pos").cast("long").alias("pos_tot"),
+    )
+    p = (F.col("pos") + 1).cast("double") / (F.col("n") + 2).cast("double")
+    ybar_k = F.col("pos").cast("double") / F.col("n").cast("double")
+    ybar = F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "n", "pos", "n_tot",
+        p.alias("p"), ybar_k.alias("ybar_k"), ybar.alias("ybar"),
+    )
+    micro = terms.groupBy("n_tot").agg(
+        F.sum(
+            F.round(
+                (F.col("n") * F.col("p") * F.col("p")
+                 - 2 * F.col("p") * F.col("pos") + F.col("pos")) * 1e6
+            ).cast("long")
+        ).cast("long").alias("brier_u"),
+        F.sum(
+            F.round(
+                F.col("n") * (F.col("p") - F.col("ybar_k"))
+                * (F.col("p") - F.col("ybar_k")) * 1e6
+            ).cast("long")
+        ).cast("long").alias("rel_u"),
+        F.sum(
+            F.round(
+                F.col("n") * (F.col("ybar_k") - F.col("ybar"))
+                * (F.col("ybar_k") - F.col("ybar")) * 1e6
+            ).cast("long")
+        ).cast("long").alias("res_u"),
+        F.round(F.max("ybar") * (1 - F.max("ybar")), 6).alias("uncertainty"),
+    )
+    return micro.select(
+        F.round(F.col("brier_u").cast("double") / 1e6 / F.col("n_tot").cast("double"), 6).alias("brier"),
+        F.round(F.col("rel_u").cast("double") / 1e6 / F.col("n_tot").cast("double"), 6).alias("reliability"),
+        F.round(F.col("res_u").cast("double") / 1e6 / F.col("n_tot").cast("double"), 6).alias("resolution"),
+        "uncertainty",
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
