@@ -38,14 +38,18 @@ def binned_label_rates(
     """Fixed-width score bins with label counts: (bin, n, pos). One
     combinable groupBy; the bin expression clamps to [0, n_bins-1] so
     out-of-range scores land in the edge bins (never dropped — a
-    calibration fit must see every labeled row)."""
+    calibration fit must see every LABELED row). Rows with a NULL score
+    or NULL label carry no calibration information and are filtered
+    before binning — a NULL score would otherwise floor to a NULL bin
+    and a NULL label would break pav_pools' integer arithmetic."""
     width = (hi - lo) / n_bins
     bin_ = F.least(
         F.lit(n_bins - 1),
         F.greatest(F.lit(0), F.floor((F.col(score_col) - lo) / width)),
     ).cast("int")
     return (
-        df.select(bin_.alias("bin"), F.col(label_col).cast("long").alias("y"))
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(bin_.alias("bin"), F.col(label_col).cast("long").alias("y"))
         .groupBy("bin")
         .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
     )

@@ -781,13 +781,17 @@ def mp3_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
     return sample_rate, bitrate, n_frames * 1152 * 1000 // sample_rate
 
 
-def mp3_encode_minimal(n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100) -> bytes:
+def mp3_encode_minimal(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100, channels: int = 1
+) -> bytes:
     """``n_frames`` zero-payload CBR MPEG-1 Layer III frames (no padding
-    bit), silence-equivalent; a header-walkable fixture."""
+    bit), silence-equivalent; a header-walkable fixture. Byte 3 carries
+    the channel-mode bits (0b11 = single channel, 0b00 = stereo)."""
     br_i = _MP3_BITRATES.index(bitrate_kbps)
     sr_i = _MP3_RATES.index(sample_rate)
     size = 144 * bitrate_kbps * 1000 // sample_rate
-    frame = bytes([0xFF, 0xFB, (br_i << 4) | (sr_i << 2), 0]) + bytes(size - 4)
+    mode = 0xC0 if channels == 1 else 0x00
+    frame = bytes([0xFF, 0xFB, (br_i << 4) | (sr_i << 2), mode]) + bytes(size - 4)
     return frame * n_frames
 
 
@@ -811,14 +815,18 @@ def ogg_vorbis_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
         return None, None, None
     channels = b[body + 11]
     sample_rate = int.from_bytes(b[body + 12 : body + 16], "little")
-    # walk pages; the final page's granule position is the total samples
+    # walk pages; the final page's granule position is the total samples.
+    # The granule is SIGNED per the Ogg spec: -1 means "no packet finishes
+    # on this page", so a negative final granule yields an unknown duration.
     off, granule = 0, None
     while off + 27 <= len(b) and b[off : off + 4] == b"OggS":
-        granule = int.from_bytes(b[off + 6 : off + 14], "little")
+        granule = int.from_bytes(b[off + 6 : off + 14], "little", signed=True)
         segs = b[off + 26]
         off += 27 + segs + sum(b[off + 27 : off + 27 + segs])
-    if not sample_rate or granule is None:
+    if not sample_rate:
         return None, None, None
+    if granule is None or granule < 0:
+        return sample_rate, channels, None
     return sample_rate, channels, granule * 1000 // sample_rate
 
 
@@ -889,7 +897,10 @@ def audio_meta(b: bytes | None) -> tuple:
         return "flac", sr, ch, None, dur
     if is_mp3(b):
         sr, br, dur = mp3_meta(b)
-        return "mp3", sr, 1, br, dur
+        # channel mode lives in bits 7-6 of byte 3: 0b11 = single channel,
+        # anything else (stereo / joint stereo / dual channel) carries 2.
+        ch = None if sr is None else (1 if (b[3] >> 6) == 3 else 2)
+        return "mp3", sr, ch, br, dur
     if is_ogg(b):
         sr, ch, dur = ogg_vorbis_meta(b)
         return "ogg", sr, ch, None, dur
@@ -976,7 +987,10 @@ def wav_pcm_samples(b: bytes) -> "object":
         off += 8 + ln + (ln & 1)
     if bps != 16 or data is None:
         return None
-    return np.frombuffer(data, dtype="<i2")
+    # a truncated stream may leave an odd byte count; drop the dangling
+    # byte rather than raising inside the Spark task (malformed-stream
+    # contract: degrade, never crash).
+    return np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
 
 
 def pcm_stats(df: DataFrame) -> DataFrame:
@@ -1035,7 +1049,10 @@ def audio_from_params(df: DataFrame, container_col: str = "container") -> DataFr
                     )
                 elif c == "mp3":
                     payloads.append(
-                        mp3_encode_minimal(int(r.total_samples) // 1152, int(r.bitrate_kbps), int(r.sample_rate))
+                        mp3_encode_minimal(
+                            int(r.total_samples) // 1152, int(r.bitrate_kbps),
+                            int(r.sample_rate), int(r.channels) if r.channels is not None else 1,
+                        )
                     )
                 elif c == "ogg":
                     payloads.append(

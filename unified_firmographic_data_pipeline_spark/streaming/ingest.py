@@ -382,7 +382,10 @@ def stream_cdc_apply_sink(
             kept = spark.createDataFrame(
                 [], batch_df.select(*payload_cols).schema
             )
-        upserts = latest.filter(F.col(op_col) != "D").select(*payload_cols)
+        # null-safe: an event with a NULL op must behave as an upsert, not
+        # silently vanish after its key was anti-joined away (!= 'D' is
+        # NULL for NULL ops, which a plain filter drops)
+        upserts = latest.filter(~F.col(op_col).eqNullSafe("D")).select(*payload_cols)
         atomic_swap_write(kept.unionByName(upserts), table_path)
 
     return (
