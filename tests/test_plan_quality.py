@@ -164,6 +164,13 @@ BNLJ_ALLOWED = {
     # |sources|^2-bounded pair axis broadcast (the js_divergence_sources
     # shape); each pair carries at most 2k sketch rows
     "kmv_vocab_source_overlap",
+    # trained-PQ ADC: 5 bounded queries (each carrying its m×k ADC table)
+    # broadcast against the corpus code scan under qid != nid — the
+    # bq_hamming_topk shape
+    "pq_adc_topk",
+    # 4 truncation tiers scored in one pass: 5 bounded queries broadcast
+    # against the corpus scan under qid != nid — the ann_cosine_topk shape
+    "matryoshka_recall_tiers",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -132,6 +132,12 @@ HEAVY = [
     "cdc_change_events",          # one full-outer key shuffle + change mask
     "nfc_normalization_drift",    # Arrow-batched unicodedata pass
     "mlm_masking_plan",           # token explode + 3 hash cols + vocab join
+    # round-7 registrations
+    "pq_adc_topk",                # trained PQ: Lloyd partials + ADC scan
+    "sq8_reconstruction_error",   # bounds agg + per-row recon error
+    "boilerplate_chunk_removal",  # chunk fp distinct + spread join
+    "matryoshka_recall_tiers",    # 4-tier cosine pass + overlap join
+    "wordpiece_piece_histogram",  # distinct-word segmentation + freq join
 ]
 
 

@@ -183,6 +183,55 @@ def sentence_chunks(
     )
 
 
+def boilerplate_chunk_stats(
+    docs: DataFrame, width: int = 10, min_docs: int = 3
+) -> DataFrame:
+    """CCNet-style corpus-level BOILERPLATE detection (Wenzek et al.,
+    CCNet, LREC 2020 — paragraph-hash dedup across shards): a fixed-width
+    token chunk whose fingerprint occurs in >= ``min_docs`` DISTINCT
+    documents is boilerplate (headers, footers, navigation soup — the
+    text that repeats across pages rather than within one). Differs from
+    :func:`chunk_dedup_stats` (keep-first C4 rule): boilerplate is judged
+    by cross-document spread, not mere duplication.
+
+    Per source: (n_docs, n_chunks, n_boiler_chunks, n_docs_clean). Scale
+    shape: chunk assembly is a pure expression; the distinct (chunk_fp,
+    doc_id) projection and the per-fp document count shuffle on the
+    uniform 32-hex fingerprint; the mark-join is fp-keyed equi. Raw text
+    never crosses a shuffle — only ``width``-token chunks."""
+    chunks = (
+        docs.select("doc_id", "source", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(token_chunks("__toks", width, pre_tokenized=True)).alias(
+                "chunk"
+            ),
+        )
+        .select("doc_id", "source", F.md5(F.col("chunk")).alias("chunk_fp"))
+    )
+    docs_per_fp = (
+        chunks.select("chunk_fp", "doc_id")
+        .distinct()
+        .groupBy("chunk_fp")
+        .agg(F.count("*").alias("__nd"))
+    )
+    per_doc = (
+        chunks.join(docs_per_fp, "chunk_fp")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("__n_chunks"),
+            F.count(F.when(F.col("__nd") >= min_docs, 1)).alias("__n_boiler"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__n_chunks").cast("long").alias("n_chunks"),
+        F.sum("__n_boiler").cast("long").alias("n_boiler_chunks"),
+        F.count(F.when(F.col("__n_boiler") == 0, 1)).cast("long").alias("n_docs_clean"),
+    )
+
+
 def chunk_dedup_stats(docs: DataFrame, width: int = 10) -> DataFrame:
     """C4-style window("line")-level dedup statistics per source: how many
     fixed-width token chunks each source contributes and how many are

@@ -71,6 +71,20 @@ def l2_normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _micro_mean(s: int, n: int) -> float:
+    """Exact codeword component from an integer micro-sum: round s/n to
+    the nearest integer micro (ties away from zero) in PURE INTEGER
+    arithmetic, then scale once. The float path ``round(s/(n*1e6), 6)``
+    is NOT SQL-replayable: s/n lands on an exact half-integer whenever
+    ``s mod n == n/2`` (common — both are small integers), and there
+    Python's banker's rounding and SQL's half-away ``round`` diverge.
+    ``(2s + n) // (2n)`` is the mathematically correct nearest-integer
+    rounding with no double division anywhere near the tie decision, so
+    a DuckDB oracle replays it bit-for-bit."""
+    micro = (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+    return micro / 1e6
+
+
 def _books_lit(books: Codebooks):
     """The whole codebook as ONE nested (m × k × d/m) array literal.
 
@@ -247,7 +261,7 @@ def pq_train(
             cnt[key] = int(r["n"])
         for (j, c), vals in acc.items():
             n = cnt[(j, c)]
-            books[j][c] = [round(v / (n * 1e6), 6) for v in vals]
+            books[j][c] = [_micro_mean(int(v), n) for v in vals]
     return books
 
 

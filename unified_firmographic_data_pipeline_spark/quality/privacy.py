@@ -165,3 +165,48 @@ def tcloseness_classes(
             ).alias("t_emd"),
         )
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Seeded Laplace mechanism over group counts (Dwork et al. 2006,
+    sensitivity-1 count queries): ``noisy = n + Lap(1/epsilon)``, with the
+    noise drawn by INVERSE CDF from a keyed md5 uniform instead of an RNG
+    — ``u = hash_uniform(salt || group key)`` — so a release is
+    reproducible run to run and a SQL twin replays it exactly (the same
+    determinism stance as the leakage-safe train/eval split,
+    operators/sampling.py:hash_uniform).
+
+    noise = -(1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|), micro-rounded
+    to a BIGINT so the only cross-engine float op is one ln (micro
+    rounding absorbs its final-ULP license). The 1e-12 floor guards the
+    u -> 0/1 tails where the inverse CDF diverges. NOTE: reproducible
+    noise weakens the formal DP guarantee to "per-release DP" — re-running
+    the SAME release re-uses the noise rather than re-drawing it, which is
+    exactly what a data-release pipeline wants (fresh noise per rerun
+    would let an observer average it away).
+
+    Output: (group_cols..., n, noise_micro, noisy). One combinable
+    groupBy; noise is a per-group scalar expression — no extra shuffle."""
+    from unified_firmographic_data_pipeline_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("n"))
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    u = hash_uniform(F.concat(F.lit(salt), key))
+    c = u - F.lit(0.5)
+    mag = F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(c), F.lit(1e-12))
+    noise = -F.lit(1.0 / epsilon) * F.signum(c) * F.log(mag)
+    return counts.select(
+        *group_cols,
+        "n",
+        F.round(noise * 1e6).cast("long").alias("noise_micro"),
+        F.round(
+            F.col("n") + F.round(noise * 1e6).cast("long").cast("double") / 1e6, 6
+        ).alias("noisy"),
+    )

@@ -212,6 +212,71 @@ def bmp_encode_minimal(width: int, height: int) -> bytes:
     return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40) + info
 
 
+def is_tiff(b: bytes | None) -> bool:
+    # "II*\0" (little-endian) or "MM\0*" (big-endian), TIFF 6.0 §2
+    return b is not None and len(b) >= 8 and b[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def tiff_meta(b: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, orientation) from IFD0 of a TIFF/EXIF payload —
+    byte-order-aware directory walk (TIFF 6.0 §2: 2-byte entry count,
+    12-byte entries of tag/type/count/value), reading ImageWidth (256),
+    ImageLength (257) and Orientation (274). SHORT(3) and LONG(4) value
+    types are both honored; inline values only (dimension/orientation
+    tags fit the 4-byte value slot, so no offset chase is needed).
+    Returns all-None on a truncated or orderless stream — the module's
+    NULL-means-unparseable contract."""
+    if not is_tiff(b):
+        return None, None, None
+    bo = "little" if b[:2] == b"II" else "big"
+
+    def u(raw: bytes) -> int:
+        return int.from_bytes(raw, bo)
+
+    ifd = u(b[4:8])
+    if ifd + 2 > len(b):
+        return None, None, None
+    n = u(b[ifd : ifd + 2])
+    width = height = orient = None
+    for i in range(n):
+        off = ifd + 2 + i * 12
+        if off + 12 > len(b):
+            break
+        tag, typ = u(b[off : off + 2]), u(b[off + 2 : off + 4])
+        if typ == 3:  # SHORT: value in the first 2 bytes of the slot
+            val = u(b[off + 8 : off + 10])
+        elif typ == 4:  # LONG
+            val = u(b[off + 8 : off + 12])
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+        elif tag == 274:
+            orient = val
+    return width, height, orient
+
+
+def tiff_encode_minimal(
+    width: int, height: int, orientation: int = 1, byte_order: str = "little"
+) -> bytes:
+    """Test helper: a header-valid single-IFD TIFF carrying ImageWidth /
+    ImageLength (LONG) and Orientation (SHORT) in either byte order."""
+    bo = byte_order
+
+    def p(v: int, n: int) -> bytes:
+        return v.to_bytes(n, bo)
+
+    head = (b"II*\x00" if bo == "little" else b"MM\x00*") + p(8, 4)
+    entries = [
+        p(256, 2) + p(4, 2) + p(1, 4) + p(width, 4),
+        p(257, 2) + p(4, 2) + p(1, 4) + p(height, 4),
+        p(274, 2) + p(3, 2) + p(1, 4) + p(orientation, 2) + p(0, 2),
+    ]
+    return head + p(len(entries), 2) + b"".join(entries) + p(0, 4)
+
+
 def is_webp(b: bytes | None) -> bool:
     return b is not None and len(b) >= 20 and b[:4] == b"RIFF" and b[8:12] == b"WEBP"
 
@@ -487,6 +552,10 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
                 return w, h, None
         if kind == "image" and is_webp(b):
             w, h = webp_dims(b)
+            if w is not None:
+                return w, h, None
+        if kind == "image" and is_tiff(b):
+            w, h, _orient = tiff_meta(b)
             if w is not None:
                 return w, h, None
         if kind == "audio" and is_wav(b):
