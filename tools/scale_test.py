@@ -425,6 +425,60 @@ if __name__ == "__main__":
     )
     lines.append("still sublinear.")
     lines.append(
+        "Round-7 A/B on the r05→r06 snapshot drift (4.67→7.35 s): the same"
+    )
+    lines.append(
+        "host session ran the r06 code (memoized edge count, commit 8e04981)"
+    )
+    lines.append(
+        "at min 5.66 s [5.66-7.90] and the pre-memoization r05 code at min"
+    )
+    lines.append(
+        "7.03 s [7.03-8.46] — the memoization is strictly FASTER (it removes"
+    )
+    lines.append(
+        "a duplicate count() job), and both variants straddle the two"
+    )
+    lines.append(
+        "snapshot values, so the drift is ambient host noise, not the"
+    )
+    lines.append("round-6 change. Pinned cause: host drift; no code action.")
+    lines.append(
+        "`dedup_detector_pr`'s ~4-5x is candidate-pair growth in the"
+    )
+    lines.append(
+        "inverted-index join: the 10x corpus carries ~10x true"
+    )
+    lines.append(
+        "prefix-duplicate pairs AND ~10x distinct trigram shingles, so"
+    )
+    lines.append(
+        "posting-list intersections (the only pairs ever scored) grow with"
+    )
+    lines.append(
+        "true-duplicate density while the per-pair Jaccard work is constant"
+    )
+    lines.append(
+        "— sublinear overall because the bounded-output P/R/F1 rollup"
+    )
+    lines.append("absorbs the tail in map-side partials.")
+    lines.append(
+        "`entity_resolution_clusters`'s ~4x is frontier growth in the"
+    )
+    lines.append(
+        "blocked-match + components pipeline: 7-char blocking keeps block"
+    )
+    lines.append(
+        "SIZE constant while block COUNT scales 10x, so candidate edges grow"
+    )
+    lines.append(
+        "~10x and min-label propagation pays one extra convergence round on"
+    )
+    lines.append(
+        "the larger edge set (log-diameter rounds, each a key-partitioned"
+    )
+    lines.append("join) — the designed blocked-ER shape, no doc x doc anywhere.")
+    lines.append(
         "The near-dup/LSH family stays banded — candidate pairs scale with"
     )
     lines.append(
