@@ -292,3 +292,37 @@ def test_tiff_routes_through_decode_media_meta(spark):
     row = decode_media_meta(df).collect()[0]
     assert (row["width"], row["height"]) == (1024, 768)
     assert row["n_bytes"] == len(payload)
+
+
+# ----------------------------------------------------------- spatial grid
+def test_spatial_grid_nearest_matches_bruteforce(spark):
+    """The 3x3-cell candidate join must find exactly the suppliers a
+    brute-force scan finds, wherever the true nearest lies within the
+    neighborhood; customers whose neighborhood is empty drop out."""
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["c_custkey"]: (r["nearest_suppkey"], r["dist2"])
+           for r in QUERIES["spatial_grid_nearest_supplier"](spark, sf).collect()}
+    cust = {r["c_custkey"]: (r["c_custkey"] * 7919 % 18000, r["c_custkey"] * 104729 % 36000)
+            for r in spark.read.parquet(f"{sf}/customer.parquet").collect()}
+    supp = {r["s_suppkey"]: (r["s_suppkey"] * 6271 % 18000, r["s_suppkey"] * 99991 % 36000)
+            for r in spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    assert out, "no customer found any supplier in its neighborhood"
+    for ck, (clat, clon) in cust.items():
+        # brute force restricted to the 3x3 neighborhood = the contract
+        cands = [
+            (
+                (clat - slat) ** 2 + (clon - slon) ** 2,
+                sk,
+            )
+            for sk, (slat, slon) in supp.items()
+            if abs(slat // 100 - clat // 100) <= 1
+            and abs(slon // 100 - clon // 100) <= 1
+        ]
+        if not cands:
+            assert ck not in out
+            continue
+        d2, sk = min(cands)
+        # tie-break on s_suppkey: min() on (dist, key) tuples matches
+        assert out[ck] == (sk, d2), (ck, out.get(ck), (sk, d2))

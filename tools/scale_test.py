@@ -421,9 +421,27 @@ if __name__ == "__main__":
         "closure probe becomes the shuffled join measured below, no manual"
     )
     lines.append(
-        "flag) — its ratio is the wedge stream growing with edge count,"
+        "flag). The 10x replica carries 11.96M undirected edges — past the"
     )
-    lines.append("still sublinear.")
+    lines.append(
+        "5M ceiling — so the measured 10x time IS the shuffled-closure"
+    )
+    lines.append(
+        "plan (note it times within noise of the explicit"
+    )
+    lines.append(
+        "`triangle_stats_shuffled_closure` fallback at 10x): the designed"
+    )
+    lines.append(
+        "regime change, not a scaling defect. Wedges grow exactly 10x"
+    )
+    lines.append(
+        "(147.8M -> 1478.2M, constant per-key density), so per-wedge work"
+    )
+    lines.append(
+        "is flat and the above-10x wall ratio is the shuffled probe's"
+    )
+    lines.append("higher per-wedge constant, paid only past broadcast reach.")
     lines.append(
         "Round-7 A/B on the r05→r06 snapshot drift (4.67→7.35 s): the same"
     )

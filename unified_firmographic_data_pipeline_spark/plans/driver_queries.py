@@ -17390,6 +17390,102 @@ def dp_noisy_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "spatial_grid_nearest_supplier",
+    """
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(c_custkey * 7919 % 18000 AS BIGINT) AS clat,
+               CAST(c_custkey * 104729 % 36000 AS BIGINT) AS clon
+        FROM customer),
+    s AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey * 6271 % 18000 AS BIGINT) AS slat,
+               CAST(s_suppkey * 99991 % 36000 AS BIGINT) AS slon
+        FROM supplier),
+    sg AS (SELECT *, slat // 100 AS gy, slon // 100 AS gx FROM s),
+    cand AS (
+        SELECT c.c_custkey, sg.s_suppkey,
+               (c.clat - sg.slat) * (c.clat - sg.slat)
+             + (c.clon - sg.slon) * (c.clon - sg.slon) AS dist2
+        FROM c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+        JOIN sg ON sg.gy = c.clat // 100 + oy.dy
+               AND sg.gx = c.clon // 100 + ox.dx)
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, CAST(dist2 AS BIGINT) AS dist2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY dist2, s_suppkey) AS rn
+      FROM cand) WHERE rn = 1
+    """,
+)
+def spatial_grid_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor via GRID-BUCKETED equi-join — the
+    canonical way a spatial join survives 100 TB (geohash/S2-cell
+    bucketing re-expressed as integer cells): deterministic centi-degree
+    coordinates derive from the keys (no floats anywhere — positions,
+    cells and squared distances are all exact integers), every customer
+    probes only its 3x3 cell neighborhood (a 9-way equi-join on cell
+    ids, never point x point), and the nearest supplier wins by
+    (dist2, s_suppkey). Customers whose neighborhood holds no supplier
+    drop out (the radius-bound contract). Scale shape: the explode is
+    x9 on the probe side only; both sides shuffle on uniform cell keys;
+    the per-customer argmin is a cell-local window."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 7919 % 18000).cast("long").alias("clat"),
+        (F.col("c_custkey") * 104729 % 36000).cast("long").alias("clon"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 6271 % 18000).cast("long").alias("slat"),
+        (F.col("s_suppkey") * 99991 % 36000).cast("long").alias("slon"),
+    )
+    sg = s.select(
+        "*",
+        F.expr("slat div 100").alias("gy"),
+        F.expr("slon div 100").alias("gx"),
+    )
+    probes = c.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("dy"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("dx"),
+    ).select(
+        "c_custkey",
+        "clat",
+        "clon",
+        (F.expr("clat div 100") + F.col("dy")).alias("gy"),
+        (F.expr("clon div 100") + F.col("dx")).alias("gx"),
+    )
+    cand = probes.join(sg, ["gy", "gx"]).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat"))
+            + (F.col("clon") - F.col("slon")) * (F.col("clon") - F.col("slon"))
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist2").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.col("dist2").cast("long").alias("dist2"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
