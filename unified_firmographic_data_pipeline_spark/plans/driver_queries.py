@@ -17431,7 +17431,26 @@ def spatial_grid_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     (dist2, s_suppkey). Customers whose neighborhood holds no supplier
     drop out (the radius-bound contract). Scale shape: the explode is
     x9 on the probe side only; both sides shuffle on uniform cell keys;
-    the per-customer argmin is a cell-local window."""
+    the per-customer argmin is a cell-local window
+    (operators/spatial.py)."""
+    from unified_firmographic_data_pipeline_spark.operators.spatial import (
+        grid_candidates,
+        grid_nearest,
+    )
+
+    c, s = _spatial_points(spark, sf_dir)
+    cand = grid_candidates(c, s, "clat", "clon", "slat", "slon")
+    return grid_nearest(cand, "c_custkey", "s_suppkey").select(
+        "c_custkey",
+        F.col("s_suppkey").alias("nearest_suppkey"),
+        F.col("dist2").cast("long").alias("dist2"),
+    )
+
+
+def _spatial_points(spark: SparkSession, sf_dir: str):
+    """Deterministic integer centi-degree coordinates for the spatial
+    family: positions derive from the keys, so both engines build the
+    identical point set with zero float ops."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         (F.col("c_custkey") * 7919 % 18000).cast("long").alias("clat"),
@@ -17442,48 +17461,60 @@ def spatial_grid_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("s_suppkey") * 6271 % 18000).cast("long").alias("slat"),
         (F.col("s_suppkey") * 99991 % 36000).cast("long").alias("slon"),
     )
-    sg = s.select(
-        "*",
-        F.expr("slat div 100").alias("gy"),
-        F.expr("slon div 100").alias("gx"),
+    return c, s
+
+
+@q(
+    "spatial_radius_supplier_histogram",
+    """
+    WITH c AS (
+        SELECT c_custkey,
+               CAST(c_custkey * 7919 % 18000 AS BIGINT) AS clat,
+               CAST(c_custkey * 104729 % 36000 AS BIGINT) AS clon
+        FROM customer),
+    s AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey * 6271 % 18000 AS BIGINT) AS slat,
+               CAST(s_suppkey * 99991 % 36000 AS BIGINT) AS slon
+        FROM supplier),
+    sg AS (SELECT *, slat // 100 AS gy, slon // 100 AS gx FROM s),
+    cand AS (
+        SELECT c.c_custkey,
+               (c.clat - sg.slat) * (c.clat - sg.slat)
+             + (c.clon - sg.slon) * (c.clon - sg.slon) AS dist2
+        FROM c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+        JOIN sg ON sg.gy = c.clat // 100 + oy.dy
+               AND sg.gx = c.clon // 100 + ox.dx),
+    hits AS (
+        SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_within
+        FROM cand WHERE dist2 <= 10000 GROUP BY 1),
+    per AS (
+        SELECT c.c_custkey, coalesce(h.n_within, 0) AS n_within
+        FROM c LEFT JOIN hits h USING (c_custkey))
+    SELECT CAST(n_within AS BIGINT) AS n_within, COUNT(*) AS n_customers
+    FROM per GROUP BY 1
+    """,
+)
+def spatial_radius_supplier_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query over the spatial grid: how many suppliers sit within
+    1.0 degree (100 centi-degrees) of each customer, as a histogram —
+    EXACT, because radius <= cell size means the 3x3 neighborhood fully
+    covers every radius disk (operators/spatial.py module contract).
+    Zero-count customers are kept (left join back to the probe set): the
+    difference between "no supplier nearby" and "dropped" is exactly
+    what a coverage audit needs. Same scale shape as the nearest-
+    neighbor tier; the rollup axis is the bounded count histogram."""
+    from unified_firmographic_data_pipeline_spark.operators.spatial import (
+        grid_candidates,
+        grid_radius_counts,
     )
-    probes = c.select(
-        "*",
-        F.explode(
-            F.array(*[F.lit(d) for d in (-1, 0, 1)])
-        ).alias("dy"),
-    ).select(
-        "*",
-        F.explode(
-            F.array(*[F.lit(d) for d in (-1, 0, 1)])
-        ).alias("dx"),
-    ).select(
-        "c_custkey",
-        "clat",
-        "clon",
-        (F.expr("clat div 100") + F.col("dy")).alias("gy"),
-        (F.expr("clon div 100") + F.col("dx")).alias("gx"),
-    )
-    cand = probes.join(sg, ["gy", "gx"]).select(
-        "c_custkey",
-        "s_suppkey",
-        (
-            (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat"))
-            + (F.col("clon") - F.col("slon")) * (F.col("clon") - F.col("slon"))
-        ).alias("dist2"),
-    )
-    w = Window.partitionBy("c_custkey").orderBy(
-        F.col("dist2").asc(), F.col("s_suppkey").asc()
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "c_custkey",
-            F.col("s_suppkey").alias("nearest_suppkey"),
-            F.col("dist2").cast("long").alias("dist2"),
-        )
-    )
+
+    c, s = _spatial_points(spark, sf_dir)
+    cand = grid_candidates(c, s, "clat", "clon", "slat", "slon")
+    per = grid_radius_counts(c, cand, "c_custkey", radius=100)
+    return per.groupBy("n_within").agg(F.count("*").alias("n_customers"))
 
 
 # --------------------------------------------------------------------------
