@@ -137,6 +137,23 @@ SHOWCASE = {
         "matches; old x old pairs were prior runs' output and never "
         "recompute, and no cross product appears anywhere."
     ),
+    "pq_adc_topk": (
+        "Trained PQ under oracle verification: the codebook (learned by "
+        "one integer-micro Lloyd round) rides the plan as ONE nested "
+        "array literal, so encoding and the per-query ADC tables are "
+        "codegen'd projections; the bounded query side (5 rows, each "
+        "carrying its m x k table) broadcasts against the corpus code "
+        "scan — corpus rows cost m integer lookups each, no float math "
+        "after encoding, no corpus-side shuffle before the top-k window."
+    ),
+    "spatial_grid_nearest_supplier": (
+        "Spatial join as integer-cell equi-join: the probe side explodes "
+        "x9 to its 3x3 cell neighborhood map-side, both sides shuffle "
+        "once on uniform (gy, gx) cell keys, and the nearest-site argmin "
+        "is a probe-keyed window over cell-local candidates — never "
+        "point x point, no BNLJ, no distance computed outside the "
+        "neighborhood."
+    ),
     "contrastive_triplets_mined": (
         "Hard-negative mining: the bounded anchor set broadcasts "
         "(BroadcastNestedLoopJoin with the != self predicate, the "
