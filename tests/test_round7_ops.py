@@ -326,3 +326,59 @@ def test_spatial_grid_nearest_matches_bruteforce(spark):
         d2, sk = min(cands)
         # tie-break on s_suppkey: min() on (dist, key) tuples matches
         assert out[ck] == (sk, d2), (ck, out.get(ck), (sk, d2))
+
+
+# ------------------------------------------------- streaming Holt-Winters
+def test_streaming_holt_winters_bit_equal_to_batch(spark, tmp_path):
+    """The stateful streaming recurrence must emit rows BIT-EQUAL to the
+    batch operator's smoothed output over the same days — including
+    across a checkpoint restart (3 separate availableNow runs)."""
+    from unified_firmographic_data_pipeline_spark.streaming.stateful import (
+        streaming_holt_winters,
+    )
+
+    seas = [9, -4, 1, 6, -7, 3, -8]
+    counts = [200 + 3 * t + seas[t % 7] for t in range(30)]
+    days = [datetime.datetime(2024, 5, 1) + datetime.timedelta(days=i) for i in range(30)]
+
+    # batch reference over the same series (one event row per count unit)
+    batch_ref = holt_winters_daily(
+        spark.createDataFrame(
+            [(d,) for d, c in zip(days, counts) for _ in range(c)], "ts timestamp"
+        )
+    )
+    expected = {
+        r["day"]: (r["n_events"], r["fitted"], r["level"], r["trend"], r["seasonal"])
+        for r in batch_ref.collect()
+        if not r["is_forecast"]
+    }
+
+    src = str(tmp_path / "hw_src")
+    out = str(tmp_path / "hw_out")
+    ckpt = str(tmp_path / "hw_ckpt")
+    sch = "ts timestamp, c long"
+
+    def run():
+        q = (
+            streaming_holt_winters(spark.readStream.schema(sch).parquet(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for lo, hi in [(0, 10), (10, 21), (21, 30)]:
+        spark.createDataFrame(
+            [(days[i], counts[i]) for i in range(lo, hi)], sch
+        ).coalesce(1).write.mode("append").parquet(src)
+        run()
+
+    got = {
+        r["day"]: (r["n_events"], r["fitted"], r["level"], r["trend"], r["seasonal"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
+    assert len(got) == 30 - 7

@@ -239,3 +239,117 @@ def tws_dedup_by_key(
             timeMode="None" if ttl_ms is None else "ProcessingTime",
         )
     )
+
+
+# ------------------------------------------------------------------------
+# Streaming Holt-Winters: the stateful-forecasting twin of
+# operators/holtwinters.holt_winters_daily. State carries (t, level,
+# trend, 7 seasonal slots) in integer micro-units plus the pre-init
+# buffer; every update is the SAME rha() integer recurrence, so the
+# stream's emitted rows are BIT-EQUAL to the batch operator's smoothed
+# rows over the same data (pinned in tests). Contract: days arrive in
+# chronological order across micro-batches (within a batch they may be
+# unsorted — the group fn sorts); late/replayed days are the windowed
+# operators' business, not this recurrence's.
+# ------------------------------------------------------------------------
+
+HW_OUT_SCHEMA_DDL = (
+    "series long, day string, n_events long, fitted double, "
+    "level double, trend double, seasonal double"
+)
+HW_STATE_SCHEMA_DDL = (
+    "t long, l long, b long, seas array<long>, "
+    "buf_days array<string>, buf_counts array<long>"
+)
+
+
+def _hw_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+    from unified_firmographic_data_pipeline_spark.operators.holtwinters import rha
+
+    m = 7
+    if state.exists:
+        t, l, b, seas, buf_days, buf_counts = state.get
+        seas = list(seas)
+        buf = list(zip(buf_days, buf_counts))
+    else:
+        t, l, b, seas, buf = 0, 0, 0, [0] * m, []
+
+    incoming: list[tuple[str, int]] = []
+    for pdf in pdfs:
+        incoming.extend(zip(pdf["day"].astype(str), pdf["c"].astype(int)))
+    incoming.sort()
+
+    out_rows: list[tuple] = []
+
+    def step(day: str, c: int, t_new: int):
+        nonlocal l, b
+        slot = (t_new - 1) % m
+        s_lag = seas[slot]
+        xm = c * 1_000_000
+        fitted = l + b + s_lag
+        l_new = rha(xm - s_lag + l + b, 2)
+        b = rha((l_new - l) + 3 * b, 4)
+        seas[slot] = rha((xm - l_new) + 3 * s_lag, 4)
+        l = l_new
+        out_rows.append(
+            (
+                key[0],
+                day,
+                c,
+                round(fitted / 1e6, 6),
+                round(l / 1e6, 6),
+                round(b / 1e6, 6),
+                round(seas[slot] / 1e6, 6),
+            )
+        )
+
+    for day, c in incoming:
+        if t == 0:
+            buf.append((day, int(c)))
+            if len(buf) >= 2 * m:
+                xs = [x for _, x in buf]
+                sum1, sum2 = sum(xs[:m]), sum(xs[m : 2 * m])
+                l = rha(sum1 * 1_000_000, m)
+                b = rha((sum2 - sum1) * 1_000_000, m * m)
+                for i in range(m):
+                    seas[i] = xs[i] * 1_000_000 - l
+                # replay the buffered tail causally: t = m+1 .. len(buf)
+                for i in range(m, len(buf)):
+                    step(buf[i][0], buf[i][1], i + 1)
+                t = len(buf)
+                buf = []
+        else:
+            t += 1
+            step(day, int(c), t)
+
+    state.update(
+        (t, l, b, seas, [d for d, _ in buf], [c for _, c in buf])
+    )
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "series", "day", "n_events", "fitted", "level", "trend", "seasonal",
+            ],
+        )
+
+
+def streaming_holt_winters(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Stateful streaming Holt-Winters over the (single-series) daily
+    event-count stream: micro-batches carry pre-aggregated (day, c) rows
+    (use foreachBatch / windowed counts upstream for the rollup); state
+    holds the integer-micro recurrence. Emits one smoothed row per day
+    once two init seasons have arrived — bit-equal to the batch
+    operator's smoothed output."""
+    daily = stream.selectExpr(
+        "CAST(0 AS LONG) AS series",
+        f"CAST(CAST({ts_col} AS DATE) AS STRING) AS day",
+        "CAST(c AS LONG) AS c",
+    )
+    return daily.groupBy("series").applyInPandasWithState(
+        _hw_fn,
+        outputStructType=HW_OUT_SCHEMA_DDL,
+        stateStructType=HW_STATE_SCHEMA_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
