@@ -410,7 +410,15 @@ def _alltime_min_floors() -> dict[str, float]:
                 mm.group(1): float(mm.group(2))
                 for mm in re.finditer(r'"([A-Za-z_][\w]*)": ([0-9]+\.[0-9]+)', rec["tail"])
                 if mm.group(1)
-                not in {"value", "sf", "r01_set_total_sec", "n_queries"}
+                not in {
+                    "value",
+                    "sf",
+                    "r01_set_total_sec",
+                    "n_queries",
+                    "n_light",
+                    "n_total",
+                    "light_set_total_sec",
+                }
             }
         for name, t in (queries or {}).items():
             if isinstance(t, (int, float)) and t > 0:
@@ -514,9 +522,12 @@ def main() -> None:
         # merged so BENCH_full snapshots carry a floor for EVERY registered
         # query; "value"/"r01_set_total_sec" stay headline-only comparable
         "queries": {**timings, **light},
+        # n_queries = HEADLINE subset only (kept for cross-round diffing);
+        # n_total = every query carried in "queries" (headline + light)
         "n_queries": len(timings),
         "light_set_total_sec": round(sum(light.values()), 3),
         "n_light": len(light),
+        "n_total": len(timings) + len(light),
         # same-set comparable to BENCH_r01's value=18.8 (33 queries)
         "r01_set_total_sec": r01_subtotal,
         # queries >2x their best prior BENCH_r*.json time — a

@@ -65,6 +65,12 @@ BNLJ_ALLOWED = {
     "skew_report_custkey",
     # fixed 5-row checkpoint axis broadcast onto the first-seen table
     "heaps_law_vocab_growth",
+    # 1-row max-doc-id scalar broadcast into the bucket expression —
+    # same scalar-subquery shape as q11/heavy_hitter_tokens
+    "ngram_novelty_decay",
+    # two 1-row scalars (weight total, leftover) broadcast onto the
+    # |sources|-row quota table — the bounded-axis allocation shape
+    "source_mix_temperature_plan",
     # 1-row chunk-count total broadcast into the PMI expression
     "chunk_pmi_collocations",
     # calendar-bounded pairing: the per-DAY series (rows = days, not data)

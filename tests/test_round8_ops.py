@@ -1,0 +1,140 @@
+"""Round-8 batch-46 operator tests: n-gram novelty decay, dataset-card
+discrete percentiles, temperature mix plan (largest remainder), and the
+lexicon blocklist audit — each against a pure-Python brute force."""
+
+from __future__ import annotations
+
+import math
+
+from unified_firmographic_data_pipeline_spark.operators.corpusstats import (
+    dataset_card_stats,
+    ngram_novelty_decay,
+)
+from unified_firmographic_data_pipeline_spark.operators.mixing import (
+    lexicon_flag_stats,
+    temperature_mix_plan,
+)
+
+DOCS = [
+    (0, "a b c d e", "s0"),
+    (1, "a b c d e", "s0"),          # exact dup of doc 0 -> zero novelty
+    (2, "x y z w v u", "s0"),
+    (3, "a b c q r", "s1"),          # shares the 'a b c' gram with doc 0
+    (4, "mm nn", "s1"),              # <3 tokens -> whole-text shingle
+    (5, "fresh words only here now", "s1"),
+    (6, "x y z w v u", "s2"),        # dup of 2
+    (7, "totally new stuff appears finally", "s2"),
+    (8, "a b c d e extra", "s2"),
+    (9, "last doc ends the corpus", "s2"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def _grams(text):
+    t = text.split()
+    if len(t) < 3:
+        return {text}
+    return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    out = {
+        r["bucket"]: (r["n_doc_grams"], r["n_novel"], r["novelty_rate"])
+        for r in ngram_novelty_decay(_docs_df(spark), n_buckets=10).collect()
+    }
+    first = {}
+    for did, text, _ in DOCS:
+        for g in _grams(text):
+            first.setdefault(g, did)
+    mx = max(d for d, _, _ in DOCS) + 1
+    exp = {}
+    for did, text, _ in DOCS:
+        b = did * 10 // mx
+        gs = _grams(text)
+        tot, nov = exp.get(b, (0, 0))
+        exp[b] = (
+            tot + len(gs),
+            nov + sum(1 for g in gs if first[g] == did),
+        )
+    for b, (tot, nov) in exp.items():
+        assert out[b][:2] == (tot, nov), f"bucket {b}"
+        assert out[b][2] == round(nov / tot, 6)
+    # doc 1 (exact dup) contributes zero novel grams to its bucket
+    assert out[1] == (3, 0, 0.0)
+
+
+def test_dataset_card_discrete_percentiles(spark):
+    out = {r["source"]: r.asDict() for r in dataset_card_stats(_docs_df(spark)).collect()}
+    for src in ("s0", "s1", "s2"):
+        toks = sorted(len(t.split()) for d, t, s in DOCS if s == src)
+        n = len(toks)
+        p50 = toks[math.ceil(0.5 * n) - 1]
+        p90 = toks[math.ceil(0.9 * n) - 1]
+        row = out[src]
+        assert row["n_docs"] == n
+        assert row["total_tokens"] == sum(toks)
+        assert row["p50_tokens"] == p50, src
+        assert row["p90_tokens"] == p90, src
+        assert row["mean_tokens"] == round(sum(toks) / n, 6)
+
+
+def test_temperature_mix_plan_largest_remainder_exact(spark):
+    budget = 1000
+    out = {
+        r["source"]: r.asDict()
+        for r in temperature_mix_plan(
+            _docs_df(spark), alpha=0.7, budget=budget
+        ).collect()
+    }
+    n_tok = {}
+    for _, t, s in DOCS:
+        n_tok[s] = n_tok.get(s, 0) + len(t.split())
+    w = {s: round(n**0.7 * 1e6) for s, n in n_tok.items()}
+    tw = sum(w.values())
+    base = {s: (wi * budget) // tw for s, wi in w.items()}
+    rem = {s: (wi * budget) % tw for s, wi in w.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    exp = {
+        s: base[s] + (1 if order.index(s) < leftover else 0) for s in w
+    }
+    assert sum(r["quota_tokens"] for r in out.values()) == budget
+    for s in w:
+        assert out[s]["n_tokens"] == n_tok[s]
+        assert out[s]["weight_micro"] == w[s]
+        assert out[s]["quota_tokens"] == exp[s], s
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    """alpha=1 must reduce to plain proportional allocation."""
+    out = {
+        r["source"]: r["quota_tokens"]
+        for r in temperature_mix_plan(
+            _docs_df(spark), alpha=1.0, budget=10_000
+        ).collect()
+    }
+    n_tok = {}
+    for _, t, s in DOCS:
+        n_tok[s] = n_tok.get(s, 0) + len(t.split())
+    total = sum(n_tok.values())
+    for s, q in out.items():
+        assert abs(q - 10_000 * n_tok[s] / total) <= 1, s
+
+
+def test_lexicon_flag_stats_bruteforce(spark):
+    terms = ["a", "fresh"]
+    out = {
+        r["source"]: r.asDict()
+        for r in lexicon_flag_stats(_docs_df(spark), terms).collect()
+    }
+    for src in ("s0", "s1", "s2"):
+        docs = [t for d, t, s in DOCS if s == src]
+        hits = [sum(1 for tk in t.split() if tk.lower() in terms) for t in docs]
+        row = out[src]
+        assert row["n_docs"] == len(docs)
+        assert row["n_flagged"] == sum(1 for h in hits if h > 0)
+        assert row["total_hits"] == sum(hits)
+        assert row["flag_rate"] == round(row["n_flagged"] / len(docs), 6)

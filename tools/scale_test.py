@@ -138,6 +138,9 @@ HEAVY = [
     "boilerplate_chunk_removal",  # chunk fp distinct + spread join
     "matryoshka_recall_tiers",    # 4-tier cosine pass + overlap join
     "wordpiece_piece_histogram",  # distinct-word segmentation + freq join
+    "dp_noisy_status_counts",     # groupBy + per-key seeded Laplace expr
+    # round-8: rewritten 60-bit fingerprint / 15-bit pigeonhole blocks
+    "simhash_near_pairs_md5",     # agg-shaped fp + block equi-join
 ]
 
 
@@ -461,6 +464,117 @@ if __name__ == "__main__":
         "snapshot values, so the drift is ambient host noise, not the"
     )
     lines.append("round-6 change. Pinned cause: host drift; no code action.")
+    lines.append(
+        "Round-8 A/B on the `incremental_agg_merge` driver-run 2.31× floor"
+    )
+    lines.append(
+        "flag (0.67 s vs 0.29 s; the one r07 flag that survived the judge's"
+    )
+    lines.append(
+        "re-measure): the code is BYTE-IDENTICAL across rounds — `git diff"
+    )
+    lines.append(
+        "r06..r07` touches neither `operators/incremental.py` nor the query"
+    )
+    lines.append(
+        "body (0 matching diff lines) — and the builder's own r07 full-bench"
+    )
+    lines.append(
+        "run measured 0.258 s, BELOW the r06 floor, so there is no code"
+    )
+    lines.append(
+        "change to regress. A pinned same-host session shows the mechanism:"
+    )
+    lines.append(
+        "freshly-started sessions run ALL sibling light queries at 1.5–1.8×"
+    )
+    lines.append(
+        "their full-bench floors (JIT-cold), and this query — 5 stages (two"
+    )
+    lines.append(
+        "scans, two partial aggs, a union re-agg) vs the siblings' 1–2 —"
+    )
+    lines.append(
+        "amplifies the constant per-stage overhead to ~3.2×, then converges"
+    )
+    lines.append(
+        "monotonically 0.89→0.46 s over 15 same-session iterations (the JIT"
+    )
+    lines.append(
+        "signature; the full-bench context, hundreds of queries deep, reaches"
+    )
+    lines.append(
+        "the 0.26 s floor). Pinned cause: measurement context (JVM warmth ×"
+    )
+    lines.append(
+        "stage count), not code; floor stays based at the full-bench value"
+    )
+    lines.append("where it is reproducibly met.")
+    lines.append(
+        "Round-8 ratio notes for the round-7 additions (re-measured r8):"
+    )
+    lines.append(
+        "`wordpiece_piece_histogram` 1.2× — cost tracks DISTINCT words, not"
+    )
+    lines.append(
+        "rows: the 10× corpus carries 31→310 distinct words (per-replica"
+    )
+    lines.append(
+        "suffixing is true vocab growth) and the per-distinct-word Arrow"
+    )
+    lines.append(
+        "segmentation does 10× the words inside ~1.2× wall, fixed job"
+    )
+    lines.append(
+        "overhead dominating. `dp_noisy_status_counts` 1.4× — the groupBy"
+    )
+    lines.append(
+        "axis is a FIXED 15-key (status × priority) grid, map-side partials"
+    )
+    lines.append(
+        "absorb row growth, and the seeded-Laplace release is a per-key"
+    )
+    lines.append(
+        "expression on the 15 finalized rows. `matryoshka_recall_tiers`"
+    )
+    lines.append(
+        "1.4× — the pair stream is a CONSTANT 20-query side × corpus × 4"
+    )
+    lines.append(
+        "truncation dims: corpus-linear with a fixed explode factor."
+    )
+    lines.append(
+        "`boilerplate_chunk_removal` 1.8× — chunk-fp distinct + spread join,"
+    )
+    lines.append(
+        "linear in chunks (10× chunks, ~1.8× wall with the distinct shuffle"
+    )
+    lines.append("the only super-map cost).")
+    lines.append(
+        "`simhash_near_pairs_md5` (round-8 rewrite: 60-bit md5 fingerprint,"
+    )
+    lines.append(
+        "15-bit pigeonhole blocks, agg-shaped integer votes) measures 1.1×"
+    )
+    lines.append(
+        "at 10× data while TRUE near-pairs grow 271,530 → 4,386,365 — the"
+    )
+    lines.append(
+        "block join emits candidates proportional to true-pair density"
+    )
+    lines.append(
+        "(32,768 buckets/block), the fingerprint stage is one"
+    )
+    lines.append(
+        "corpus-linear hash aggregate, and the old 8-bit-block ~n²/256"
+    )
+    lines.append(
+        "candidate blowup (32.8 s at 1×, the r07 bench's single biggest"
+    )
+    lines.append(
+        "cost) is gone: the rewritten 1× time is 3.8 s, ~9× faster on the"
+    )
+    lines.append("same data.")
     lines.append(
         "`dedup_detector_pr`'s ~4-5x is candidate-pair growth in the"
     )

@@ -39,9 +39,16 @@ def token_chunks(text_col, width: int = 10, *, pre_tokenized: bool = False):
         text_col if pre_tokenized else tokens(text_col)
     )
     n_chunks = F.ceil(F.size(t) / F.lit(width)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i * width + 1, width)),
+    # a 0-length (or NULL) token array yields NO chunks — the previous
+    # greatest(n_chunks - 1, 0) emitted one md5('')-able empty chunk that a
+    # SQL twin's generate_series(0, -1) would not (round-7 ADVICE #2)
+    return F.when(
+        n_chunks <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i * width + 1, width)),
+        )
     )
 
 

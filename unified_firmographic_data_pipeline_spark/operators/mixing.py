@@ -1,0 +1,122 @@
+"""Training-mix planning: temperature-scaled source sampling quotas and
+lexicon (blocklist) filter audits.
+
+``temperature_mix_plan`` is the multilingual/multi-source sampling rule
+p_i ∝ n_i^alpha (Conneau & Lample 2019, XLM; alpha<1 upsamples small
+sources), turned into an EXACT integer token-budget allocation via the
+largest-remainder (Hamilton) method — the output is a reproducible plan
+a downstream sampler executes, not a float suggestion.
+
+``lexicon_flag_stats`` is the blocklist-rate audit stage of curation
+ladders (Rae et al. 2021, Gopher; Penedo et al. 2023, RefinedWeb): how
+much of each source a term blocklist would flag — measured BEFORE anyone
+decides to filter.
+
+Exactness: weights quantize ``pow(n, alpha)`` to integer micro-units
+(the 1e-6 quantum dwarfs the last-ULP pow() disagreement between
+engines); quotas, remainders and the +1 distribution are pure BIGINT
+arithmetic with total-ordered tie-breaks, so any engine replays the
+plan bit-for-bit.
+
+Scale shapes: both operators are one per-doc narrow projection + a
+per-source aggregate (|sources| rows); the quota arithmetic runs on the
+aggregate only. Nothing here grows past the source axis.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from unified_firmographic_data_pipeline_spark.functions.text import tokens
+
+
+def temperature_mix_plan(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    budget: int = 1_000_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token quotas under temperature sampling:
+    ``(source, n_tokens, weight_micro, quota_tokens)`` with
+    ``sum(quota_tokens) == budget`` exactly (largest-remainder rounding;
+    remainder ties break on the source name)."""
+    per_source = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(text_col)).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    weighted = per_source.select(
+        "source",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * 1e6)
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    tot = weighted.agg(F.sum("weight_micro").alias("tw"))
+    based = weighted.crossJoin(tot).select(
+        "source",
+        "n_tokens",
+        "weight_micro",
+        F.expr(f"(weight_micro * {budget}) div tw").alias("base"),
+        F.expr(f"(weight_micro * {budget}) % tw").alias("rem"),
+    )
+    leftover = based.agg((F.lit(budget) - F.sum("base")).alias("lo"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    return (
+        based.crossJoin(leftover)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            "n_tokens",
+            "weight_micro",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("lo"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("quota_tokens"),
+        )
+    )
+
+
+def lexicon_flag_stats(
+    docs: DataFrame,
+    terms: Sequence[str],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist audit per source: ``(source, n_docs, n_flagged,
+    total_hits, flag_rate)`` where a doc is flagged iff ANY token
+    (lowercased, exact match) is in ``terms``. The lexicon rides the
+    plan as an array literal — no join, no broadcast variable."""
+    lex = F.array(*[F.lit(t.lower()) for t in terms])
+    hits = F.size(
+        F.filter(tokens(text_col), lambda t: F.array_contains(lex, F.lower(t)))
+    )
+    per_doc = docs.select(
+        F.col(source_col).alias("source"), hits.cast("long").alias("hits")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col("hits") > 0, 1)).cast("long").alias("n_flagged"),
+            F.sum("hits").cast("long").alias("total_hits"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "total_hits",
+            F.round(
+                F.col("n_flagged").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("flag_rate"),
+        )
+    )

@@ -505,25 +505,40 @@ def minhash_lsh_candidates_md5(
     )
 
 
-def simhash_md5(text_col: Column | str, bits: int = 32) -> Column:
-    """Cross-engine-reproducible SimHash: token hash = first 8 md5 hex chars
-    as a 32-bit integer (identical in any md5 engine), each token voting ±1
-    per low bit. Mirrors ``simhash`` (xxhash64, 62-bit) structurally; exists
-    so the near-pair set can be bit-verified against a SQL oracle."""
-    toks = F.array_distinct(tokens(text_col))
+def simhash_md5(text_col: Column | str, bits: int = 60) -> Column:
+    """Cross-engine-reproducible SimHash: token hash = first 15 md5 hex
+    chars as a 60-bit integer (identical in any md5 engine; 60 bits keeps
+    every intermediate — token hash, per-bit mask, packed fingerprint —
+    strictly below 2^63, so signed-BIGINT engines like DuckDB replay it
+    without unsigned-overflow hazards), each token voting ±1 per low bit.
+    Mirrors ``simhash`` (xxhash64, 62-bit) structurally; exists so the
+    near-pair set can be bit-verified against a SQL oracle.
 
-    def token_votes(t: Column) -> Column:
-        hv = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        chars = F.split(F.lpad(F.bin(hv), 64, "0"), "")
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda i: F.when(F.element_at(chars, F.lit(64) - i) == "1", 1).otherwise(-1),
+    PERF: md5 is evaluated ONCE per token (the ``transform`` into a hash
+    array), and bit extraction is integer ``shiftrightunsigned``/AND with
+    static shift literals — no per-token binary-string materialization
+    (the previous ``lpad(bin())``+``split`` walk dominated the runtime)."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+    def bit_votes(hv: Column) -> Column:
+        # static per-bit shifts (shiftrightunsigned needs a literal amount);
+        # hv is a lambda variable, so referencing it `bits` times is free
+        return F.array(
+            *[
+                F.when(
+                    F.shiftrightunsigned(hv, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for i in range(bits)
+            ]
         )
 
     votes = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
+        lambda acc, hv: F.zip_with(acc, bit_votes(hv), lambda a, v: a + v),
     )
     out = F.lit(0).cast("long")
     for i in range(bits):
@@ -535,18 +550,68 @@ def simhash_md5(text_col: Column | str, bits: int = 32) -> Column:
     return out
 
 
+def simhash_md5_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """(id, __fp) 60-bit md5 SimHash fingerprints, computed the
+    aggregation-shaped way: explode distinct tokens (one md5+conv per
+    token row), then ``bits`` conditional SUMs in a single hash aggregate
+    — every operator stays inside whole-stage codegen, and map-side
+    partial aggregation reduces the shuffle to ONE row per document no
+    matter the token count. Measured ~6x faster than the pure-Column
+    ``simhash_md5`` fold (nested ``aggregate``/``zip_with`` lambdas fall
+    out of codegen) at sf0.1. Bit-identical to :func:`simhash_md5`."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__tk")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("__tk"), 1, 15), 16, 10).cast("long").alias("__hv"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("__hv", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col(id_col), out.alias("__fp"))
+
+
 def simhash_near_pairs_md5(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 60,
 ) -> DataFrame:
     """Oracle-checkable twin of ``simhash_near_pairs``: same pigeonhole
-    block join, over the md5-based 32-bit fingerprint."""
+    block join, over the md5-based 60-bit fingerprint. With max_hamming=3
+    the four blocks are 15 bits wide (32,768 buckets each), so candidate
+    growth tracks true near-duplicate density, not n²/buckets — the old
+    32-bit/8-bit-block shape produced ~n²/256 candidates and was the single
+    most expensive plan in the bench."""
     nblocks = max_hamming + 1
     width = bits // nblocks
-    fp = df.select(F.col(id_col), simhash_md5(text_col, bits).alias("__fp"))
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    # the per-token hash stage is the compute-heavy part; a single-file
+    # local read would run it in ONE task, so widen only when the scan is
+    # narrower than the shuffle width (a real multi-file corpus already is)
+    if src.rdd.getNumPartitions() < nparts:
+        src = src.repartition(nparts)
+    fp = simhash_md5_fingerprints(src, id_col, "__text", bits)
     blocks = fp.select(
         id_col,
         "__fp",
@@ -564,6 +629,11 @@ def simhash_near_pairs_md5(
             )
         ).alias("bb"),
     ).select(id_col, "__fp", "bb.blk", "bb.val")
+    # the self-join would otherwise evaluate the fingerprint pipeline TWICE
+    # (once per alias); the blocks frame is tiny (4 rows/doc). Repartition on
+    # the join key first so AQE's small-shuffle coalescing doesn't collapse
+    # the (output-heavy) candidate join to a single task.
+    blocks = blocks.repartition(nparts, "blk", "val").localCheckpoint(eager=True)
     a = blocks.alias("a")
     b = blocks.alias("b")
     ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp")))

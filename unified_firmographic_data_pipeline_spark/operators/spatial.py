@@ -22,19 +22,29 @@ reductions (argmin / counts) are cell-local windows or aggregations."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def _floor_div(col: Column, divisor: int) -> Column:
+    """Floor division (rounds toward -inf, like SQL ``//``). The double
+    detour is exact here: centi-degree coordinates are far below 2^52."""
+    return F.floor(col / F.lit(divisor)).cast("long")
 
 
 def with_grid_cell(
     df: DataFrame, lat_col: str, lon_col: str, cell_size: int = 100
 ) -> DataFrame:
-    """Append integer grid-cell ids (gy, gx) = (lat div C, lon div C).
+    """Append integer grid-cell ids (gy, gx) = (lat // C, lon // C) —
+    FLOOR division, so negative (signed lat/lon) coordinates bucket the
+    same way a SQL twin's ``//`` does; Spark's ``div`` truncates toward
+    zero, which would make cell 0 double-width and diverge from the
+    oracle for real-world coordinates (round-7 ADVICE #4).
     Coordinates must be integer (centi-degree) columns."""
     return df.select(
         "*",
-        F.expr(f"{lat_col} div {cell_size}").alias("gy"),
-        F.expr(f"{lon_col} div {cell_size}").alias("gx"),
+        _floor_div(F.col(lat_col), cell_size).alias("gy"),
+        _floor_div(F.col(lon_col), cell_size).alias("gx"),
     )
 
 
@@ -57,8 +67,8 @@ def grid_candidates(
         .select("*", F.explode(offs).alias("__dx"))
         .select(
             *probes.columns,
-            (F.expr(f"{probe_lat} div {cell_size}") + F.col("__dy")).alias("gy"),
-            (F.expr(f"{probe_lon} div {cell_size}") + F.col("__dx")).alias("gx"),
+            (_floor_div(F.col(probe_lat), cell_size) + F.col("__dy")).alias("gy"),
+            (_floor_div(F.col(probe_lon), cell_size) + F.col("__dx")).alias("gx"),
         )
     )
     s = with_grid_cell(sites, site_lat, site_lon, cell_size)

@@ -2384,18 +2384,18 @@ def near_dup_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t
         FROM documents),
     tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
-    th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hv FROM tok),
+    th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
     bitsum AS (
         SELECT doc_id, bb.bit,
                SUM(CASE WHEN ((hv >> bb.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
-        FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) bb
+        FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) bb
         GROUP BY doc_id, bb.bit),
     fp AS (
         SELECT doc_id,
-               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS f
+               CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS f
         FROM bitsum GROUP BY doc_id),
     blocks AS (
-        SELECT doc_id, f, bl.blk, (f >> (bl.blk * 8)) & 255 AS val
+        SELECT doc_id, f, bl.blk, (f >> (bl.blk * 15)) & 32767 AS val
         FROM fp, (SELECT unnest(generate_series(0, 3)) AS blk) bl)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
@@ -2405,16 +2405,19 @@ def near_dup_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_near_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs with md5-based 32-bit fingerprints — the
+    """SimHash near-pairs with md5-based 60-bit fingerprints — the
     oracle-checkable twin of simhash_near_pairs (xxhash64/62-bit): token
-    hashes, per-bit votes, pigeonhole block join and the exact Hamming
-    filter all replayed bit-for-bit in the SQL oracle."""
+    hashes (first 15 md5 hex chars, signed-BIGINT-safe in both engines),
+    per-bit integer shift/AND votes, 15-bit pigeonhole block join (32,768
+    buckets/block — candidate growth tracks near-dup density, not n²/256
+    as the old 32-bit shape did) and the exact Hamming filter all replayed
+    bit-for-bit in the SQL oracle."""
     from unified_firmographic_data_pipeline_spark.operators.neardup import (
         simhash_near_pairs_md5 as _pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return _pairs(d, max_hamming=3, bits=32)
+    return _pairs(d, max_hamming=3, bits=60)
 
 
 @q(
@@ -16944,9 +16947,19 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    books = pq_train(e, m=4, k=8, n_iter=1, dim=64)
-    codes = pq_encode(e, books)
-    queries = e.filter(F.col("vec_id") < 5)
+    # the oracle filters malformed vectors (NULL / short / NULL components)
+    # from BOTH the corpus and query sides; apply pq_train's own validity
+    # predicate here so the engines stay aligned on any fixture (round-7
+    # ADVICE #3 — a malformed query row would otherwise still emit 5
+    # all-NULL-distance ranked rows on the Spark side only)
+    valid = e.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") >= 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    books = pq_train(valid, m=4, k=8, n_iter=1, dim=64)
+    codes = pq_encode(valid, books)
+    queries = valid.filter(F.col("vec_id") < 5)
     return pq_topk(codes, queries, books, k=5).select(
         "query_id", "neighbor_id", "adc_dist_micro", F.col("rank").cast("int").alias("rank")
     )
@@ -17518,6 +17531,169 @@ def spatial_radius_supplier_histogram(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # --------------------------------------------------------------------------
+# Round-8 batch 46: corpus analytics + training-mix planning
+# (operators/corpusstats.py, operators/mixing.py) — the "what is in this
+# corpus / how do we sample it" layer a pretraining run reads before the
+# curation ladder deletes anything.
+# --------------------------------------------------------------------------
+
+@q(
+    "ngram_novelty_decay",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        FROM documents),
+    sh AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+        FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+        UNION ALL
+        SELECT doc_id, norm AS s FROM toks WHERE len(t) < 3),
+    dg AS (SELECT DISTINCT doc_id, md5(s) AS gf FROM sh),
+    marked AS (
+        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY gf) AS is_novel
+        FROM dg),
+    mx AS (SELECT MAX(doc_id) + 1 AS mx FROM documents),
+    pb AS (
+        SELECT CAST((doc_id * 10) // mx AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_doc_grams,
+               CAST(COUNT(CASE WHEN is_novel THEN 1 END) AS BIGINT) AS n_novel
+        FROM marked, mx GROUP BY 1)
+    SELECT bucket, n_doc_grams, n_novel,
+           round(CAST(n_novel AS DOUBLE) / CAST(n_doc_grams AS DOUBLE), 6) AS novelty_rate
+    FROM pb
+    """,
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty decay per ingestion-order bucket
+    (corpusstats.ngram_novelty_decay — the dedup-motivating curve from
+    Lee et al. 2022): fraction of distinct (doc, gram) pairs whose gram
+    first appears in that doc. Scale shape: the distinct (doc, md5 gram)
+    projection shuffles once on the gram key (first-doc via window rides
+    it), once on the doc bucket — never gram x gram; raw text never
+    crosses a shuffle."""
+    from unified_firmographic_data_pipeline_spark.operators.corpusstats import (
+        ngram_novelty_decay as _novelty,
+    )
+
+    return _novelty(_t(spark, sf_dir, "documents"), n=3, n_buckets=10)
+
+
+@q(
+    "source_mix_temperature_plan",
+    r"""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    wt AS (
+        SELECT source, n_tokens,
+               CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1e6) AS BIGINT) AS weight_micro
+        FROM per),
+    tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS tw FROM wt),
+    based AS (
+        SELECT source, n_tokens, weight_micro,
+               (weight_micro * 1000000) // tw AS base,
+               (weight_micro * 1000000) % tw AS rem
+        FROM wt, tot),
+    lo AS (SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS lo FROM based)
+    SELECT source, n_tokens, weight_micro,
+           CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC) <= lo
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota_tokens
+    FROM based, lo
+    """,
+)
+def source_mix_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling token quotas per source (operators/mixing.py
+    :temperature_mix_plan — Conneau & Lample 2019: p_i ∝ n_i^0.7
+    upsamples small sources), allocated over a 1M-token budget by the
+    largest-remainder method so quotas sum to the budget EXACTLY.
+    pow() quantizes to integer micros before any arithmetic; everything
+    after is BIGINT with total-ordered ties — both engines emit the
+    identical plan. Scale shape: one per-source aggregate; the quota
+    arithmetic runs on |sources| rows."""
+    from unified_firmographic_data_pipeline_spark.operators.mixing import (
+        temperature_mix_plan,
+    )
+
+    return temperature_mix_plan(
+        _t(spark, sf_dir, "documents"), alpha=0.7, budget=1_000_000
+    )
+
+
+@q(
+    "lexicon_blocklist_audit",
+    r"""
+    WITH per AS (
+        SELECT source,
+               len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                   t -> lower(t) IN ('slow', 'dup', 'big'))) AS hits
+        FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN hits > 0 THEN 1 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(hits) AS BIGINT) AS total_hits,
+           round(CAST(COUNT(CASE WHEN hits > 0 THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate
+    FROM per GROUP BY source
+    """,
+)
+def lexicon_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-rate audit per source (operators/mixing.py
+    :lexicon_flag_stats — the measure-before-filter stage of Gopher /
+    RefinedWeb curation): docs flagged by ANY exact lowercased token hit
+    against a 3-term lexicon, plus total hits and the flag rate. The
+    lexicon rides the plan as an array literal; one narrow projection +
+    one per-source aggregate."""
+    from unified_firmographic_data_pipeline_spark.operators.mixing import (
+        lexicon_flag_stats,
+    )
+
+    return lexicon_flag_stats(
+        _t(spark, sf_dir, "documents"), terms=["slow", "dup", "big"]
+    )
+
+
+@q(
+    "dataset_card_stats",
+    r"""
+    WITH per AS (
+        SELECT source,
+               len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_toks,
+               length(text) AS n_chars
+        FROM documents),
+    ranked AS (
+        SELECT source, n_toks, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_toks) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM per)
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(CASE WHEN rk >= ceil(n * 0.5) THEN n_toks END) AS BIGINT) AS p50_tokens,
+           CAST(MIN(CASE WHEN rk >= ceil(n * 0.9) THEN n_toks END) AS BIGINT) AS p90_tokens,
+           round(CAST(SUM(n_toks) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS mean_tokens
+    FROM ranked GROUP BY source
+    """,
+)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary (corpusstats.dataset_card_stats):
+    docs, tokens, chars, and EXACT discrete p50/p90 token counts. The
+    percentile is spelled out as "smallest value whose rank reaches
+    ceil(p·n)" on BOTH engines — percentile_disc/quantile_disc boundary
+    conventions differ between engines, an explicit rank window does
+    not, and the selected VALUE is tie-permutation-invariant. Scale
+    shape: per-doc narrow projection + per-source rank window; output is
+    |sources| rows."""
+    from unified_firmographic_data_pipeline_spark.operators.corpusstats import (
+        dataset_card_stats as _card,
+    )
+
+    return _card(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
 # exactly the first 50 decorator registrations of round 1). To rotate
@@ -17594,6 +17770,10 @@ _MODIFIED_FIRST: dict[str, int] = {
     # r6: oracle rewritten from rows-only to a strict exact-twin equality
     # check (verdict item #7) — first green must postdate the rewrite.
     "approx_distinct_hll": 6,
+    # r8: fingerprint widened 32 -> 60 bits (15-bit pigeonhole blocks) and
+    # votes rewritten as integer shift/AND in an agg-shaped plan — both the
+    # Spark plan AND the oracle changed (round-7 verdict item #1).
+    "simhash_near_pairs_md5": 8,
 }
 
 

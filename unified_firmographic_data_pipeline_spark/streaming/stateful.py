@@ -306,7 +306,12 @@ def _hw_fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
     for day, c in incoming:
         if t == 0:
             buf.append((day, int(c)))
-            if len(buf) >= 2 * m:
+            # initialize only once 2m+1 days exist — the BATCH operator
+            # returns an empty frame for any series shorter than 2m+1, so
+            # emitting the replayed buffer at exactly 2m days would break
+            # the bit-equal-to-batch contract for a stream that ends there
+            # (round-7 ADVICE #1); the replay below then covers t=m+1..2m+1
+            if len(buf) >= 2 * m + 1:
                 xs = [x for _, x in buf]
                 sum1, sum2 = sum(xs[:m]), sum(xs[m : 2 * m])
                 l = rha(sum1 * 1_000_000, m)
