@@ -71,6 +71,9 @@ BNLJ_ALLOWED = {
     # two 1-row scalars (weight total, leftover) broadcast onto the
     # |sources|-row quota table — the bounded-axis allocation shape
     "source_mix_temperature_plan",
+    # 1-row (weight total, budget) scalar broadcast onto the
+    # |sources|-row allocation — same shape
+    "epoch_allocation_plan",
     # 1-row chunk-count total broadcast into the PMI expression
     "chunk_pmi_collocations",
     # calendar-bounded pairing: the per-DAY series (rows = days, not data)

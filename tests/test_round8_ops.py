@@ -138,3 +138,99 @@ def test_lexicon_flag_stats_bruteforce(spark):
         assert row["n_flagged"] == sum(1 for h in hits if h > 0)
         assert row["total_hits"] == sum(hits)
         assert row["flag_rate"] == round(row["n_flagged"] / len(docs), 6)
+
+
+def test_epoch_allocation_plan_bruteforce(spark):
+    from unified_firmographic_data_pipeline_spark.operators.mixing import (
+        epoch_allocation_plan,
+    )
+
+    docs = DOCS + [(10, "a b c d e", "s1")]  # cross-source dup of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r.asDict()
+        for r in epoch_allocation_plan(
+            df, alpha=0.7, target_epochs=2, max_epochs=2
+        ).collect()
+    }
+    # brute force: dedup keeps lowest doc_id per normalized-lower text
+    seen, kept = {}, []
+    for did, text, src in sorted(docs):
+        fpk = " ".join(text.lower().split())
+        if fpk not in seen:
+            seen[fpk] = did
+            kept.append((did, text, src))
+    u = {}
+    for _, text, src in kept:
+        u[src] = u.get(src, 0) + len(text.split())
+    w = {s: round(n**0.7 * 1e6) for s, n in u.items()}
+    tw, b = sum(w.values()), 2 * sum(u.values())
+    for s in u:
+        base = (b * w[s]) // tw
+        quota = min(base, 2 * u[s])
+        row = out[s]
+        assert row["unique_tokens"] == u[s], s
+        assert row["weight_micro"] == w[s], s
+        assert row["base_quota"] == base, s
+        assert row["quota_tokens"] == quota, s
+        assert row["is_capped"] == (base > 2 * u[s]), s
+        assert row["epochs_micro"] == (quota * 1_000_000) // u[s], s
+    # the duplicate doc 10 must not count toward s1's unique tokens
+    assert out["s1"]["unique_tokens"] == sum(
+        len(t.split()) for d, t, s in DOCS if s == "s1"
+    )
+
+
+def test_stream_exact_dedup_sink_matches_batch(spark, tmp_path):
+    """Landed survivors == batch dedup_exact after EVERY micro-batch, for
+    out-of-order arrivals (a late lower id evicts the earlier survivor)
+    and across checkpoint replays."""
+    from unified_firmographic_data_pipeline_spark.operators.dedup import dedup_exact
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        stream_exact_dedup_sink,
+    )
+
+    rows = [
+        (5, "the same text", "a"),
+        (6, "other text", "a"),
+        (7, "the same text", "b"),   # dup of 5
+        (0, "the  SAME   text", "c"),  # NORMALIZED dup of 5, LOWER id
+        (1, "third text", "c"),
+        (2, "other text", "d"),      # dup of 6, lower id
+    ]
+    batches = [rows[:3], rows[3:5], rows[5:]]
+    sch = "doc_id long, text string, source string"
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_exact_dedup_sink(
+            spark.readStream.schema(sch).parquet(src), table, ckpt,
+            content_col="text", id_col="doc_id",
+        )
+        q.awaitTermination()
+
+    ingested = []
+    for batch in batches:
+        ingested.extend(batch)
+        spark.createDataFrame(batch, sch).coalesce(1).write.mode("append").parquet(src)
+        run()
+        landed = {
+            tuple(r) for r in spark.read.parquet(table).drop("__fp").collect()
+        }
+        expected = {
+            tuple(r)
+            for r in dedup_exact(
+                spark.createDataFrame(ingested, sch), "text", "doc_id"
+            ).collect()
+        }
+        assert landed == expected, f"after {len(ingested)} rows"
+    # survivor set: lowest id per normalized content
+    assert {r[0] for r in landed} == {0, 1, 2}
+    # replay with the same checkpoint: no change
+    run()
+    assert {
+        tuple(r) for r in spark.read.parquet(table).drop("__fp").collect()
+    } == landed
+

@@ -154,6 +154,23 @@ SHOWCASE = {
         "point x point, no BNLJ, no distance computed outside the "
         "neighborhood."
     ),
+    "simhash_near_pairs_md5": (
+        "SimHash near-pairs (round-8 rewrite): the 60-bit fingerprint is "
+        "ONE whole-stage-codegen hash aggregate (token explode -> 60 "
+        "conditional integer sums; map-side partials reduce the shuffle "
+        "to a row per document), blocks explode x4 map-side, and "
+        "candidates come from a 15-bit-block equi-join (32,768 buckets "
+        "per block) — candidate volume tracks true near-dup density, "
+        "never n^2/buckets; the exact Hamming filter runs on join "
+        "output only."
+    ),
+    "source_mix_temperature_plan": (
+        "Training-mix allocation: one per-source partial-agg shuffle; "
+        "pow() quantizes to integer micros and the largest-remainder "
+        "quota arithmetic (two 1-row scalar broadcasts: weight total, "
+        "leftover) runs entirely on the |sources|-row aggregate — data "
+        "volume never reaches the allocation math."
+    ),
     "contrastive_triplets_mined": (
         "Hard-negative mining: the bounded anchor set broadcasts "
         "(BroadcastNestedLoopJoin with the != self predicate, the "

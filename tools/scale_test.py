@@ -141,6 +141,12 @@ HEAVY = [
     "dp_noisy_status_counts",     # groupBy + per-key seeded Laplace expr
     # round-8: rewritten 60-bit fingerprint / 15-bit pigeonhole blocks
     "simhash_near_pairs_md5",     # agg-shaped fp + block equi-join
+    # round-8 batch 46/47 registrations
+    "ngram_novelty_decay",        # distinct (doc, gram) + gram-key window
+    "epoch_allocation_plan",      # dedup shuffle + per-source allocation
+    "source_mix_temperature_plan",  # per-source agg + scalar broadcasts
+    "lexicon_blocklist_audit",    # narrow lexicon filter + source agg
+    "dataset_card_stats",         # per-doc projection + source rank window
 ]
 
 

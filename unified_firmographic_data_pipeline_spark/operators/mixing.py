@@ -86,6 +86,78 @@ def temperature_mix_plan(
     )
 
 
+def epoch_allocation_plan(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    target_epochs: int = 2,
+    max_epochs: int = 2,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-constrained epoch planner (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"): exact-dedup the corpus first
+    (repeating a duplicate is not an epoch), then allocate a token budget
+    of ``target_epochs x total unique tokens`` across sources by
+    temperature weights (``n^alpha`` — small sources upsample), CAPPED at
+    ``max_epochs`` repetitions per source, the diminishing-returns bound.
+    Capped spill is REPORTED via ``is_capped`` (per-source base vs final
+    quota), not silently redistributed — rebalancing is a policy call the
+    plan's reader makes. ``max_epochs`` defaults low enough to bind on
+    near-uniform corpora so the cap path stays driver-exercised;
+    production planning typically uses ~4 (the paper's knee).
+
+    Output: ``(source, unique_tokens, weight_micro, base_quota,
+    quota_tokens, is_capped, epochs_micro)`` — all BIGINT after the
+    micro-quantized pow(), so any engine replays the plan bit-for-bit.
+    Range bound: budget x weight_micro must stay under 2^63 — holds to
+    ~10^7 tokens/source at alpha=0.7 (document before raising scales).
+
+    Scale shape: dedup is one fingerprint-keyed shuffle (the survivors'
+    semi-join back keeps the text column off the wire), then one
+    per-source aggregate; the allocation arithmetic runs on |sources|
+    rows against a 1-row scalar broadcast."""
+    from unified_firmographic_data_pipeline_spark.operators.dedup import dedup_exact
+
+    kept = dedup_exact(docs, text_col, id_col)
+    per = (
+        kept.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(text_col)).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("unique_tokens"))
+    )
+    wt = per.select(
+        "source",
+        "unique_tokens",
+        F.round(F.pow(F.col("unique_tokens").cast("double"), F.lit(alpha)) * 1e6)
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    tot = wt.agg(
+        F.sum("weight_micro").alias("tw"),
+        (F.lit(target_epochs) * F.sum("unique_tokens")).alias("b"),
+    )
+    calc = wt.crossJoin(tot).select(
+        "source",
+        "unique_tokens",
+        "weight_micro",
+        F.expr("(b * weight_micro) div tw").alias("base_quota"),
+    )
+    cap = F.lit(max_epochs) * F.col("unique_tokens")
+    return calc.select(
+        "source",
+        "unique_tokens",
+        "weight_micro",
+        F.col("base_quota").cast("long").alias("base_quota"),
+        F.least(F.col("base_quota"), cap).cast("long").alias("quota_tokens"),
+        (F.col("base_quota") > cap).alias("is_capped"),
+        F.expr("(least(base_quota, " + str(max_epochs) + " * unique_tokens)"
+               " * 1000000) div unique_tokens").alias("epochs_micro"),
+    )
+
+
 def lexicon_flag_stats(
     docs: DataFrame,
     terms: Sequence[str],

@@ -17693,6 +17693,61 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _card(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "epoch_allocation_plan",
+    r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_toks,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM fp) WHERE rn = 1),
+    per AS (
+        SELECT source, CAST(SUM(n_toks) AS BIGINT) AS unique_tokens
+        FROM kept GROUP BY source),
+    wt AS (
+        SELECT source, unique_tokens,
+               CAST(round(pow(CAST(unique_tokens AS DOUBLE), 0.7) * 1e6) AS BIGINT) AS weight_micro
+        FROM per),
+    tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS tw,
+                   CAST(2 * SUM(unique_tokens) AS BIGINT) AS b
+            FROM wt),
+    calc AS (
+        SELECT source, unique_tokens, weight_micro,
+               (b * weight_micro) // tw AS base_quota
+        FROM wt, tot)
+    SELECT source, unique_tokens, weight_micro,
+           CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(least(base_quota, 2 * unique_tokens) AS BIGINT) AS quota_tokens,
+           base_quota > 2 * unique_tokens AS is_capped,
+           CAST((least(base_quota, 2 * unique_tokens) * 1000000) // unique_tokens
+                AS BIGINT) AS epochs_micro
+    FROM calc
+    """,
+)
+def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planner (operators/mixing.py
+    :epoch_allocation_plan — Muennighoff et al. 2023): exact-dedup the
+    corpus (repeating a duplicate is not an epoch; the curation dedup
+    fingerprint, replayed in the oracle's row_number CTE), then allocate
+    a 2x-unique-tokens budget by n^0.7 temperature weights, CAPPED at 2
+    repetitions per source with the spill REPORTED via is_capped. pow()
+    micro-quantizes before any arithmetic; everything downstream is
+    BIGINT, so both engines emit the identical plan. Scale shape: one
+    fingerprint-keyed dedup shuffle + one per-source aggregate; the
+    allocation math runs on |sources| rows."""
+    from unified_firmographic_data_pipeline_spark.operators.mixing import (
+        epoch_allocation_plan as _plan,
+    )
+
+    return _plan(
+        _t(spark, sf_dir, "documents"), alpha=0.7, target_epochs=2, max_epochs=2
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is

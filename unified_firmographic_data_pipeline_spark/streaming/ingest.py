@@ -394,3 +394,64 @@ def stream_cdc_apply_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_exact_dedup_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Dedup-on-arrival: maintain a landed table of exact-dedup SURVIVORS
+    from a document stream — the 24x7 twin of ``operators.dedup
+    .dedup_exact`` (md5 of normalized content, keep the lowest id per
+    fingerprint).
+
+    Per micro-batch: fingerprint the batch, union with the landed
+    survivors, and keep each fingerprint's minimum-id row. Because the
+    merge rule is a pure min-fold, it is ORDER-INSENSITIVE and
+    IDEMPOTENT: any arrival order, any batch split, and any checkpoint
+    replay converge to exactly ``dedup_exact`` of everything ingested so
+    far (a later-arriving lower id evicts the earlier survivor) — pinned
+    in tests against the from-scratch batch dedup after every batch.
+
+    Scale note: like the other landed-state sinks here, this rewrites
+    the survivor table per batch via ``atomic_swap_write``; a production
+    deployment partitions the table by a fingerprint prefix and rewrites
+    only partitions the batch touches (the `stream_upsert_sink`
+    contract). Crash-safety: staged swap, and a present-but-unreadable
+    table fails the batch instead of truncating state."""
+    import os
+
+    from unified_firmographic_data_pipeline_spark.functions.text import doc_fingerprint
+    from unified_firmographic_data_pipeline_spark.sources.catalog import (
+        atomic_swap_write,
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stamped = batch_df.withColumn(
+            "__fp", doc_fingerprint(F.col(content_col))
+        )
+        if os.path.exists(table_path):
+            stamped = spark.read.parquet(table_path).unionByName(stamped)
+        keep = (
+            stamped.select("__fp", id_col)
+            .groupBy("__fp")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        # replays re-deliver identical rows: collapse them after the
+        # survivor semi-join so the landed table stays one row per id
+        merged = (
+            stamped.join(keep, id_col, "left_semi").dropDuplicates([id_col])
+        )
+        atomic_swap_write(merged, table_path)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
