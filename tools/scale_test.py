@@ -582,6 +582,31 @@ if __name__ == "__main__":
     )
     lines.append("same data.")
     lines.append(
+        "Round-8 batch-46/47 rows are all sublinear by construction:"
+    )
+    lines.append(
+        "`ngram_novelty_decay` 1.4× (the distinct (doc, md5-gram) projection"
+    )
+    lines.append(
+        "grows 10× but both its shuffles ride uniform keys and map-side"
+    )
+    lines.append(
+        "partials absorb the bucket rollup); `epoch_allocation_plan` 1.1×"
+    )
+    lines.append(
+        "(one dedup fingerprint shuffle, then |sources|-row arithmetic);"
+    )
+    lines.append(
+        "`source_mix_temperature_plan` / `lexicon_blocklist_audit` 1.2×"
+    )
+    lines.append(
+        "(narrow per-doc projections into per-source combinable aggregates);"
+    )
+    lines.append(
+        "`dataset_card_stats` 1.5× (the per-source rank window is the only"
+    )
+    lines.append("non-combinable stage; its input is one short row per doc).")
+    lines.append(
         "`dedup_detector_pr`'s ~4-5x is candidate-pair growth in the"
     )
     lines.append(
