@@ -74,6 +74,9 @@ BNLJ_ALLOWED = {
     # 1-row (weight total, budget) scalar broadcast onto the
     # |sources|-row allocation — same shape
     "epoch_allocation_plan",
+    # two 1-row per-side row counts broadcast onto the key-axis diff —
+    # the funnel/blocking-audit scalar shape
+    "json_key_drift_audit",
     # 1-row chunk-count total broadcast into the PMI expression
     "chunk_pmi_collocations",
     # calendar-bounded pairing: the per-DAY series (rows = days, not data)

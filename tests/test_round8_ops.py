@@ -234,3 +234,22 @@ def test_stream_exact_dedup_sink_matches_batch(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(table).drop("__fp").collect()
     } == landed
 
+
+def test_json_key_drift_bruteforce(spark):
+    from unified_firmographic_data_pipeline_spark.quality.drift import json_key_drift
+
+    before = spark.createDataFrame(
+        [('{"k": 1, "legacy": 2}',), ('{"k": 3}',)], "p string"
+    )
+    after = spark.createDataFrame(
+        [('{"k": 4, "v2": 5}',), ('{"k": 6}',), ('{"renamed": 7}',)], "p string"
+    )
+    out = {r["key"]: r.asDict() for r in json_key_drift(before, after, "p").collect()}
+    assert out["legacy"]["status"] == "removed"
+    assert out["v2"]["status"] == "added" and out["renamed"]["status"] == "added"
+    assert out["k"]["status"] == "stable"
+    assert (out["k"]["before_n"], out["k"]["after_n"]) == (2, 2)
+    # k: 2/2 rows before -> 2/3 rows after
+    assert out["k"]["rate_delta_micro"] == round(2 / 3 * 1e6) - 1_000_000
+    assert out["legacy"]["rate_delta_micro"] == -500_000
+    assert out["v2"]["rate_delta_micro"] == round(1 / 3 * 1e6)

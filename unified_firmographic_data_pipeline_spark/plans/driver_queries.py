@@ -17748,6 +17748,83 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "json_key_drift_audit",
+    """
+    WITH base AS (
+        SELECT event_id, event_id % 2 AS half,
+               CASE WHEN event_id % 2 = 1 AND event_id % 10 = 1
+                    THEN '{"k": ' || json_extract_string(props, '$.k')
+                         || ', "v2": ' || json_extract_string(props, '$.k') || '}'
+                    WHEN event_id % 2 = 1 AND event_id % 10 = 3
+                    THEN '{"renamed": ' || json_extract_string(props, '$.k') || '}'
+                    WHEN event_id % 2 = 0 AND event_id % 10 = 6
+                    THEN '{"k": ' || json_extract_string(props, '$.k')
+                         || ', "legacy": 1}'
+                    ELSE props END AS p
+        FROM events),
+    bk AS (SELECT unnest(json_keys(p)) AS key FROM base WHERE half = 0),
+    ak AS (SELECT unnest(json_keys(p)) AS key FROM base WHERE half = 1),
+    b AS (SELECT key, COUNT(*) AS before_n FROM bk GROUP BY key),
+    a AS (SELECT key, COUNT(*) AS after_n FROM ak GROUP BY key),
+    bt AS (SELECT COUNT(*) AS bn FROM base WHERE half = 0),
+    at_ AS (SELECT COUNT(*) AS an FROM base WHERE half = 1)
+    SELECT coalesce(b.key, a.key) AS key,
+           CAST(coalesce(before_n, 0) AS BIGINT) AS before_n,
+           CAST(coalesce(after_n, 0) AS BIGINT) AS after_n,
+           CASE WHEN before_n IS NULL THEN 'added'
+                WHEN after_n IS NULL THEN 'removed' ELSE 'stable' END AS status,
+           CAST(CAST(round(CAST(coalesce(after_n, 0) AS DOUBLE)
+                           / CAST(an AS DOUBLE) * 1e6) AS BIGINT)
+              - CAST(round(CAST(coalesce(before_n, 0) AS DOUBLE)
+                           / CAST(bn AS DOUBLE) * 1e6) AS BIGINT)
+                AS BIGINT) AS rate_delta_micro
+    FROM b FULL OUTER JOIN a ON b.key = a.key, bt, at_
+    """,
+)
+def json_key_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-level JSON schema-drift detection (quality/drift.py
+    :json_key_drift) — the observable counterpart of the reference's
+    VARIANT schema-drift-tolerance rationale (RM:20, RM:46: payloads
+    stay JSON precisely so new/renamed keys don't break the load; this
+    audit reports which keys appeared, vanished, or shifted occurrence
+    rate between two batches). Key drift is grafted deterministically
+    per event-id class onto the uniform fixture (the
+    nfc_normalization_drift pattern): the late half adds "v2" and
+    renames to "renamed" in two id classes, the early half carries a
+    "legacy" key one class — so added/removed/stable all exercise.
+    Scale shape: one json_object_keys explode + bounded key-axis groupBy
+    per side (never data-sized), two 1-row count broadcasts, one
+    key-axis full-outer diff."""
+    from unified_firmographic_data_pipeline_spark.quality.drift import json_key_drift
+
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    grafted = e.select(
+        "event_id",
+        (F.col("event_id") % 2).alias("half"),
+        F.when(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") % 10 == 1),
+            F.concat(F.lit('{"k": '), k, F.lit(', "v2": '), k, F.lit("}")),
+        )
+        .when(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") % 10 == 3),
+            F.concat(F.lit('{"renamed": '), k, F.lit("}")),
+        )
+        .when(
+            (F.col("event_id") % 2 == 0) & (F.col("event_id") % 10 == 6),
+            F.concat(F.lit('{"k": '), k, F.lit(', "legacy": 1}')),
+        )
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    return json_key_drift(
+        grafted.filter(F.col("half") == 0),
+        grafted.filter(F.col("half") == 1),
+        "p",
+    )
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is

@@ -182,3 +182,61 @@ def categorical_psi(
     return reference.sparkSession.createDataFrame(
         rows, "value string, p_ref double, p_cur double, psi_term double"
     )
+
+
+def json_key_drift(
+    before: DataFrame,
+    after: DataFrame,
+    json_col: str,
+) -> DataFrame:
+    """DATA-level twin of :func:`schema_drift` for semi-structured
+    payloads — the drift the reference's VARIANT design exists to absorb
+    (RM:20, RM:46: JSON chosen for schema-drift tolerance; this is the
+    detector that makes the tolerance observable instead of silent).
+
+    Explodes every top-level JSON key per row (``json_object_keys`` —
+    JVM-side, no UDF) on both frames and diffs per-key OCCURRENCE:
+    ``(key, before_n, after_n, status, rate_delta_micro)`` where status
+    is ``added`` / ``removed`` / ``stable`` and ``rate_delta_micro`` is
+    the micro-quantized difference of per-row occurrence rates (each
+    rate rounds to integer micros BEFORE the diff, so the number is
+    engine-exact).
+
+    Scale shape: one key-explode + one bounded groupBy per side (output
+    = distinct-key rows, a schema-sized axis, never data-sized); the
+    per-side row counts ride 1-row broadcasts; the diff is a full-outer
+    join of two key-axis frames."""
+    def keyed(df: DataFrame, alias: str) -> DataFrame:
+        keys = df.select(
+            F.explode(F.json_object_keys(F.col(json_col))).alias("key")
+        )
+        return keys.groupBy("key").agg(F.count("*").alias(alias))
+
+    b = keyed(before, "before_n")
+    a = keyed(after, "after_n")
+    bt = before.agg(F.count("*").alias("bn"))
+    at = after.agg(F.count("*").alias("an"))
+    joined = (
+        b.join(a, "key", "full_outer").crossJoin(bt).crossJoin(at)
+    )
+
+    def rate_micro(n: F.Column, tot: F.Column) -> F.Column:
+        return F.round(
+            F.coalesce(n, F.lit(0)).cast("double") / tot.cast("double") * 1e6
+        ).cast("long")
+
+    status = (
+        F.when(F.col("before_n").isNull(), F.lit("added"))
+        .when(F.col("after_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("stable"))
+    )
+    return joined.select(
+        "key",
+        F.coalesce("before_n", F.lit(0)).cast("long").alias("before_n"),
+        F.coalesce("after_n", F.lit(0)).cast("long").alias("after_n"),
+        status.alias("status"),
+        (
+            rate_micro(F.col("after_n"), F.col("an"))
+            - rate_micro(F.col("before_n"), F.col("bn"))
+        ).alias("rate_delta_micro"),
+    )
