@@ -253,3 +253,82 @@ def test_json_key_drift_bruteforce(spark):
     assert out["k"]["rate_delta_micro"] == round(2 / 3 * 1e6) - 1_000_000
     assert out["legacy"]["rate_delta_micro"] == -500_000
     assert out["v2"]["rate_delta_micro"] == round(1 / 3 * 1e6)
+
+def test_additive_state_fold_exactly_once(spark, tmp_path):
+    """Per-key sums equal the full-input groupBy after every fold; a
+    REPLAYED batch_id is a no-op (the applied-batch ledger — additive
+    state is the one fold shape idempotence doesn't cover)."""
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        additive_state_fold,
+    )
+
+    table = str(tmp_path / "state")
+    sch = "k string, v long"
+    batches = [
+        [("a", 1), ("b", 2), ("a", 3)],
+        [("b", 4), ("c", 5)],
+        [("a", 6)],
+    ]
+    seen = []
+    for bid, rows in enumerate(batches):
+        seen.extend(rows)
+        assert additive_state_fold(
+            spark.createDataFrame(rows, sch), bid, table, ["k"], "v"
+        )
+        landed = {
+            r["k"]: r["total"]
+            for r in spark.read.parquet(table).filter("kind = 'state'").collect()
+        }
+        exp = {}
+        for k, v in seen:
+            exp[k] = exp.get(k, 0) + v
+        assert landed == exp, f"after batch {bid}"
+    # replaying batch 1 must be a no-op, not a double-add
+    assert not additive_state_fold(
+        spark.createDataFrame(batches[1], sch), 1, table, ["k"], "v"
+    )
+    landed2 = {
+        r["k"]: r["total"]
+        for r in spark.read.parquet(table).filter("kind = 'state'").collect()
+    }
+    assert landed2 == exp
+    # the ledger carries exactly the applied ids
+    ids = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(table).filter("kind = 'batch'").collect()
+    )
+    assert ids == [0, 1, 2]
+
+
+def test_stream_additive_state_sink_counts(spark, tmp_path):
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        stream_additive_state_sink,
+    )
+
+    sch = "k string, v long"
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [("x", 10), ("y", 1), ("x", 5)]
+
+    def run():
+        q = stream_additive_state_sink(
+            spark.readStream.schema(sch).parquet(src), table, ckpt, ["k"], "v"
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(rows[:2], sch).coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(rows[2:], sch).coalesce(1).write.mode("append").parquet(src)
+    run()
+    landed = {
+        r["k"]: r["total"]
+        for r in spark.read.parquet(table).filter("kind = 'state'").collect()
+    }
+    assert landed == {"x": 15, "y": 1}
+    run()  # replay with the same checkpoint: unchanged
+    landed2 = {
+        r["k"]: r["total"]
+        for r in spark.read.parquet(table).filter("kind = 'state'").collect()
+    }
+    assert landed2 == landed

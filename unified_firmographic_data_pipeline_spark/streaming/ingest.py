@@ -455,3 +455,98 @@ def stream_exact_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def additive_state_fold(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    keys: list[str],
+    value_col: str,
+) -> bool:
+    """One exactly-once fold of a micro-batch into a landed additive
+    state table (per-key BIGINT sums). Returns False (no-op) when
+    ``batch_id`` is already in the applied-batch ledger.
+
+    Additive aggregation is the one state shape foreachBatch CANNOT make
+    exactly-once by construction: min-folds (kmv / exact-dedup sinks) and
+    key-overwrites (upsert / CDC sinks) are idempotent, but re-adding a
+    replayed batch double-counts. The ledger closes that: the landed
+    table carries BOTH the state rows (``kind='state'``) and one row per
+    applied batch id (``kind='batch'``) in the SAME parquet directory,
+    so ``atomic_swap_write`` commits the sum update and its ledger entry
+    atomically — a crash between "state written" and "ledger written"
+    cannot exist, which is exactly the torn-write that breaks the naive
+    two-file design. (Transactional tables solve this with
+    txnAppId/txnVersion metadata — Delta's idempotent-write contract —
+    this is the same protocol on plain parquet.)
+
+    Bounded-collect contract: the ledger is one row per micro-batch ever
+    applied — driver-side membership check reads batch ids only, bounded
+    by stream lifetime, never by data."""
+    import os
+
+    from unified_firmographic_data_pipeline_spark.sources.catalog import (
+        atomic_swap_write,
+    )
+
+    spark = batch_df.sparkSession
+    agg = batch_df.groupBy(*keys).agg(
+        F.sum(F.col(value_col)).cast("long").alias("total")
+    )
+    if os.path.exists(table_path):
+        landed = spark.read.parquet(table_path)
+        applied = {
+            r["batch_id"]
+            for r in landed.filter(F.col("kind") == "batch")
+            .select("batch_id")
+            .collect()
+        }
+        if batch_id in applied:
+            return False
+        state = landed.filter(F.col("kind") == "state").select(*keys, "total")
+        merged = (
+            state.unionByName(agg)
+            .groupBy(*keys)
+            .agg(F.sum("total").cast("long").alias("total"))
+        )
+        ledger_ids = sorted(applied | {batch_id})
+    else:
+        merged = agg
+        ledger_ids = [batch_id]
+    state_rows = merged.select(
+        F.lit("state").alias("kind"), *keys, "total", F.lit(None).cast("long").alias("batch_id")
+    )
+    ledger_rows = spark.createDataFrame(
+        [(int(b),) for b in ledger_ids], "batch_id long"
+    ).select(
+        F.lit("batch").alias("kind"),
+        *[F.lit(None).cast(dict(merged.dtypes)[k]).alias(k) for k in keys],
+        F.lit(None).cast("long").alias("total"),
+        "batch_id",
+    )
+    atomic_swap_write(state_rows.unionByName(ledger_rows), table_path)
+    return True
+
+
+def stream_additive_state_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+) -> StreamingQuery:
+    """Maintain landed per-key additive sums from a stream with
+    exactly-once semantics via :func:`additive_state_fold`'s
+    applied-batch ledger (see its docstring for the protocol). Query the
+    state with ``kind = 'state'``."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        additive_state_fold(batch_df, batch_id, table_path, keys, value_col)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
