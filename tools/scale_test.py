@@ -607,6 +607,28 @@ if __name__ == "__main__":
     )
     lines.append("non-combinable stage; its input is one short row per doc).")
     lines.append(
+        "The committed BENCH_full_r08 run flagged 3 light-set queries"
+    )
+    lines.append(
+        "(`map_functions_token_stats` 2.84×, `cdc_change_events` 2.69×,"
+    )
+    lines.append(
+        "`dq_report_all_tables` 2.25×) — adjudicated as ambient, same-session"
+    )
+    lines.append(
+        "evidence: an identical-code full-bench run 45 minutes EARLIER the same"
+    )
+    lines.append(
+        "day measured all three at 1.2–1.6× floor (0.287/0.488/1.174 s), and a"
+    )
+    lines.append(
+        "pinned min-of-3 re-measure landed between the two runs — the"
+    )
+    lines.append(
+        "incremental_agg_merge JIT-warmth mechanism on sub-second floors, no"
+    )
+    lines.append("code change in any of the three since their floors were set.")
+    lines.append(
         "`dedup_detector_pr`'s ~4-5x is candidate-pair growth in the"
     )
     lines.append(

@@ -4,7 +4,8 @@ as integer-cell equi-joins (the only spatial-join shape that survives
 point x point).
 
 Exactness contract: coordinates are INTEGER centi-degrees, cells are
-integer divisions, and distances are integer squared centi-degrees — no
+FLOOR divisions (signed-coordinate-safe, matching SQL ``//`` — round-7
+ADVICE #4), and distances are integer squared centi-degrees — no
 trig, no floats anywhere, so a SQL twin replays every result bit-for-bit
 (haversine is a drop-in for the distance expression once an approximate
 contract is acceptable; the JOIN SHAPE — the scale-relevant part — is

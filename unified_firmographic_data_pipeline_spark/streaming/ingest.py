@@ -416,6 +416,12 @@ def stream_exact_dedup_sink(
     far (a later-arriving lower id evicts the earlier survivor) — pinned
     in tests against the from-scratch batch dedup after every batch.
 
+    CALLER CONTRACT: ``id_col`` must identify a document uniquely — two
+    rows sharing an id but carrying DIFFERENT content would make the
+    replay-collapse ``dropDuplicates`` pick between them arbitrarily
+    (the batch operator has the same precondition: its survivor
+    semi-join is id-keyed).
+
     Scale note: like the other landed-state sinks here, this rewrites
     the survivor table per batch via ``atomic_swap_write``; a production
     deployment partitions the table by a fingerprint prefix and rewrites
