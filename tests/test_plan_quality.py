@@ -77,6 +77,9 @@ BNLJ_ALLOWED = {
     # two 1-row per-side row counts broadcast onto the key-axis diff —
     # the funnel/blocking-audit scalar shape
     "json_key_drift_audit",
+    # three 1-row scalars (sums, cluster count, class count) folded into
+    # one summary row — the blocking_quality_audit shape
+    "bcubed_dedup_eval",
     # 1-row chunk-count total broadcast into the PMI expression
     "chunk_pmi_collocations",
     # calendar-bounded pairing: the per-DAY series (rows = days, not data)

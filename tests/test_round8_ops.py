@@ -332,3 +332,33 @@ def test_stream_additive_state_sink_counts(spark, tmp_path):
         for r in spark.read.parquet(table).filter("kind = 'state'").collect()
     }
     assert landed2 == landed
+
+def test_bcubed_scores_bruteforce(spark):
+    """B-cubed P/R/F1 against a direct per-record computation on a
+    fixture with a split cluster (recall loss) and a merged cluster
+    (precision loss)."""
+    from unified_firmographic_data_pipeline_spark.operators.linkage import bcubed_scores
+
+    #        record: (pred cluster, truth class)
+    assign = [
+        ("p1", "t1"), ("p1", "t1"),        # correct 2-cluster
+        ("p2", "t2"), ("p3", "t2"),        # truth t2 SPLIT across p2/p3
+        ("p4", "t3"), ("p4", "t4"),        # preds MERGED across t3/t4
+        ("p5", "t5"),                       # singleton
+    ]
+    df = spark.createDataFrame(assign, "pred string, truth string")
+    row = bcubed_scores(df, "pred", "truth").collect()[0]
+    n = len(assign)
+    from collections import Counter
+    cellс = Counter(assign)
+    pc = Counter(p for p, _ in assign)
+    tc = Counter(t for _, t in assign)
+    prec = sum(cellс[(p, t)] ** 2 / pc[p] for p, t in cellс) / n
+    rec = sum(cellс[(p, t)] ** 2 / tc[t] for p, t in cellс) / n
+    assert row["n_records"] == n
+    assert row["n_pred_clusters"] == len(pc) and row["n_truth_classes"] == len(tc)
+    assert abs(row["b3_precision"] - prec) < 1e-6
+    assert abs(row["b3_recall"] - rec) < 1e-6
+    assert abs(row["b3_f1"] - 2 * prec * rec / (prec + rec)) < 1e-6
+    # sanity: this fixture loses BOTH precision (merge) and recall (split)
+    assert row["b3_precision"] < 1.0 and row["b3_recall"] < 1.0

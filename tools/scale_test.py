@@ -147,6 +147,8 @@ HEAVY = [
     "source_mix_temperature_plan",  # per-source agg + scalar broadcasts
     "lexicon_blocklist_audit",    # narrow lexicon filter + source agg
     "dataset_card_stats",         # per-doc projection + source rank window
+    "json_key_drift_audit",       # key explode + bounded key-axis diff
+    "bcubed_dedup_eval",          # (pred, truth) cell agg + marginals
 ]
 
 
@@ -606,6 +608,22 @@ if __name__ == "__main__":
         "`dataset_card_stats` 1.5× (the per-source rank window is the only"
     )
     lines.append("non-combinable stage; its input is one short row per doc).")
+    lines.append(
+        "`json_key_drift_audit`'s sub-1× ratio is scan parallelism, not magic:"
+    )
+    lines.append(
+        "the 1× events table is one parquet file (a single-task key explode),"
+    )
+    lines.append(
+        "while the 10× replica reads many files in parallel into the same"
+    )
+    lines.append(
+        "key-axis-bounded aggregate. `bcubed_dedup_eval` 1.1× — the contingency"
+    )
+    lines.append(
+        "identity keeps everything past the (pred, truth) cell aggregate"
+    )
+    lines.append("constant-sized, so only the fingerprint scan grows.")
     lines.append(
         "The committed BENCH_full_r08 run flagged 3 light-set queries"
     )

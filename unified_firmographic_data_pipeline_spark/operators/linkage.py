@@ -124,3 +124,53 @@ def fs_em_parameters(
         out, "field string, m double, u double, weight_agree double, "
         "weight_disagree double, p double"
     )
+
+
+def bcubed_scores(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+) -> DataFrame:
+    """B-cubed precision/recall/F1 of a predicted clustering against
+    truth classes (Bagga & Baldwin 1998 — the per-RECORD clustering
+    metric standard in entity-resolution evaluation; complements the
+    PAIRWISE precision/recall the detector-PR and ER-sweep queries
+    report, and unlike pairwise it neither explodes on large clusters
+    nor ignores singletons).
+
+    Via the contingency identity: B³ precision = (1/N) Σ_{c,t} n_ct²/n_c
+    and recall = (1/N) Σ_{c,t} n_ct²/n_t — so the whole metric reduces
+    to ONE (pred, truth) cell aggregate plus two marginal joins; no
+    record pair is ever materialized. Per-cell rational terms quantize
+    to integer NANO units before the BIGINT sums (order-free), and the
+    final P/R/F1 are single double expressions over those integers.
+    Returns one row: ``(n_records, n_pred_clusters, n_truth_classes,
+    b3_precision, b3_recall, b3_f1)``."""
+    cells = df.groupBy(pred_col, truth_col).agg(F.count("*").alias("n_ct"))
+    nc = cells.groupBy(pred_col).agg(F.sum("n_ct").alias("n_c"))
+    nt = cells.groupBy(truth_col).agg(F.sum("n_ct").alias("n_t"))
+    j = cells.join(nc, pred_col).join(nt, truth_col)
+    sq = (F.col("n_ct") * F.col("n_ct")).cast("double")
+    terms = j.select(
+        "n_ct",
+        F.round(F.lit(1e9) * sq / F.col("n_c").cast("double")).cast("long").alias("pn"),
+        F.round(F.lit(1e9) * sq / F.col("n_t").cast("double")).cast("long").alias("rn"),
+    )
+    agg = terms.agg(
+        F.sum("n_ct").alias("n"),
+        F.sum("pn").alias("sp"),
+        F.sum("rn").alias("sr"),
+    )
+    counts = agg.crossJoin(
+        cells.select(pred_col).distinct().agg(F.count("*").alias("npc"))
+    ).crossJoin(cells.select(truth_col).distinct().agg(F.count("*").alias("ntc")))
+    p = F.col("sp").cast("double") / F.lit(1e9) / F.col("n").cast("double")
+    r = F.col("sr").cast("double") / F.lit(1e9) / F.col("n").cast("double")
+    return counts.select(
+        F.col("n").cast("long").alias("n_records"),
+        F.col("npc").cast("long").alias("n_pred_clusters"),
+        F.col("ntc").cast("long").alias("n_truth_classes"),
+        F.round(p, 6).alias("b3_precision"),
+        F.round(r, 6).alias("b3_recall"),
+        F.round(F.lit(2.0) * p * r / (p + r), 6).alias("b3_f1"),
+    )

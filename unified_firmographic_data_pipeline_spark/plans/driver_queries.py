@@ -17825,6 +17825,65 @@ def json_key_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "bcubed_dedup_eval",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS pred
+        FROM documents),
+    assign AS (
+        SELECT doc_id, pred, md5(array_to_string(t[1:16], ' ')) AS truth
+        FROM toks),
+    cells AS (SELECT pred, truth, CAST(COUNT(*) AS BIGINT) AS n_ct
+              FROM assign GROUP BY pred, truth),
+    nc AS (SELECT pred, CAST(SUM(n_ct) AS BIGINT) AS n_c FROM cells GROUP BY pred),
+    nt AS (SELECT truth, CAST(SUM(n_ct) AS BIGINT) AS n_t FROM cells GROUP BY truth),
+    terms AS (
+        SELECT n_ct,
+               CAST(round(1e9 * CAST(n_ct * n_ct AS DOUBLE)
+                          / CAST(n_c AS DOUBLE)) AS BIGINT) AS pn,
+               CAST(round(1e9 * CAST(n_ct * n_ct AS DOUBLE)
+                          / CAST(n_t AS DOUBLE)) AS BIGINT) AS rn
+        FROM cells JOIN nc USING (pred) JOIN nt USING (truth)),
+    agg AS (SELECT CAST(SUM(n_ct) AS BIGINT) AS n,
+                   CAST(SUM(pn) AS BIGINT) AS sp,
+                   CAST(SUM(rn) AS BIGINT) AS sr
+            FROM terms),
+    cnts AS (SELECT (SELECT CAST(COUNT(DISTINCT pred) AS BIGINT) FROM cells) AS npc,
+                    (SELECT CAST(COUNT(DISTINCT truth) AS BIGINT) FROM cells) AS ntc)
+    SELECT n AS n_records, npc AS n_pred_clusters, ntc AS n_truth_classes,
+           round(CAST(sp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) AS b3_precision,
+           round(CAST(sr AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) AS b3_recall,
+           round(2.0 * (CAST(sp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                     * (CAST(sr AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                 / ((CAST(sp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                    + (CAST(sr AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))), 6) AS b3_f1
+    FROM agg, cnts
+    """,
+)
+def bcubed_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed evaluation of the exact-dedup CLUSTERING against the
+    16-token-prefix duplicate truth (operators/linkage.py:bcubed_scores
+    — Bagga & Baldwin 1998): predicted clusters are the normalized-text
+    fingerprints, truth classes the same prefix key dedup_detector_pr's
+    pairwise P/R uses — so the registry now scores the dedup stage with
+    BOTH metric families (pairwise and per-record). Scale shape: the
+    contingency identity reduces B³ to one (pred, truth) cell aggregate
+    plus two marginal joins — no record pair ever materializes, which is
+    exactly why B³ stays computable where pairwise counts blow up on
+    large clusters."""
+    from unified_firmographic_data_pipeline_spark.operators.linkage import bcubed_scores
+
+    d = _t(spark, sf_dir, "documents")
+    assign = d.select(
+        doc_fingerprint("text").alias("pred"),
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 16))).alias("truth"),
+    )
+    return bcubed_scores(assign, "pred", "truth")
+
+
 # --------------------------------------------------------------------------
 # The correctness driver verifies queries()/oracle_sql() in registration
 # order with a per-round cap (~50 entries per round: CORRECTNESS_r01.json is
