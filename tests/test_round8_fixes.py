@@ -252,3 +252,39 @@ def test_simhash_near_pairs_md5_matches_bruteforce_hamming(spark):
     }
     assert (1, 2) in expected
     assert got == expected
+
+
+def test_simhash_near_pairs_md5_randomized_bruteforce(spark):
+    """Pigeonhole completeness on a seeded random corpus: 40 docs drawn
+    from a 20-word vocab (dense fingerprint space, many near-collisions)
+    — the operator's pair set must equal brute force over the
+    fingerprints at every radius the block design covers."""
+    import random
+
+    rng = random.Random(608)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: r["__fp"]
+        for r in simhash_md5_fingerprints(df, "doc_id", "text", 60).collect()
+    }
+    ids = sorted(fps)
+    for radius in (1, 3):
+        expected = {
+            (a, b): bin(fps[a] ^ fps[b]).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(fps[a] ^ fps[b]).count("1") <= radius
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_pairs_md5(
+                df, max_hamming=radius, bits=60
+            ).collect()
+        }
+        assert got == expected, f"radius {radius}"
+        assert expected, f"radius {radius}: degenerate fixture (no pairs)"
