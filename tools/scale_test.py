@@ -609,16 +609,19 @@ if __name__ == "__main__":
     )
     lines.append("non-combinable stage; its input is one short row per doc).")
     lines.append(
-        "`json_key_drift_audit`'s sub-1× ratio is scan parallelism, not magic:"
+        "`json_key_drift_audit` sits near 1× either way (measured 0.5×–1.3×"
     )
     lines.append(
-        "the 1× events table is one parquet file (a single-task key explode),"
+        "across sessions): the 1× events table is ONE parquet file (a"
     )
     lines.append(
-        "while the 10× replica reads many files in parallel into the same"
+        "single-task key explode) while the 10× replica scans many files in"
     )
     lines.append(
-        "key-axis-bounded aggregate. `bcubed_dedup_eval` 1.1× — the contingency"
+        "parallel, and past the explode everything is key-axis-bounded."
+    )
+    lines.append(
+        "`bcubed_dedup_eval` ~1.1–1.8× — the contingency"
     )
     lines.append(
         "identity keeps everything past the (pred, truth) cell aggregate"
