@@ -628,27 +628,35 @@ if __name__ == "__main__":
     )
     lines.append("constant-sized, so only the fingerprint scan grows.")
     lines.append(
-        "The committed BENCH_full_r08 run flagged 3 light-set queries"
+        "THREE identical-code full-bench runs the same day produced three"
     )
     lines.append(
-        "(`map_functions_token_stats` 2.84×, `cdc_change_events` 2.69×,"
+        "DISJOINT light-set flag sets (none; map_functions_token_stats /"
     )
     lines.append(
-        "`dq_report_all_tables` 2.25×) — adjudicated as ambient, same-session"
+        "dq_report_all_tables / cdc_change_events; concurrent_sessions_peak_daily"
     )
     lines.append(
-        "evidence: an identical-code full-bench run 45 minutes EARLIER the same"
+        "/ blocking_quality_audit) — and every flagged query measured at"
     )
     lines.append(
-        "day measured all three at 1.2–1.6× floor (0.287/0.488/1.174 s), and a"
+        "1.2–1.6× floor in at least one sibling run (e.g."
     )
     lines.append(
-        "pinned min-of-3 re-measure landed between the two runs — the"
+        "concurrent_sessions_peak_daily 1.10/0.96/1.97 s across the runs). A"
     )
     lines.append(
-        "incremental_agg_merge JIT-warmth mechanism on sub-second floors, no"
+        "rotating cast of sub-second flags under identical code is the"
     )
-    lines.append("code change in any of the three since their floors were set.")
+    lines.append(
+        "definitive ambient-noise signature (the incremental_agg_merge"
+    )
+    lines.append(
+        "JIT-warmth mechanism); the committed BENCH_full_r08 is the complete"
+    )
+    lines.append(
+        "338-query run, flags adjudicated here rather than rerun-shopped away."
+    )
     lines.append(
         "`dedup_detector_pr`'s ~4-5x is candidate-pair growth in the"
     )
