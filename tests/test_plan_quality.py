@@ -186,6 +186,16 @@ BNLJ_ALLOWED = {
     # 4 truncation tiers scored in one pass: 5 bounded queries broadcast
     # against the corpus scan under qid != nid — the ann_cosine_topk shape
     "matryoshka_recall_tiers",
+    # two retrievers, each 3 bounded queries broadcast against the corpus
+    # scan under qid != nid (the ann_cosine_topk shape); the fusion itself
+    # is an equi-keyed hash agg over top-k-bounded lists
+    "rrf_fusion_topk",
+    # 1-row straddle-count scalar broadcast onto the 2-row per-split
+    # aggregate — the bcubed_dedup_eval summary shape
+    "leakage_safe_split_counts",
+    # 5 bounded queries broadcast against the corpus scan under
+    # qid != nid (the ann_cosine_topk shape); label attach is equi-keyed
+    "hard_negative_candidates",
 }
 
 #: Selective scans that must keep non-trivial parquet filter pushdown.

@@ -1,0 +1,192 @@
+"""Round-9 surface additions: RRF score fusion and the quality-score
+isotonic calibration tie-in (round-8 verdict item #7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unified_firmographic_data_pipeline_spark.operators.similarity import rrf_fuse
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, rank int"
+    )
+
+
+def test_rrf_fuse_bruteforce(spark):
+    # ranker A: q0 -> [10, 11, 12]; ranker B: q0 -> [11, 13]
+    a = _ranking(spark, [(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+    b = _ranking(spark, [(0, 11, 1), (0, 13, 2)])
+    out = {
+        r["neighbor_id"]: r.asDict()
+        for r in rrf_fuse([a, b], k_rrf=60).collect()
+    }
+    nano = lambda rank: round(1e9 / (60 + rank))  # noqa: E731
+    assert out[11]["rrf_score_nano"] == nano(2) + nano(1)
+    assert out[10]["rrf_score_nano"] == nano(1)
+    assert out[13]["rrf_score_nano"] == nano(2)
+    assert out[11]["n_rankers"] == 2 and out[10]["n_rankers"] == 1
+    # doc 11 is in both lists -> outranks every single-list doc
+    assert out[11]["fused_rank"] == 1
+    # tie handling: 10 (rank 1 in A) vs 13 (rank 2 in B): nano(1) > nano(2)
+    assert out[10]["fused_rank"] == 2 and out[13]["fused_rank"] == 3
+
+
+def test_rrf_fuse_per_query_isolation_and_topk(spark):
+    a = _ranking(spark, [(0, 10, 1), (1, 20, 1), (1, 21, 2)])
+    b = _ranking(spark, [(1, 21, 1)])
+    out = rrf_fuse([a, b], k_rrf=60, topk=1).collect()
+    by_q = {r["query_id"]: r for r in out}
+    assert len(out) == 2  # one winner per query
+    assert by_q[0]["neighbor_id"] == 10
+    assert by_q[1]["neighbor_id"] == 21  # two-ranker doc wins q1
+
+
+def test_rrf_fuse_deterministic_id_tiebreak(spark):
+    # same single rank in different rankers -> equal scores, id breaks tie
+    a = _ranking(spark, [(0, 7, 1)])
+    b = _ranking(spark, [(0, 3, 1)])
+    out = sorted(
+        rrf_fuse([a, b], k_rrf=60).collect(), key=lambda r: r["fused_rank"]
+    )
+    assert [r["neighbor_id"] for r in out] == [3, 7]
+
+
+def test_rrf_fuse_empty_and_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    empty = _ranking(spark, [])
+    assert rrf_fuse([empty, empty]).count() == 0
+
+
+def test_quality_isotonic_calibration_monotone(spark):
+    """The fitted curve must be non-decreasing in bin order and preserve
+    the count-weighted mean label rate (the two defining PAV properties)."""
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    rows = sorted(
+        QUERIES["quality_isotonic_calibration"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows, "no bins"
+    fitted = [r["fitted_rate"] for r in rows]
+    assert fitted == sorted(fitted)
+    total = sum(r["n"] for r in rows)
+    pos = sum(r["pos"] for r in rows)
+    mean_fit = sum(r["fitted_rate"] * r["n"] for r in rows) / total
+    assert abs(mean_fit - pos / total) < 1e-5  # L2 projection preserves mass
+
+
+def test_leakage_safe_split_no_straddle_and_deterministic(spark):
+    from unified_firmographic_data_pipeline_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id bigint")
+    # chain 1-2-3 is one cluster; 5-6 another; 4,7,8 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src bigint, dst bigint"
+    )
+    out = {r["doc_id"]: r.asDict() for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 8
+    # whole clusters share one split — no near-dup straddles the boundary
+    assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+    assert out[5]["split"] == out[6]["split"]
+    assert out[1]["component"] == 1 and out[6]["component"] == 5
+    assert out[4]["component"] == 4  # singleton labels itself
+    # split is a pure function of the component label -> rerun-stable
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs).collect()}
+    assert again == {k: v["split"] for k, v in out.items()}
+
+
+def test_hard_negative_candidates_excludes_same_label(spark):
+    from unified_firmographic_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["hard_negative_candidates"](spark, sf).toPandas()
+    assert len(out) > 0
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    for r in out.itertuples():
+        assert labels[r.neighbor_id] != labels[r.query_id]
+    # exactly 5 negatives per query, ranked 1..5
+    per_q = out.groupby("query_id")["neg_rank"].apply(sorted).to_dict()
+    assert all(v == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_stream_key_drift_monitor(spark, tmp_path):
+    """Per-batch drift log == the batch json_key_drift of (reference,
+    batch); a checkpoint replay rewrites identical content (idempotent
+    batch=<id> overwrite); a missing reference raises instead of diffing
+    against empty; dirty payloads land as sentinel keys."""
+    from unified_firmographic_data_pipeline_spark.quality.drift import json_key_drift
+    from unified_firmographic_data_pipeline_spark.streaming.ingest import (
+        stream_key_drift_monitor,
+    )
+
+    sch = "event_id long, props string"
+    ref_rows = [(1, '{"k": 1}'), (2, '{"k": 2, "legacy": 1}')]
+    batches = [
+        [(3, '{"k": 3, "v2": 1}'), (4, "junk")],   # added key + malformed
+        [(5, '{"renamed": 1}'), (6, None)],        # renamed + NULL payload
+    ]
+    ref = str(tmp_path / "ref")
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(ref_rows, sch).write.parquet(ref)
+
+    def run():
+        q = stream_key_drift_monitor(
+            spark.readStream.schema(sch).parquet(src), ref, log, ckpt,
+            json_col="props",
+        )
+        q.awaitTermination()
+
+    for i, batch in enumerate(batches):
+        spark.createDataFrame(batch, sch).coalesce(1).write.mode("append").parquet(src)
+        run()
+        landed = {
+            tuple(r)
+            for r in spark.read.parquet(f"{log}/batch={i}")
+            .drop("batch_id")
+            .collect()
+        }
+        expected = {
+            tuple(r)
+            for r in json_key_drift(
+                spark.read.parquet(ref),
+                spark.createDataFrame(batch, sch),
+                "props",
+            ).collect()
+        }
+        assert landed == expected, f"batch {i}"
+    # sentinel rows made it into the log as first-class drift
+    b0 = {r["key"]: r["status"] for r in spark.read.parquet(f"{log}/batch=0").collect()}
+    assert b0["__malformed__"] == "added" and b0["v2"] == "added"
+    assert b0["legacy"] == "removed"
+    b1 = {r["key"]: r["status"] for r in spark.read.parquet(f"{log}/batch=1").collect()}
+    assert b1["__null__"] == "added" and b1["renamed"] == "added"
+    # rerun with the same checkpoint and no new data: a no-op — the logs
+    # stay byte-identical (per-batch overwrite keyed by batch_id is the
+    # idempotence mechanism, so a re-delivered batch rewrites, never
+    # double-appends)
+    run()
+    assert {r["key"] for r in spark.read.parquet(f"{log}/batch=0").collect()} == set(b0)
+    assert {r["key"] for r in spark.read.parquet(f"{log}/batch=1").collect()} == set(b1)
+
+    # missing reference raises rather than silently diffing against empty
+    import pytest
+
+    q = stream_key_drift_monitor(
+        spark.readStream.schema(sch).parquet(src),
+        str(tmp_path / "nope"), log, str(tmp_path / "ckpt2"),
+        json_col="props",
+    )
+    with pytest.raises(Exception, match="reference table missing"):
+        q.awaitTermination()

@@ -123,3 +123,26 @@ def lenient_cast(c: Column | str, dtype: str) -> Column:
     the opt-out for permissive ingest paths where bad values should become
     NULL and be counted by the quality suite rather than abort the job."""
     return _col(c).try_cast(dtype)
+
+
+def json_strict_valid(c: Column | str) -> Column:
+    """Spark expression equivalent of DuckDB's ``json_valid(s)``.
+
+    Spark's JSON readers (get_json_object, try_parse_json) accept a
+    valid-prefix-plus-trailing-garbage string like ``{"k":1},{"k":2}``
+    (they parse the first value and stop) where DuckDB's validator is
+    strict — so any oracle guarded by json_valid needs THIS gate on the
+    Spark side, not a bare try_parse_json. The trick: ``[s]`` must
+    parse AND hold exactly ONE element (a trailing fragment that
+    bracket-wraps into a valid array yields >1). Element existence is
+    probed with schema_of_variant, which distinguishes a MISSING
+    ``$[1]`` (NULL schema) from a JSON-null element ('VOID') — a plain
+    try_variant_get cannot. Verified equal to json_valid on the full
+    malformed-props sweep including comma fragments
+    (tests/test_round4_fixes.py). Shared by the driver oracles
+    (plans/driver_queries.py) and quality/drift.py."""
+    c = _col(c)
+    wrapped = F.try_parse_json(F.concat(F.lit("["), c, F.lit("]")))
+    e0 = F.schema_of_variant(F.try_variant_get(wrapped, "$[0]", "variant"))
+    e1 = F.schema_of_variant(F.try_variant_get(wrapped, "$[1]", "variant"))
+    return wrapped.isNotNull() & e0.isNotNull() & e1.isNull()

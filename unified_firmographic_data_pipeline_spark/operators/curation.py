@@ -612,3 +612,53 @@ def curriculum_interleave(
         .withColumn("domain_rank", F.row_number().over(w))
         .drop("__curriculum_order")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Cluster-aware train/eval split: assign splits to near-dup CLUSTERS,
+    not documents, so two near-duplicates can never straddle train and
+    eval — the train/test-contamination mode a plain per-doc hash split
+    (``train_eval_split_counts``) cannot rule out (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" measure
+    exactly this leak; GPT-3's contamination analysis is the post-hoc
+    version of the same guarantee).
+
+    ``pairs`` is any near-dup pair frame (chunk-fp / LSH / simhash
+    candidates); documents are resolved to connected components
+    (operators/components.py — min-label propagation, isolated docs are
+    their own singleton cluster), then each COMPONENT hashes to a split
+    via the engine-exact md5 uniform (operators/sampling.py:hash_uniform)
+    compared against ``train_frac``. Split membership is therefore a
+    pure function of cluster identity: deterministic across reruns,
+    engines, and cluster sizes, and leakage-free by construction.
+
+    Returns ``(id_col, component, split)`` with split in
+    {'train', 'eval'}.
+
+    Scale shape: component resolution is the pair graph's iterative
+    equi-join (bounded by candidate pairs, never doc×doc); the split is
+    one narrow expression on the component label; the join back to docs
+    is a keyed equi-join. Nothing here is data-squared."""
+    from unified_firmographic_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from unified_firmographic_data_pipeline_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    comp = connected_components(
+        docs.select(F.col(id_col).alias("node")), pairs, src_col=src_col, dst_col=dst_col
+    )
+    split = F.when(
+        hash_uniform(F.col("component")) < F.lit(train_frac), F.lit("train")
+    ).otherwise(F.lit("eval"))
+    return comp.select(
+        F.col("node").alias(id_col), "component", split.alias("split")
+    )

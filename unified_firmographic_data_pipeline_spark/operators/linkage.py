@@ -145,8 +145,26 @@ def bcubed_scores(
     to integer NANO units before the BIGINT sums (order-free), and the
     final P/R/F1 are single double expressions over those integers.
     Returns one row: ``(n_records, n_pred_clusters, n_truth_classes,
-    b3_precision, b3_recall, b3_f1)``."""
-    cells = df.groupBy(pred_col, truth_col).agg(F.count("*").alias("n_ct"))
+    b3_precision, b3_recall, b3_f1)``.
+
+    Edge semantics (round-9 fixes): a NULL pred or truth cluster id
+    means *unclustered* and becomes its own SINGLETON cluster (the
+    standard ER convention — round-8 advice flagged that inner joins
+    previously dropped such records from the metric silently); cluster
+    ids are compared as strings internally, so mixed-type id columns
+    still group exactly. An EMPTY input returns the defined zero row
+    ``(0, 0, 0, 0.0, 0.0, 0.0)`` instead of a NULL/NaN row."""
+    mid = F.monotonically_increasing_id().cast("string")
+    work = df.select(
+        F.coalesce(
+            F.col(pred_col).cast("string"), F.concat(F.lit("__null_pred__"), mid)
+        ).alias("__pred"),
+        F.coalesce(
+            F.col(truth_col).cast("string"), F.concat(F.lit("__null_truth__"), mid)
+        ).alias("__truth"),
+    )
+    pred_col, truth_col = "__pred", "__truth"
+    cells = work.groupBy(pred_col, truth_col).agg(F.count("*").alias("n_ct"))
     nc = cells.groupBy(pred_col).agg(F.sum("n_ct").alias("n_c"))
     nt = cells.groupBy(truth_col).agg(F.sum("n_ct").alias("n_t"))
     j = cells.join(nc, pred_col).join(nt, truth_col)
@@ -164,13 +182,17 @@ def bcubed_scores(
     counts = agg.crossJoin(
         cells.select(pred_col).distinct().agg(F.count("*").alias("npc"))
     ).crossJoin(cells.select(truth_col).distinct().agg(F.count("*").alias("ntc")))
-    p = F.col("sp").cast("double") / F.lit(1e9) / F.col("n").cast("double")
-    r = F.col("sr").cast("double") / F.lit(1e9) / F.col("n").cast("double")
+    # empty input: the global agg yields n=NULL — emit the defined zero
+    # row (0/0 would be NaN, and ANSI round(NaN).cast would error)
+    n_ok = F.col("n").isNotNull() & (F.col("n") > 0)
+    p = F.when(n_ok, F.col("sp").cast("double") / F.lit(1e9) / F.col("n").cast("double")).otherwise(F.lit(0.0))
+    r = F.when(n_ok, F.col("sr").cast("double") / F.lit(1e9) / F.col("n").cast("double")).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0))
     return counts.select(
-        F.col("n").cast("long").alias("n_records"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_records"),
         F.col("npc").cast("long").alias("n_pred_clusters"),
         F.col("ntc").cast("long").alias("n_truth_classes"),
         F.round(p, 6).alias("b3_precision"),
         F.round(r, 6).alias("b3_recall"),
-        F.round(F.lit(2.0) * p * r / (p + r), 6).alias("b3_f1"),
+        F.round(f1, 6).alias("b3_f1"),
     )

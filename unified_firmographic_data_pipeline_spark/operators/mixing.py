@@ -43,7 +43,16 @@ def temperature_mix_plan(
     """Per-source token quotas under temperature sampling:
     ``(source, n_tokens, weight_micro, quota_tokens)`` with
     ``sum(quota_tokens) == budget`` exactly (largest-remainder rounding;
-    remainder ties break on the source name)."""
+    remainder ties break on the source name).
+
+    Range bound (round-9 fix): the quota product ``weight_micro *
+    budget`` runs in DECIMAL(38,0) — in BIGINT it overflows 2^63 once a
+    source passes ~8.7e9 tokens at the default 1M budget, well inside
+    the 100 TB contract. DECIMAL(38,0) holds through weight_micro ≈
+    2.4e15 (a 2.5e13-token source) times a 1e12-token budget with 10
+    digits to spare; ``weight_micro`` itself stays in BIGINT up to
+    ~3.6e18 tokens per source. The DuckDB oracle twin widens to HUGEINT
+    (INT128) at the same step."""
     per_source = (
         docs.select(
             F.col(source_col).alias("source"),
@@ -64,8 +73,14 @@ def temperature_mix_plan(
         "source",
         "n_tokens",
         "weight_micro",
-        F.expr(f"(weight_micro * {budget}) div tw").alias("base"),
-        F.expr(f"(weight_micro * {budget}) % tw").alias("rem"),
+        F.expr(
+            f"CAST((CAST(weight_micro AS DECIMAL(38,0)) * {budget})"
+            " div CAST(tw AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"(CAST(weight_micro AS DECIMAL(38,0)) * {budget})"
+            " % CAST(tw AS DECIMAL(38,0))"
+        ).alias("rem"),
     )
     leftover = based.agg((F.lit(budget) - F.sum("base")).alias("lo"))
     w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())

@@ -517,7 +517,16 @@ def simhash_md5(text_col: Column | str, bits: int = 60) -> Column:
     PERF: md5 is evaluated ONCE per token (the ``transform`` into a hash
     array), and bit extraction is integer ``shiftrightunsigned``/AND with
     static shift literals — no per-token binary-string materialization
-    (the previous ``lpad(bin())``+``split`` walk dominated the runtime)."""
+    (the previous ``lpad(bin())``+``split`` walk dominated the runtime).
+
+    NULL text coalesces to '' BEFORE tokenizing (round-9 fix), so a
+    missing document body fingerprints exactly like an empty one —
+    ``tokens('') = ['']``, one empty-string token — on this path, the
+    aggregation-shaped :func:`simhash_md5_fingerprints`, AND the DuckDB
+    oracle (which would otherwise drop NULL-text docs at unnest)."""
+    text_col = F.coalesce(
+        text_col if isinstance(text_col, Column) else F.col(text_col), F.lit("")
+    )
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
@@ -563,9 +572,17 @@ def simhash_md5_fingerprints(
     partial aggregation reduces the shuffle to ONE row per document no
     matter the token count. Measured ~6x faster than the pure-Column
     ``simhash_md5`` fold (nested ``aggregate``/``zip_with`` lambdas fall
-    out of codegen) at sf0.1. Bit-identical to :func:`simhash_md5`."""
+    out of codegen) at sf0.1. Bit-identical to :func:`simhash_md5`
+    INCLUDING on NULL/empty text (round-9 fix — plain ``explode`` of the
+    un-coalesced tokens silently dropped NULL-text docs where the
+    pure-Column fold kept them): text coalesces to '' before tokenizing
+    (→ one ``''`` token, same as the pure path and the SQL oracle) and
+    ``explode_outer`` belt-and-braces the empty-array case."""
     tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("__tk")
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("__tk"),
     ).select(
         id_col,
         F.conv(F.substring(F.md5("__tk"), 1, 15), 16, 10).cast("long").alias("__hv"),

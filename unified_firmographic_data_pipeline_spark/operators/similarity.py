@@ -780,3 +780,60 @@ def mutual_nearest_pairs(
         )
         .distinct()
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher SIGIR'09) —
+    the standard score-free way to combine heterogeneous retrievers
+    (dense cosine + lexical BM25-ish + inner-product, ...):
+    ``RRF(d) = Σ_r 1/(k + rank_r(d))`` with the canonical ``k = 60``.
+    Rank-based, so it needs no score normalization across retrievers —
+    which is exactly why it wins in hybrid-search serving stacks.
+
+    Inputs are per-query ranked candidate lists ``(query_col, id_col,
+    rank_col)`` with 1-based ranks (the shape every top-k operator in
+    this module emits). A document missing from a ranker's list simply
+    contributes no term for that ranker — the usual RRF convention.
+
+    Output: ``(query_col, id_col, rrf_score_nano, n_rankers,
+    fused_rank)``. The score is integer-exact for cross-engine
+    verification: each term quantizes to ``round(1e9/(k+rank))`` NANO
+    units BEFORE the sum (both engines round the identical double — the
+    sum is then order-free BIGINT arithmetic, immune to float
+    re-association), and the fused ranking totally orders on
+    ``(rrf_score_nano DESC, id ASC)``.
+
+    Scale shape: each input list is already bounded per query (top-k by
+    contract); fusion is one unionByName + one (query, id) hash
+    aggregate + one per-query window over ≤ Σk_r candidate rows per
+    query — no join against the corpus, no cross product. At 100 TB the
+    cost lives in the upstream retrievers, not here."""
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [r.select(query_col, id_col, rank_col) for r in rankings]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    term = F.round(F.lit(1e9) / (F.lit(k_rrf) + F.col(rank_col))).cast("long")
+    fused = (
+        u.select(query_col, id_col, term.alias("__t"))
+        .groupBy(query_col, id_col)
+        .agg(
+            F.sum("__t").alias("rrf_score_nano"),
+            F.count(F.lit(1)).cast("long").alias("n_rankers"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score_nano").desc(), F.col(id_col).asc()
+    )
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("fused_rank") <= topk)
+    return out

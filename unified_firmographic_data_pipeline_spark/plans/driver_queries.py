@@ -24,9 +24,11 @@ written for **bit-exact cross-engine reproducibility**:
   BIGINT is a schema mismatch — casts are explicit on whichever side needs
   them).
 
-Queries marked ``sql=None`` are genuinely non-SQL-expressible (stateful
-multi-run SCD2, xxhash64-based LSH) — the driver records a weaker rows-only
-check for those.
+Every registered query carries an oracle — none is ``sql=None``. The few
+shapes that looked non-SQL-expressible early on (stateful multi-run SCD2,
+xxhash64-based LSH) all gained md5/recursive-CTE oracle twins by round 6;
+new queries must ship WITH an oracle, and ``tests/test_oracle_parity.py``
+enforces the invariant.
 """
 
 from __future__ import annotations
@@ -353,23 +355,15 @@ def fk_violations_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 
 def _json_strict_valid(c):
-    """Spark expression equivalent of DuckDB's ``json_valid(s)``.
+    """Spark equivalent of DuckDB's ``json_valid(s)`` — shared
+    implementation lives in :func:`functions.cleaning.json_strict_valid`
+    (also used by ``quality/drift.py``); see its docstring for the
+    bracket-wrap trick and why a bare try_parse_json is NOT enough."""
+    from unified_firmographic_data_pipeline_spark.functions.cleaning import (
+        json_strict_valid,
+    )
 
-    Spark's JSON readers (get_json_object, try_parse_json) accept a
-    valid-prefix-plus-trailing-garbage string like ``{"k":1},{"k":2}``
-    (they parse the first value and stop) where DuckDB's validator is
-    strict — so any oracle guarded by json_valid needs THIS gate on the
-    Spark side, not a bare try_parse_json. The trick: ``[s]`` must
-    parse AND hold exactly ONE element (a trailing fragment that
-    bracket-wraps into a valid array yields >1). Element existence is
-    probed with schema_of_variant, which distinguishes a MISSING
-    ``$[1]`` (NULL schema) from a JSON-null element ('VOID') — a plain
-    try_variant_get cannot. Verified equal to json_valid on the full
-    malformed-props sweep including comma fragments."""
-    wrapped = F.try_parse_json(F.concat(F.lit("["), c, F.lit("]")))
-    e0 = F.schema_of_variant(F.try_variant_get(wrapped, "$[0]", "variant"))
-    e1 = F.schema_of_variant(F.try_variant_get(wrapped, "$[1]", "variant"))
-    return wrapped.isNotNull() & e0.isNotNull() & e1.isNull()
+    return json_strict_valid(c)
 
 
 def _json_strict_variant(c):
@@ -2381,7 +2375,7 @@ def near_dup_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id,
-               list_distinct(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t
+               list_distinct(string_split(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ')) AS t
         FROM documents),
     tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
     th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
@@ -17595,8 +17589,8 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS tw FROM wt),
     based AS (
         SELECT source, n_tokens, weight_micro,
-               (weight_micro * 1000000) // tw AS base,
-               (weight_micro * 1000000) % tw AS rem
+               CAST((CAST(weight_micro AS HUGEINT) * 1000000) // tw AS BIGINT) AS base,
+               (CAST(weight_micro AS HUGEINT) * 1000000) % tw AS rem
         FROM wt, tot),
     lo AS (SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS lo FROM based)
     SELECT source, n_tokens, weight_micro,
@@ -17754,17 +17748,24 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT event_id, event_id % 2 AS half,
                CASE WHEN event_id % 2 = 1 AND event_id % 10 = 1
-                    THEN '{"k": ' || json_extract_string(props, '$.k')
-                         || ', "v2": ' || json_extract_string(props, '$.k') || '}'
+                    THEN '{"k": ' || CAST(event_id AS VARCHAR)
+                         || ', "v2": ' || CAST(event_id AS VARCHAR) || '}'
                     WHEN event_id % 2 = 1 AND event_id % 10 = 3
-                    THEN '{"renamed": ' || json_extract_string(props, '$.k') || '}'
+                    THEN '{"renamed": ' || CAST(event_id AS VARCHAR) || '}'
                     WHEN event_id % 2 = 0 AND event_id % 10 = 6
-                    THEN '{"k": ' || json_extract_string(props, '$.k')
+                    THEN '{"k": ' || CAST(event_id AS VARCHAR)
                          || ', "legacy": 1}'
                     ELSE props END AS p
         FROM events),
-    bk AS (SELECT unnest(json_keys(p)) AS key FROM base WHERE half = 0),
-    ak AS (SELECT unnest(json_keys(p)) AS key FROM base WHERE half = 1),
+    keyed AS (
+        SELECT half,
+               CASE WHEN p IS NULL THEN ['__null__']
+                    WHEN NOT json_valid(p) THEN ['__malformed__']
+                    WHEN json_type(p) <> 'OBJECT' THEN ['__nonobject__']
+                    ELSE json_keys(p) END AS ks
+        FROM base),
+    bk AS (SELECT unnest(ks) AS key FROM keyed WHERE half = 0),
+    ak AS (SELECT unnest(ks) AS key FROM keyed WHERE half = 1),
     b AS (SELECT key, COUNT(*) AS before_n FROM bk GROUP BY key),
     a AS (SELECT key, COUNT(*) AS after_n FROM ak GROUP BY key),
     bt AS (SELECT COUNT(*) AS bn FROM base WHERE half = 0),
@@ -17774,10 +17775,12 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(after_n, 0) AS BIGINT) AS after_n,
            CASE WHEN before_n IS NULL THEN 'added'
                 WHEN after_n IS NULL THEN 'removed' ELSE 'stable' END AS status,
-           CAST(CAST(round(CAST(coalesce(after_n, 0) AS DOUBLE)
-                           / CAST(an AS DOUBLE) * 1e6) AS BIGINT)
-              - CAST(round(CAST(coalesce(before_n, 0) AS DOUBLE)
-                           / CAST(bn AS DOUBLE) * 1e6) AS BIGINT)
+           CAST(CASE WHEN an = 0 THEN 0
+                     ELSE CAST(round(CAST(coalesce(after_n, 0) AS DOUBLE)
+                                     / CAST(an AS DOUBLE) * 1e6) AS BIGINT) END
+              - CASE WHEN bn = 0 THEN 0
+                     ELSE CAST(round(CAST(coalesce(before_n, 0) AS DOUBLE)
+                                     / CAST(bn AS DOUBLE) * 1e6) AS BIGINT) END
                 AS BIGINT) AS rate_delta_micro
     FROM b FULL OUTER JOIN a ON b.key = a.key, bt, at_
     """,
@@ -17792,28 +17795,37 @@ def json_key_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event-id class onto the uniform fixture (the
     nfc_normalization_drift pattern): the late half adds "v2" and
     renames to "renamed" in two id classes, the early half carries a
-    "legacy" key one class — so added/removed/stable all exercise.
+    "legacy" key one class — so added/removed/stable all exercise. The
+    grafted payloads are built from event_id literals only (round-9 fix:
+    the round-8 version extracted ``$.k`` from props unguarded, which
+    DuckDB's json_extract ERRORS on for malformed payloads — the exact
+    round-4 crash class). Dirty payloads in the pass-through branch are
+    first-class: NULL / strictly-invalid / valid-non-object rows land in
+    the ``__null__`` / ``__malformed__`` / ``__nonobject__`` sentinel
+    keys on BOTH engines (json_valid + json_type on DuckDB,
+    json_strict_valid + json_object_keys-NULL on Spark) — a parse-rate
+    collapse is itself drift and must be reported, not dropped.
     Scale shape: one json_object_keys explode + bounded key-axis groupBy
     per side (never data-sized), two 1-row count broadcasts, one
     key-axis full-outer diff."""
     from unified_firmographic_data_pipeline_spark.quality.drift import json_key_drift
 
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k")
+    idstr = F.col("event_id").cast("string")
     grafted = e.select(
         "event_id",
         (F.col("event_id") % 2).alias("half"),
         F.when(
             (F.col("event_id") % 2 == 1) & (F.col("event_id") % 10 == 1),
-            F.concat(F.lit('{"k": '), k, F.lit(', "v2": '), k, F.lit("}")),
+            F.concat(F.lit('{"k": '), idstr, F.lit(', "v2": '), idstr, F.lit("}")),
         )
         .when(
             (F.col("event_id") % 2 == 1) & (F.col("event_id") % 10 == 3),
-            F.concat(F.lit('{"renamed": '), k, F.lit("}")),
+            F.concat(F.lit('{"renamed": '), idstr, F.lit("}")),
         )
         .when(
             (F.col("event_id") % 2 == 0) & (F.col("event_id") % 10 == 6),
-            F.concat(F.lit('{"k": '), k, F.lit(', "legacy": 1}')),
+            F.concat(F.lit('{"k": '), idstr, F.lit(', "legacy": 1}')),
         )
         .otherwise(F.col("props"))
         .alias("p"),
@@ -17882,6 +17894,341 @@ def bcubed_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 16))).alias("truth"),
     )
     return bcubed_scores(assign, "pred", "truth")
+
+
+@q(
+    "rrf_fusion_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    cosr AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_dot_product(qv, cv)
+                                  / (sqrt(list_dot_product(qv, qv))
+                                     * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                            neighbor_id) AS rank
+        FROM q, c WHERE query_id <> neighbor_id),
+    ipr AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_dot_product(qv, cv), 6) DESC,
+                            neighbor_id) AS rank
+        FROM q, c WHERE query_id <> neighbor_id),
+    u AS (
+        SELECT query_id, neighbor_id,
+               CAST(round(1e9 / (60 + rank)) AS BIGINT) AS t
+        FROM cosr WHERE rank <= 20
+        UNION ALL
+        SELECT query_id, neighbor_id,
+               CAST(round(1e9 / (60 + rank)) AS BIGINT) AS t
+        FROM ipr WHERE rank <= 20),
+    f AS (SELECT query_id, neighbor_id,
+                 CAST(SUM(t) AS BIGINT) AS rrf_score_nano,
+                 CAST(COUNT(*) AS BIGINT) AS n_rankers
+          FROM u GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, rrf_score_nano, n_rankers,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score_nano DESC, neighbor_id) AS INTEGER) AS fused_rank
+    FROM f
+    QUALIFY fused_rank <= 10
+    """,
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two heterogeneous retrievers
+    (operators/similarity.py:rrf_fuse — Cormack et al. SIGIR'09,
+    canonical k=60): dense cosine top-20 fused with inner-product
+    top-20 for 3 query vectors, fused top-10 out. IP and cosine rank
+    DIFFERENTLY (IP is norm-sensitive), so the fusion is non-trivial;
+    each 1/(k+rank) term quantizes to nano units before the BIGINT sum,
+    making the fused scores engine-exact. Rounds out the serving stack
+    next to mmr_rerank: RRF is the standard hybrid-search combiner when
+    retriever scores aren't comparable. Scale shape: fusion runs on
+    top-k-bounded lists only (union + hash agg + per-query window) —
+    the corpus is touched only by the upstream retrievers."""
+    from unified_firmographic_data_pipeline_spark.functions.vectors import dot
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        rrf_fuse,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3)
+    cos = cosine_topk(e, qs, k=20).select("query_id", "neighbor_id", "rank")
+    qv = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    ip_scored = cv.join(
+        F.broadcast(qv), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", F.round(dot("__qv", "__cv"), 6).alias("__ip")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__ip").desc(), F.col("neighbor_id").asc()
+    )
+    ip = (
+        ip_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    return rrf_fuse([cos, ip], k_rrf=60, topk=10)
+
+
+@q(
+    "quality_isotonic_calibration",
+    f"""
+    WITH RECURSIVE
+    scored AS (
+        SELECT ((CASE WHEN len({_TOKENS_SQL}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN coalesce(
+                    CASE WHEN len({_TOKENS_SQL}) = 0 THEN NULL
+                         ELSE CAST(len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that', 'it', 'for'))) AS DOUBLE)
+                              / CAST(len({_TOKENS_SQL}) AS DOUBLE) END, 0.0) > 0.01
+                 THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN coalesce(
+                    CASE WHEN length(text) = 0 THEN NULL
+                         ELSE CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                              / CAST(length(text) AS DOUBLE) END, 1.0) < 0.3
+                 THEN 1.0 ELSE 0.0 END)) / 3.0 AS q,
+               len(list_filter({_TOKENS_SQL}, t -> lower(t) IN ('slow', 'dup', 'big'))) = 0 AS clean
+        FROM documents WHERE text IS NOT NULL),
+    bins AS (
+        SELECT CAST(least(3, greatest(0, floor(q / 0.25))) AS INTEGER) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM scored GROUP BY 1),
+    items AS (
+        SELECT list({{'b': bin, 'n': n, 'p': pos}} ORDER BY bin) AS xs,
+               CAST(count(*) AS INTEGER) AS cnt
+        FROM bins),
+    pav AS (
+        SELECT CAST([] AS STRUCT(lo INTEGER, hi INTEGER, n BIGINT, p BIGINT)[]) AS stack,
+               1 AS i
+        UNION ALL
+        SELECT
+            CASE WHEN len(stack) >= 2
+                      AND stack[-1].p * stack[-2].n < stack[-2].p * stack[-1].n
+                 THEN stack[1:len(stack)-2]
+                      || [{{'lo': stack[-2].lo, 'hi': stack[-1].hi,
+                           'n': stack[-2].n + stack[-1].n, 'p': stack[-2].p + stack[-1].p}}]
+                 ELSE stack || [{{'lo': xs[i].b, 'hi': xs[i].b, 'n': xs[i].n, 'p': xs[i].p}}]
+            END AS stack,
+            CASE WHEN len(stack) >= 2
+                      AND stack[-1].p * stack[-2].n < stack[-2].p * stack[-1].n
+                 THEN i ELSE i + 1 END AS i
+        FROM pav, items
+        WHERE i <= cnt
+           OR (len(stack) >= 2 AND stack[-1].p * stack[-2].n < stack[-2].p * stack[-1].n)),
+    final AS (
+        SELECT stack FROM pav, items
+        WHERE i = cnt + 1
+          AND NOT (len(stack) >= 2
+                   AND stack[-1].p * stack[-2].n < stack[-2].p * stack[-1].n)),
+    pools AS (SELECT unnest(stack) AS pool FROM final)
+    SELECT b.bin, b.n, b.pos,
+           round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+           round(CAST(pool.p AS DOUBLE) / CAST(pool.n AS DOUBLE), 6) AS fitted_rate
+    FROM bins b JOIN pools ON b.bin BETWEEN pool.lo AND pool.hi
+    """,
+)
+def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality classifier calibration — ties functions/text.py
+    :quality_score to operators/isotonic.py:isotonic_calibrate_bins
+    (round-8 verdict item #7b): the heuristic's raw [0,1] score (which
+    takes the 4 lattice values 0, 1/3, 2/3, 1 — one bin each at
+    n_bins=4) is calibrated against a deterministic cleanliness label
+    (no blocklist token hit, the lexicon_blocklist_audit lexicon) via
+    PAV. The fitted_rate column IS the calibrated quality probability a
+    curation pipeline would threshold on. NULL-text docs carry no label
+    and are excluded on both engines. Oracle replays the exact PAV
+    push/merge stack in a recursive CTE, so pooling DECISIONS are
+    verified, not just the curve. Scale shape: one distributed binning
+    aggregate; PAV folds over the 4-row bin table driver-side; pools
+    broadcast back as an equi-join on bin."""
+    from unified_firmographic_data_pipeline_spark.functions.text import quality_score
+    from unified_firmographic_data_pipeline_spark.operators.isotonic import (
+        isotonic_calibrate_bins,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lex = F.array(F.lit("slow"), F.lit("dup"), F.lit("big"))
+    clean = (
+        F.size(F.filter(tokens("text"), lambda t: F.array_contains(lex, F.lower(t))))
+        == 0
+    )
+    scored = d.select(quality_score("text").alias("q"), clean.alias("clean"))
+    return isotonic_calibrate_bins(scored, "q", "clean", n_bins=4, lo=0.0, hi=1.0)
+
+
+@q(
+    "leakage_safe_split_counts",
+    rf"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(t[(i*10+1):least((i+1)*10, len(t))], ' ')) AS chunk_fp
+        FROM toks,
+             UNNEST(generate_series(0, CAST(ceil(len(t)/10.0) AS INT) - 1)) AS u(i)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM chunks a JOIN chunks b
+          ON a.chunk_fp = b.chunk_fp AND a.doc_id <> b.doc_id),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT p.dst AS node, r.lbl FROM reach r JOIN pairs p ON p.src = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+    assigned AS (
+        SELECT doc_id, component,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 13)) AS BIGINT)
+                         / {_HEX13} < 0.8
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM comp),
+    strad AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_straddling_clusters
+        FROM (SELECT component, COUNT(DISTINCT split) AS ns
+              FROM assigned GROUP BY component)),
+    per AS (
+        SELECT a.split, a.component, CAST({_NTOK_SQL} AS BIGINT) AS nt
+        FROM assigned a JOIN documents USING (doc_id))
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+           n_straddling_clusters
+    FROM per, strad
+    GROUP BY split, n_straddling_clusters
+    """,
+)
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/eval split audit (operators/curation.py
+    :leakage_safe_split): near-dup pairs (shared 10-token chunk
+    fingerprint — the neardup_cluster_components graph) resolve to
+    connected components; the SPLIT hashes off the COMPONENT label, so
+    near-duplicates cannot straddle train/eval — the contamination mode
+    the per-doc hash split (train_eval_split_counts) can't rule out
+    (Lee et al. 2022 measure exactly this leak). Output: per-split doc
+    /token/cluster counts PLUS the measured straddle count (0 by
+    construction — the guarantee is reported as data, not assumed).
+    Scale shape: component resolution is the candidate-pair graph's
+    iterative equi-join; the audit is one keyed join + two bounded
+    aggregates + a 1-row straddle broadcast."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import (
+        leakage_safe_split,
+        token_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(token_chunks("__toks", 10, pre_tokenized=True)).alias("chunk"),
+        )
+        .select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    assigned = leakage_safe_split(d, pairs, train_frac=0.8)
+    strad = (
+        assigned.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ns") > 1, 1)), F.lit(0))
+            .cast("long")
+            .alias("n_straddling_clusters")
+        )
+    )
+    per = assigned.join(
+        d.select("doc_id", token_count("text").cast("long").alias("__nt")), "doc_id"
+    )
+    return (
+        per.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(strad)
+    )
+
+
+@q(
+    "hard_negative_candidates",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                 label AS cl
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, ql, cl,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6) AS cosine_sim
+        FROM q, c WHERE query_id <> neighbor_id),
+    topk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored),
+    neg AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rank) AS neg_rank
+        FROM topk WHERE rank <= 20 AND cl IS DISTINCT FROM ql)
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(neg_rank AS INTEGER) AS neg_rank
+    FROM neg WHERE neg_rank <= 5
+    """,
+)
+def hard_negative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR / Contriever
+    negative-sampling stage): for each query vector, the highest-cosine
+    neighbors whose LABEL differs — semantically close yet wrong, exactly
+    the negatives a dual-encoder learns most from (Karpukhin et al. 2020).
+    Top-20 dense shortlist, label filter (null-safe), re-ranked among
+    negatives, top-5 out. Scale shape: the shortlist is the
+    ann_cosine_topk bounded-broadcast shape; the label attach joins the
+    BOUNDED candidate list (queries x k rows) against the corpus label
+    projection on the id key — the corpus is never paired with itself."""
+    from unified_firmographic_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    cand = cosine_topk(e, qs, k=20)
+    ql = qs.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+    cl = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__cl"))
+    neg = (
+        cand.join(F.broadcast(ql), "query_id")
+        .join(cl, "neighbor_id")
+        .filter(~F.col("__cl").eqNullSafe(F.col("__ql")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "neg_rank")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -17961,10 +18308,16 @@ _MODIFIED_FIRST: dict[str, int] = {
     # r6: oracle rewritten from rows-only to a strict exact-twin equality
     # check (verdict item #7) — first green must postdate the rewrite.
     "approx_distinct_hll": 6,
-    # r8: fingerprint widened 32 -> 60 bits (15-bit pigeonhole blocks) and
-    # votes rewritten as integer shift/AND in an agg-shaped plan — both the
-    # Spark plan AND the oracle changed (round-7 verdict item #1).
-    "simhash_near_pairs_md5": 8,
+    # r9 rewrites (round-8 verdict/advice): json_key_drift_audit grafts from
+    # event_id literals + sentinel-classifies dirty payloads on both engines;
+    # simhash twins coalesce NULL text to '' (plan + oracle — supersedes the
+    # r8 entry for the 60-bit fingerprint rewrite, green r8); the temperature
+    # mix quota arithmetic widened to DECIMAL(38,0)/HUGEINT; bcubed gained
+    # NULL-singleton + empty-input semantics (plan only).
+    "json_key_drift_audit": 9,
+    "simhash_near_pairs_md5": 9,
+    "source_mix_temperature_plan": 9,
+    "bcubed_dedup_eval": 9,
 }
 
 

@@ -202,14 +202,41 @@ def json_key_drift(
     rate rounds to integer micros BEFORE the diff, so the number is
     engine-exact).
 
+    Dirty payloads are FIRST-CLASS, not dropped — a drift auditor's
+    whole domain is rows that stopped parsing (round-8 verdict): every
+    row lands in exactly one bucket — its real keys, or one of three
+    sentinel keys ``__null__`` (SQL NULL payload), ``__malformed__``
+    (non-NULL string that fails the strict ``json_valid`` gate —
+    :func:`functions.cleaning.json_strict_valid`, the DuckDB-parity
+    validator), or ``__nonobject__`` (valid JSON that is not an object:
+    array / scalar / JSON null). A parse-rate collapse therefore shows
+    up as an ``added``/rate-shifted ``__malformed__`` row instead of
+    vanishing. (Only a valid ``{}`` contributes no row — no keys is not
+    drift.) Sentinels can collide with real keys of the same name;
+    callers with such payloads should rename the sentinels.
+
+    Empty frames are defined: a zero-row side contributes rate 0 for
+    every key (guarded division — ANSI would otherwise raise on
+    ``round(0/0)``) and the diff is driven by the other side.
+
     Scale shape: one key-explode + one bounded groupBy per side (output
-    = distinct-key rows, a schema-sized axis, never data-sized); the
-    per-side row counts ride 1-row broadcasts; the diff is a full-outer
-    join of two key-axis frames."""
+    = distinct-key rows + ≤3 sentinels, a schema-sized axis, never
+    data-sized); the per-side row counts ride 1-row broadcasts; the
+    diff is a full-outer join of two key-axis frames."""
+    from unified_firmographic_data_pipeline_spark.functions.cleaning import (
+        json_strict_valid,
+    )
+
     def keyed(df: DataFrame, alias: str) -> DataFrame:
-        keys = df.select(
-            F.explode(F.json_object_keys(F.col(json_col))).alias("key")
+        c = F.col(json_col)
+        obj_keys = F.json_object_keys(c)  # NULL when valid but not an object
+        bucket = (
+            F.when(c.isNull(), F.array(F.lit("__null__")))
+            .when(~json_strict_valid(c), F.array(F.lit("__malformed__")))
+            .when(obj_keys.isNull(), F.array(F.lit("__nonobject__")))
+            .otherwise(obj_keys)
         )
+        keys = df.select(F.explode(bucket).alias("key"))
         return keys.groupBy("key").agg(F.count("*").alias(alias))
 
     b = keyed(before, "before_n")
@@ -221,9 +248,11 @@ def json_key_drift(
     )
 
     def rate_micro(n: F.Column, tot: F.Column) -> F.Column:
-        return F.round(
-            F.coalesce(n, F.lit(0)).cast("double") / tot.cast("double") * 1e6
-        ).cast("long")
+        return F.when(tot == 0, F.lit(0).cast("long")).otherwise(
+            F.round(
+                F.coalesce(n, F.lit(0)).cast("double") / tot.cast("double") * 1e6
+            ).cast("long")
+        )
 
     status = (
         F.when(F.col("before_n").isNull(), F.lit("added"))

