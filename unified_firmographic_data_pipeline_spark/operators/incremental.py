@@ -98,9 +98,12 @@ def _merge_with_swap(spark, delta_df: DataFrame, keys: list[str], table_path: st
     """Fallback path: anti-join + union + atomic directory swap. Correct on
     plain parquet, but rewrites the whole table per run — the price of no
     transactional format."""
-    from unified_firmographic_data_pipeline_spark.sources.catalog import atomic_swap_write
+    from unified_firmographic_data_pipeline_spark.sources.catalog import (
+        atomic_swap_write,
+        fs_exists,
+    )
 
-    existing = spark.read.parquet(table_path) if os.path.exists(table_path) else None
+    existing = spark.read.parquet(table_path) if fs_exists(spark, table_path) else None
     atomic_swap_write(upsert(existing, delta_df, keys), table_path)
     return "swap-rewrite"
 
