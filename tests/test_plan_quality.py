@@ -189,7 +189,7 @@ BNLJ_ALLOWED = {
     # two retrievers, each 3 bounded queries broadcast against the corpus
     # scan under qid != nid (the ann_cosine_topk shape); the fusion itself
     # is an equi-keyed hash agg over top-k-bounded lists
-    "rrf_fusion_topk",
+    "retriever_rrf_fusion_topk",
     # 1-row straddle-count scalar broadcast onto the 2-row per-split
     # aggregate — the bcubed_dedup_eval summary shape
     "leakage_safe_split_counts",

@@ -252,6 +252,21 @@ SHOWCASE = {
         "node — the textbook non-parallelizable fold isolated to a "
         "30-row axis, with zero Python in the plan."
     ),
+    "retriever_rrf_fusion_topk": (
+        "Hybrid-retrieval fusion (round 9): each retriever is the "
+        "bounded-broadcast cosine_topk shape over ONE corpus scan; the "
+        "fusion itself is a union of top-k-bounded lists, one (query, "
+        "id) hash aggregate of integer nano terms, and a per-query "
+        "window — the corpus never re-enters after retrieval."
+    ),
+    "leakage_safe_split_counts": (
+        "Cluster-aware split audit (round 9): candidate pairs come from "
+        "a chunk-fingerprint equi-join (never doc x doc), component "
+        "labels from node-keyed iterative joins over localCheckpointed "
+        "frames, and the split is a narrow md5 expression on the "
+        "component label — the audit's only extra cost is one keyed "
+        "join + two bounded aggregates + a 1-row straddle broadcast."
+    ),
 }
 
 

@@ -150,7 +150,7 @@ HEAVY = [
     "json_key_drift_audit",       # key explode + bounded key-axis diff
     "bcubed_dedup_eval",          # (pred, truth) cell agg + marginals
     # round-9 registrations
-    "rrf_fusion_topk",            # two bounded retrievers + rank-fusion agg
+    "retriever_rrf_fusion_topk",  # two bounded retrievers + rank-fusion agg
     "leakage_safe_split_counts",  # chunk-fp pair graph + components + split agg
     "hard_negative_candidates",   # bounded shortlist + label filter + window
     "quality_isotonic_calibration",  # binning agg + driver PAV + broadcast-back

@@ -68,6 +68,10 @@ ORACLES: dict[str, str] = {}
 
 def q(name: str, sql: str | None = None):
     def deco(fn):
+        # a duplicate name would SILENTLY overwrite the earlier query and
+        # orphan its tests (round 9: a new retriever-fusion query landed on
+        # round 3's rrf_fusion_topk and shadowed it until the full suite ran)
+        assert name not in QUERIES, f"duplicate query name: {name}"
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
@@ -17897,7 +17901,7 @@ def bcubed_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "rrf_fusion_topk",
+    "retriever_rrf_fusion_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 3),
@@ -17939,7 +17943,7 @@ def bcubed_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY fused_rank <= 10
     """,
 )
-def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def retriever_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion of two heterogeneous retrievers
     (operators/similarity.py:rrf_fuse — Cormack et al. SIGIR'09,
     canonical k=60): dense cosine top-20 fused with inner-product
