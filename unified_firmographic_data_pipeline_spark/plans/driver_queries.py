@@ -18209,7 +18209,11 @@ def hard_negative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors whose LABEL differs — semantically close yet wrong, exactly
     the negatives a dual-encoder learns most from (Karpukhin et al. 2020).
     Top-20 dense shortlist, label filter (null-safe), re-ranked among
-    negatives, top-5 out. Scale shape: the shortlist is the
+    negatives, top-5 out. Complements ``contrastive_triplets_mined``
+    (which pairs each anchor's single best positive with its best
+    negative into training TRIPLETS): this is the negatives-only list
+    form — DEPTH-k negative pools per query, the shape in-batch-negative
+    trainers and negative caches consume. Scale shape: the shortlist is the
     ann_cosine_topk bounded-broadcast shape; the label attach joins the
     BOUNDED candidate list (queries x k rows) against the corpus label
     projection on the id key — the corpus is never paired with itself."""
