@@ -149,6 +149,9 @@ BNLJ_ALLOWED = {
     "decayed_event_scores",
     # 1-row agreement total x 1-row marginal product -> one kappa row
     "cohens_kappa_langid",
+    # 1-row disagreement total x 1-row pooled-category square sum -> one
+    # alpha row — the cohens_kappa_langid shape
+    "krippendorff_alpha_langid",
     # 1-row modal-path broadcast onto the session-path table
     "session_path_edit_distance",
     # two 1-row variant aggregates pivoted into one summary row

@@ -190,3 +190,45 @@ def test_stream_key_drift_monitor(spark, tmp_path):
     )
     with pytest.raises(Exception, match="reference table missing"):
         q.awaitTermination()
+
+
+def test_krippendorff_alpha_closed_form(spark):
+    from unified_firmographic_data_pipeline_spark.operators.linkage import (
+        krippendorff_alpha_nominal,
+    )
+
+    # hand-computed: n=4, D=1, pooled n_a=3, n_b=5, N=8
+    # De = (64-34)/56, Do = 1/4, alpha = 1 - (1*8*7)/(4*30) = 0.533333
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")], "a string, b string"
+    )
+    row = krippendorff_alpha_nominal(df, "a", "b").collect()[0]
+    assert (row["n_units"], row["n_disagree"]) == (4, 1)
+    assert row["do_obs"] == 0.25
+    assert row["de_exp"] == round(30 / 56, 6)
+    assert row["alpha"] == round(1 - 56 / 120, 6)
+
+
+def test_krippendorff_alpha_edges(spark):
+    from unified_firmographic_data_pipeline_spark.operators.linkage import (
+        krippendorff_alpha_nominal,
+    )
+
+    # perfect agreement over 2 categories -> alpha = 1
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "a string, b string"
+    )
+    assert krippendorff_alpha_nominal(perfect, "a", "b").collect()[0]["alpha"] == 1.0
+    # degenerate: one single category everywhere -> De = 0 -> alpha NULL
+    degen = spark.createDataFrame([("a", "a"), ("a", "a")], "a string, b string")
+    assert krippendorff_alpha_nominal(degen, "a", "b").collect()[0]["alpha"] is None
+    # empty input -> defined zero row, NULL rates
+    empty = spark.createDataFrame([], "a string, b string")
+    row = krippendorff_alpha_nominal(empty, "a", "b").collect()[0]
+    assert (row["n_units"], row["n_disagree"]) == (0, 0)
+    assert row["alpha"] is None and row["do_obs"] is None
+    # NULL ratings are unpairable and dropped
+    nulls = spark.createDataFrame(
+        [("a", None), (None, "b"), ("a", "a"), ("b", "b")], "a string, b string"
+    )
+    assert krippendorff_alpha_nominal(nulls, "a", "b").collect()[0]["n_units"] == 2

@@ -196,3 +196,74 @@ def bcubed_scores(
         F.round(r, 6).alias("b3_recall"),
         F.round(f1, 6).alias("b3_f1"),
     )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, two raters) — the
+    reliability coefficient that generalizes Cohen's kappa: it is
+    chance-corrected against the POOLED value distribution of both
+    raters (kappa uses per-rater marginals), which makes alpha the
+    standard when raters are interchangeable annotation pipelines
+    rather than two fixed judges (Krippendorff 2004, "Content
+    Analysis"). Complements ``cohens_kappa_langid``.
+
+    Closed form for two raters, no missing values (units with a NULL
+    rating carry no pairable values and are dropped, per the method):
+    with n units, N = 2n pooled values, D = disagreeing units and
+    ``n_c`` the pooled count of category c,
+
+        Do = D / n
+        De = (N^2 - sum_c n_c^2) / (N * (N - 1))
+        alpha = 1 - Do / De
+              = 1 - D * N * (N - 1) / (n * (N^2 - sum_c n_c^2))
+
+    — every term is an exact BIGINT until the final division, so any
+    engine replays the number bit-for-bit after one round(, 6).
+
+    Edge semantics: empty input returns the defined zero row with NULL
+    alpha; a degenerate table where BOTH raters always emit one single
+    category has De = 0 (no disagreement is even possible by chance)
+    and alpha is undefined -> NULL, never a division error.
+
+    Scale shape: one (a, b) disagreement aggregate + one pooled
+    category aggregate (category-axis-sized), folded into a single
+    summary row via 1-row broadcasts."""
+    rated = df.filter(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
+    tot = rated.agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.coalesce(
+            F.sum(F.when(F.col(rater_a) != F.col(rater_b), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_disagree"),
+    )
+    pooled = (
+        rated.select(F.col(rater_a).alias("c"))
+        .unionAll(rated.select(F.col(rater_b).alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("nc"))
+        .agg(F.coalesce(F.sum(F.col("nc") * F.col("nc")), F.lit(0)).cast("long").alias("sum_nc_sq"))
+    )
+    n = F.col("n_units").cast("double")
+    big_n = n * 2
+    d = F.col("n_disagree").cast("double")
+    de_num = big_n * big_n - F.col("sum_nc_sq").cast("double")
+    do_ = F.when(F.col("n_units") > 0, d / n).otherwise(F.lit(None))
+    de = F.when(
+        (F.col("n_units") > 0) & (big_n > 1), de_num / (big_n * (big_n - 1))
+    ).otherwise(F.lit(None))
+    alpha = F.when(
+        de_num > 0, F.lit(1.0) - d * big_n * (big_n - 1) / (n * de_num)
+    ).otherwise(F.lit(None))
+    return tot.crossJoin(F.broadcast(pooled)).select(
+        "n_units",
+        "n_disagree",
+        F.round(do_, 6).alias("do_obs"),
+        F.round(de, 6).alias("de_exp"),
+        F.round(alpha, 6).alias("alpha"),
+    )
