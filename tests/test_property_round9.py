@@ -1,5 +1,6 @@
 """Property-based checks (hypothesis) for the round-9 operators: RRF
-fusion and the sentinel-classifying JSON key drift must agree with
+fusion, the sentinel-classifying JSON key drift, B-cubed with NULL-id
+singleton semantics, and the leakage-safe cluster split must agree with
 brute-force Python references on arbitrary small inputs."""
 
 from __future__ import annotations
@@ -137,3 +138,112 @@ def test_json_key_drift_matches_bruteforce(spark, before, after):
         for r in json_key_drift(mk(before), mk(after), "p").collect()
     }
     assert got == _brute_drift(before, after)
+
+
+# pred/truth with occasional NULLs — the round-9 singleton semantics
+cluster_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["c1", "c2", "c3"])),
+        st.one_of(st.none(), st.sampled_from(["t1", "t2"])),
+    ),
+    max_size=14,
+)
+
+
+def _brute_bcubed(rows):
+    # NULL ids become per-record singletons
+    recs = []
+    for i, (p, t) in enumerate(rows):
+        recs.append((p if p is not None else f"__np{i}", t if t is not None else f"__nt{i}"))
+    n = len(recs)
+    if n == 0:
+        return (0, 0, 0, 0.0, 0.0, 0.0)
+    from collections import Counter
+
+    cells = Counter(recs)
+    nc = Counter()
+    nt = Counter()
+    for (p, t), m in cells.items():
+        nc[p] += m
+        nt[t] += m
+    # nano-quantized terms, mirroring the operator's order-free sums
+    sp = sum(round(1e9 * m * m / nc[p]) for (p, t), m in cells.items())
+    sr = sum(round(1e9 * m * m / nt[t]) for (p, t), m in cells.items())
+    prec = sp / 1e9 / n
+    rec = sr / 1e9 / n
+    f1 = 0.0 if prec + rec == 0 else 2.0 * prec * rec / (prec + rec)
+    return (n, len(nc), len(nt), round(prec, 6), round(rec, 6), round(f1, 6))
+
+
+@given(cluster_rows)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bcubed_matches_bruteforce_with_nulls(spark, rows):
+    from unified_firmographic_data_pipeline_spark.operators.linkage import bcubed_scores
+
+    df = spark.createDataFrame(rows, "pred string, truth string") if rows else (
+        spark.createDataFrame([], "pred string, truth string")
+    )
+    r = bcubed_scores(df, "pred", "truth").collect()[0]
+    got = (
+        r["n_records"], r["n_pred_clusters"], r["n_truth_classes"],
+        r["b3_precision"], r["b3_recall"], r["b3_f1"],
+    )
+    assert got == _brute_bcubed(rows)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)), max_size=10
+)
+
+
+@given(edges_strategy, st.floats(0.1, 0.9))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_leakage_split_matches_brute_components(spark, edges, frac):
+    """Component labels match brute-force union-find (min reachable id);
+    the split matches the md5 uniform threshold on the label; and no
+    edge ever crosses the split boundary."""
+    import hashlib
+
+    from unified_firmographic_data_pipeline_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    nodes = list(range(1, 9))
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    label = {}
+    for s in nodes:
+        if s in label:
+            continue
+        comp, stack = [], [s]
+        seen = {s}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for u in adj[v]:
+                if u not in seen:
+                    seen.add(u)
+                    stack.append(u)
+        m = min(comp)
+        for v in comp:
+            label[v] = m
+
+    def exp_split(component):
+        u = int(hashlib.md5(str(component).encode()).hexdigest()[:13], 16) / 16**13
+        return "train" if u < frac else "eval"
+
+    docs = spark.createDataFrame([(i,) for i in nodes], "doc_id bigint")
+    pairs = spark.createDataFrame(edges, "src bigint, dst bigint") if edges else (
+        spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in leakage_safe_split(docs, pairs, train_frac=frac).collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == label
+    for v in nodes:
+        assert out[v][1] == exp_split(label[v])
+    for a, b in edges:
+        assert out[a][1] == out[b][1]
