@@ -181,4 +181,3 @@ def weighted_hash_sample(
             .drop("__rn")
         )
     return df.withColumn("__prio", prio).orderBy(F.col("__prio").desc(), key.asc()).limit(k).drop("__prio")
-
