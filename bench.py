@@ -439,6 +439,40 @@ def _regressions(timings: dict[str, float], floors: dict[str, float]) -> list[di
     return out
 
 
+def _would_flag(t: float, floor: float | None) -> bool:
+    return floor is not None and t > 2 * floor and t - floor > 0.4
+
+
+def _timed_with_retries(
+    run, floor: float | None, first_best: float, max_retries: int = 3
+) -> tuple[float, dict | None]:
+    """Retry a query whose observation reads as a regression, and RECORD the
+    adjudication (round-9 verdict #3: the snapshot should carry its own
+    noise evidence instead of needing manual same-code re-runs). Sub-second
+    local[32] timings wobble 2-3x under ambient host load while a TRUE
+    regression stays slow on every retry — so the first observation, the
+    post-retry min, and the retry count together adjudicate: ``resolved``
+    means the retries converged back under the flag gate (ambient noise);
+    an unresolved entry is the real-regression signal and also appears in
+    ``regressions``. Returns (best_sec, adjudication|None)."""
+    best = first_best
+    retries = 0
+    while _would_flag(best, floor) and retries < max_retries:
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+        retries += 1
+    if retries == 0:
+        return best, None
+    return best, {
+        "first_sec": round(first_best, 3),
+        "best_sec": round(best, 3),
+        "floor_sec": floor,
+        "retries": retries,
+        "resolved": not _would_flag(best, floor),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -454,30 +488,19 @@ def main() -> None:
 
     floors = _historical_floors()
     timings: dict[str, float] = {}
+    adjudication: dict[str, dict] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        run = lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # noqa: E731
+        run()  # warm
         best = float("inf")
         for _ in range(2):  # min-of-2: shields the number from GC/JIT noise
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            run()
             best = min(best, time.perf_counter() - t0)
-        # a query about to read as a regression gets extra iterations first:
-        # sub-second queries on a 32-core box routinely wobble 2-3x from
-        # lingering JIT/GC/system noise, and a TRUE regression stays slow
-        # on every retry while noise converges back to the floor
-        floor = floors.get(name)
-        retries = 0
-        while (
-            floor is not None
-            and best > 2 * floor
-            and best - floor > 0.4
-            and retries < 3
-        ):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            retries += 1
+        best, adj = _timed_with_retries(run, floors.get(name), best)
+        if adj is not None:
+            adjudication[name] = adj
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
@@ -492,26 +515,18 @@ def main() -> None:
     light: dict[str, float] = {}
     for name in sorted(set(QUERIES) - set(HEADLINE)):
         fn = QUERIES[name]
+        run = lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # noqa: E731
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            run()  # warm
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            run()
             best = time.perf_counter() - t0
         except Exception as e:  # a light-set failure must not kill the bench
             print(f"  LIGHT FAIL {name}: {e!r}", file=sys.stderr)
             continue
-        floor = floors.get(name)
-        retries = 0
-        while (
-            floor is not None
-            and best > 2 * floor
-            and best - floor > 0.4
-            and retries < 3
-        ):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            retries += 1
+        best, adj = _timed_with_retries(run, floors.get(name), best)
+        if adj is not None:
+            adjudication[name] = adj
         light[name] = round(best, 3)
         print(f"  [light] {name}: {light[name]:.3f}s", file=sys.stderr)
 
@@ -533,6 +548,11 @@ def main() -> None:
         # queries >2x their best prior BENCH_r*.json time — a
         # regression surfaces here as red, not as a judge's diff
         "regressions": _regressions({**timings, **light}, floors),
+        # every query whose first observation read as a regression, with
+        # first vs post-retry min: resolved=true entries are self-
+        # adjudicated ambient noise; resolved=false entries are the real
+        # flags (they also appear in "regressions")
+        "retry_adjudication": adjudication,
         "sf": sf,
     }
     print(json.dumps(record))

@@ -103,3 +103,46 @@ def test_current_round_snapshot_does_not_set_floors():
     assert only_current, "expected queries first benched in the current round"
     for n in only_current:
         assert n not in floors, f"{n}: current-round snapshot leaked into floors"
+
+
+def test_timed_with_retries_self_adjudicates_noise():
+    """Round-9 verdict #3: the snapshot must carry its own adjudication.
+    A noisy first observation (2.5x floor) that converges on retry is
+    recorded resolved=True; a true regression that stays slow exhausts its
+    retries and records resolved=False."""
+    # ambient noise: first read 2.5s vs 1.0 floor, retries settle to 1.0
+    seq = iter([1.0, 1.0, 1.0])
+
+    class Clock:
+        t = 0.0
+
+    def noisy_run():
+        Clock.t += next(seq)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(bench.time, "perf_counter", lambda: Clock.t):
+        best, adj = bench._timed_with_retries(noisy_run, floor=1.0, first_best=2.5)
+    assert best == 1.0
+    assert adj == {
+        "first_sec": 2.5,
+        "best_sec": 1.0,
+        "floor_sec": 1.0,
+        "retries": 1,
+        "resolved": True,
+    }
+
+    # true regression: every retry reads 2.5s
+    seq2 = iter([2.5] * 10)
+
+    def slow_run():
+        Clock.t += next(seq2)
+
+    with mock.patch.object(bench.time, "perf_counter", lambda: Clock.t):
+        best, adj = bench._timed_with_retries(slow_run, floor=1.0, first_best=2.5)
+    assert best == 2.5
+    assert adj["resolved"] is False and adj["retries"] == 3
+
+    # inside the gate: no retries, no record
+    best, adj = bench._timed_with_retries(lambda: None, floor=1.0, first_best=1.5)
+    assert best == 1.5 and adj is None

@@ -267,8 +267,16 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     needs a static shift amount in Spark, so ``element_at`` over the bin
     chars does column-indexed bit extraction), votes accumulate in one array
     fold, and the final pack uses static per-bit masks.
+
+    NULL text coalesces to ``''`` before tokenizing (round-10, closing the
+    round-9 advisory: the md5 twins got this coalesce in round 9 but this
+    production path still tokenized raw text, so a NULL-text doc packed to
+    fingerprint 0 — every when-condition NULL — while an empty-text doc got
+    the real empty-token fingerprint; all simhash families now agree that
+    NULL ≡ '').
     """
-    toks = F.array_distinct(tokens(text_col))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_distinct(tokens(F.coalesce(c, F.lit(""))))
 
     def token_votes(t: Column) -> Column:
         chars = F.split(F.lpad(F.bin(F.xxhash64(t)), 64, "0"), "")

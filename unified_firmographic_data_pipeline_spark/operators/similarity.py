@@ -801,6 +801,12 @@ def rrf_fuse(
     rank_col)`` with 1-based ranks (the shape every top-k operator in
     this module emits). A document missing from a ranker's list simply
     contributes no term for that ranker — the usual RRF convention.
+    Duplicate ``(query, id)`` rows WITHIN one ranker (a contract
+    violation upstream) collapse to that ranker's best rank instead of
+    silently inflating the score and ``n_rankers`` (round-9 advisory):
+    each input is tagged with its ranker index and pre-aggregated to
+    ``min(rank)`` per ``(query, id, ranker)``, so ``n_rankers`` is
+    literally the number of rankers that listed the document.
 
     Output: ``(query_col, id_col, rrf_score_nano, n_rankers,
     fused_rank)``. The score is integer-exact for cross-engine
@@ -819,11 +825,20 @@ def rrf_fuse(
 
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
-    parts = [r.select(query_col, id_col, rank_col) for r in rankings]
+    parts = [
+        r.select(query_col, id_col, rank_col, F.lit(i).alias("__ranker"))
+        for i, r in enumerate(rankings)
+    ]
     u = reduce(lambda a, b: a.unionByName(b), parts)
+    # collapse within-ranker duplicates to the best rank; map-side
+    # combinable, and the rows are top-k lists — negligible next to the
+    # retrievers that produced them
+    best = u.groupBy(query_col, id_col, "__ranker").agg(
+        F.min(rank_col).alias(rank_col)
+    )
     term = F.round(F.lit(1e9) / (F.lit(k_rrf) + F.col(rank_col))).cast("long")
     fused = (
-        u.select(query_col, id_col, term.alias("__t"))
+        best.select(query_col, id_col, term.alias("__t"))
         .groupBy(query_col, id_col)
         .agg(
             F.sum("__t").alias("rrf_score_nano"),
