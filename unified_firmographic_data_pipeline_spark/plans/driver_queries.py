@@ -18327,6 +18327,198 @@ def krippendorff_alpha_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      window, so they never surface as `no_oracle` rows — their bit-exact
 #      md5 / exact twins (`near_dup_candidates_md5`, `simhash_near_pairs_md5`,
 #      `ann_cosine_topk`, `agg_distinct_customers`) carry verification.
+# ---- round 10: multi-turn conversation (chat-transcript) operators ------
+#: Shared chat-fixture CTE: a deterministic OpenAI-style messages payload
+#: per document — system prompt constant, user/assistant contents sliced
+#: from the doc's whitespace tokens, and a 3-turn vs 5-turn split on
+#: doc_id % 3 so variable-length message arrays exercise. Both engines
+#: BUILD the JSON with their own serializer (to_json/struct) and PARSE it
+#: back with their own reader — the JSON is an internal intermediate, so
+#: only the logical conversation (roles + content strings) must agree,
+#: which reduces to token-slice parity (the _TOKENS_SQL convention).
+_CHAT_FLAT_SQL = """
+    toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(coalesce(text, ''),
+                                                '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+    conv AS (
+        SELECT doc_id, to_json(struct_pack(messages :=
+            CASE WHEN doc_id % 3 = 0 THEN [
+                struct_pack(role := 'system',
+                            content := 'You are a concise assistant.'),
+                struct_pack(role := 'user',
+                            content := coalesce(array_to_string(t[1:12], ' '), '')),
+                struct_pack(role := 'assistant',
+                            content := coalesce(array_to_string(t[13:32], ' '), ''))]
+            ELSE [
+                struct_pack(role := 'system',
+                            content := 'You are a concise assistant.'),
+                struct_pack(role := 'user',
+                            content := coalesce(array_to_string(t[1:12], ' '), '')),
+                struct_pack(role := 'assistant',
+                            content := coalesce(array_to_string(t[13:32], ' '), '')),
+                struct_pack(role := 'user',
+                            content := coalesce(array_to_string(t[33:40], ' '), '')),
+                struct_pack(role := 'assistant',
+                            content := coalesce(array_to_string(t[41:52], ' '), ''))]
+            END)) AS chat
+        FROM toks),
+    flat AS (
+        SELECT doc_id, CAST(turn - 1 AS INTEGER) AS turn_idx,
+               m.role AS role, m.content AS content
+        FROM (
+            SELECT doc_id,
+                   unnest(json_transform(json_extract(chat, '$.messages'),
+                       '[{"role":"VARCHAR","content":"VARCHAR"}]')) AS m,
+                   unnest(range(1, len(json_transform(json_extract(chat,
+                       '$.messages'),
+                       '[{"role":"VARCHAR","content":"VARCHAR"}]')) + 1))
+                       AS turn
+            FROM conv))
+"""
+
+
+def _chat_payloads(d: DataFrame) -> DataFrame:
+    """(doc_id, chat) — the Spark half of the shared chat fixture."""
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+
+    def piece(start: int, length: int) -> F.Column:
+        return F.array_join(F.slice(toks, start, length), " ")
+
+    def msg(role: str, content) -> F.Column:
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    sys_m = msg("system", F.lit("You are a concise assistant."))
+    u1 = msg("user", piece(1, 12))
+    a1 = msg("assistant", piece(13, 20))
+    u2 = msg("user", piece(33, 8))
+    a2 = msg("assistant", piece(41, 12))
+    msgs = F.when(
+        F.col("doc_id") % 3 == 0, F.array(sys_m, u1, a1)
+    ).otherwise(F.array(sys_m, u1, a1, u2, a2))
+    return d.select(
+        "doc_id", F.to_json(F.struct(msgs.alias("messages"))).alias("chat")
+    )
+
+
+@q(
+    "chat_role_token_stats",
+    f"""
+    WITH {_CHAT_FLAT_SQL}
+    SELECT role,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_conversations,
+           CAST(SUM(CASE WHEN content = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_turns,
+           CAST(SUM(CASE WHEN trim(regexp_replace(content, '\\s+', ' ', 'g'))
+                              = '' THEN 0
+                         ELSE len(string_split(trim(regexp_replace(content,
+                              '\\s+', ' ', 'g')), ' ')) END) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(length(content)) AS BIGINT) AS n_chars
+    FROM flat GROUP BY role
+    """,
+)
+def chat_role_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role turn/token/char statistics over chat transcripts — the
+    conversation twin of ``text_stats`` (round-9 verdict item #6:
+    instruction-data shape). The D1/D2 flatten (reference analogue:
+    ``stg_wiki_sp500.sql:10-45`` JSON-array explode) applied to an
+    OpenAI-style ``messages`` payload via
+    ``operators/conversations.flatten_turns`` (one ``from_json`` + one
+    generator, no shuffle), then ONE role-axis hash aggregate
+    (``role_token_stats``) — all-integer output, bit-exact by
+    construction. Scale: the flatten is embarrassingly parallel; the
+    aggregate's output is role-cardinality (a constant)."""
+    from unified_firmographic_data_pipeline_spark.operators.conversations import (
+        flatten_turns,
+        role_token_stats,
+    )
+
+    d = _chat_payloads(_t(spark, sf_dir, "documents"))
+    return role_token_stats(flatten_turns(d, "chat"))
+
+
+@q(
+    "chat_turn_dedup_first",
+    f"""
+    WITH {_CHAT_FLAT_SQL},
+    ranked AS (
+        SELECT doc_id, turn_idx, role, content,
+               row_number() OVER (PARTITION BY role, content
+                                  ORDER BY doc_id, turn_idx) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY role, content) AS BIGINT)
+                   AS n_dups
+        FROM flat
+        WHERE doc_id < 120)
+    SELECT doc_id, turn_idx, role, content, n_dups
+    FROM ranked WHERE rn = 1
+    """,
+)
+def chat_turn_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level exact dedup over chat transcripts (round-9 verdict item
+    #6): G1 keep-first applied to exploded turns — boilerplate system
+    prompts and templated user openers are the dominant duplicate class
+    in instruction corpora, and deduplicating at DOCUMENT granularity
+    misses them entirely. ``operators/conversations.dedup_turns`` ranks
+    inside (content-hash, role, content) groups — the xxhash64 leads the
+    shuffle key so rows stay narrow and long-content skew spreads — and
+    keeps the first occurrence by (doc_id, turn_idx) with the group's
+    total occurrence count. Bounded here to doc_id < 120 so the kept-turn
+    list stays a driver-comparable size."""
+    from unified_firmographic_data_pipeline_spark.operators.conversations import (
+        dedup_turns,
+        flatten_turns,
+    )
+
+    d = _chat_payloads(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    )
+    return dedup_turns(flatten_turns(d, "chat"))
+
+
+@q(
+    "chat_turns_variant_tier",
+    f"""
+    WITH {_CHAT_FLAT_SQL}
+    SELECT doc_id, turn_idx, role,
+           CAST(CASE WHEN trim(regexp_replace(content, '\\s+', ' ', 'g'))
+                          = '' THEN 0
+                     ELSE len(string_split(trim(regexp_replace(content,
+                          '\\s+', ' ', 'g')), ' ')) END AS INTEGER)
+               AS n_tokens
+    FROM flat WHERE doc_id < 150
+    """,
+)
+def chat_turns_variant_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4-native VARIANT flatten tier over chat transcripts
+    (round-9 verdict item #5): one ``try_parse_json`` per payload, the
+    ``$.messages`` array pulled as a VARIANT, and the turns exploded with
+    the ``variant_explode_outer`` lateral table function — role/content
+    extracted per ELEMENT via ``try_variant_get``
+    (``operators/conversations.flatten_turns_variant``). Proves the
+    variant tier agrees with the ``from_json`` tier
+    (``chat_role_token_stats`` / ``chat_turn_dedup_first`` run the same
+    fixture through ``flatten_turns``) — both reduce to the one shared
+    DuckDB flatten oracle. The raw-landing twin of this tier is
+    ``sources/landing.read_json_landing_variant``."""
+    from unified_firmographic_data_pipeline_spark.operators.conversations import (
+        flatten_turns_variant,
+    )
+
+    d = _chat_payloads(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    )
+    turns = flatten_turns_variant(d, "chat")
+    return turns.select(
+        "doc_id",
+        "turn_idx",
+        "role",
+        token_count("content").cast("int").alias("n_tokens"),
+    )
+
+
 # This makes the rotation self-maintaining: adding a query or landing a new
 # CORRECTNESS file automatically produces the right order for the next round.
 
@@ -18399,6 +18591,10 @@ _MODIFIED_FIRST: dict[str, int] = {
     "simhash_near_pairs_md5": 9,
     "source_mix_temperature_plan": 9,
     "bcubed_dedup_eval": 9,
+    # r10: rrf_fuse gained the within-ranker duplicate collapse (a ranker-
+    # tagged min(rank) pre-aggregate) — same values on contract-clean
+    # inputs, but the PLAN changed, so the green must postdate it.
+    "retriever_rrf_fusion_topk": 10,
 }
 
 

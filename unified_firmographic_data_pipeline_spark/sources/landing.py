@@ -48,6 +48,38 @@ def read_json_landing(
     )
 
 
+def read_json_landing_variant(
+    spark: SparkSession,
+    path: str,
+    source_name: str,
+    glob: str | None = None,
+    whole_file: bool = True,
+    strict: bool = False,
+) -> DataFrame:
+    """VariantType twin of :func:`read_json_landing` — the RAW tier with
+    the payload as a real Spark 4 ``VARIANT`` column instead of an
+    unparsed string (SURVEY.md §1.2 names this as the alternative mapping
+    of Snowflake's VARIANT; round-9 verdict item #5). Same
+    ``(id, source, ingested_at, payload)`` shape and stamping contract as
+    the string tier; downstream staging extracts with
+    ``variant_get``/``variant_explode`` instead of ``from_json`` paths.
+
+    ``strict=False`` (default, COPY's ``ON_ERROR=CONTINUE`` analogue)
+    parses with ``try_parse_json`` — an unparseable document lands as a
+    NULL payload, countable by the quality suite. ``strict=True``
+    (``ON_ERROR=ABORT_STATEMENT``) uses ``parse_json``, which raises on
+    the first malformed document.
+
+    Scale note: the binary variant encoding is decoded once at land time
+    and every later path extraction skips string re-parsing — the right
+    trade when multiple staging models read the same raw table (the
+    reference reads each raw table from two staging models). The string
+    tier stays preferable when the payload is extracted at most once."""
+    raw = read_json_landing(spark, path, source_name, glob, whole_file)
+    parse = F.parse_json if strict else F.try_parse_json
+    return raw.withColumn("payload", parse(F.col("payload")))
+
+
 def read_xml_landing(
     spark: SparkSession,
     path: str,

@@ -560,6 +560,136 @@ def stream_additive_state_sink(
     )
 
 
+def lsh_neardup_fold(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    candidates_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> bool:
+    """One fold of a document micro-batch into the landed LSH near-dup
+    state (round-9 verdict item #4 — the streaming unification of the
+    batch-incremental ``operators.neardup.lsh_candidates_from_buckets``
+    with the exact-dedup sink shape). Two landed outputs:
+
+    - ``index_path``: the persistable ``(id, band, bucket)`` band table
+      (``minhash_band_buckets``), grown by the batch's genuinely-new
+      docs (anti-join on id — the high-watermark idea applied to the
+      index).
+    - ``candidates_path/batch=<id>``: the candidate pairs TOUCHING this
+      batch's new docs (new↔landed and new↔new), batch-keyed.
+
+    Idempotence is the two mechanisms composed, and WRITE ORDER is the
+    proof obligation: candidates land FIRST (batch-keyed overwrite — a
+    replay rewrites identical content, the key-drift-monitor contract),
+    the index appends SECOND. A crash between the writes replays into
+    "index doesn't know these docs yet" → the same candidate set
+    recomputes (deterministically — the pair set is a distinct equi-join
+    of the same buckets) and overwrites itself, then the index append
+    completes. A replay of a FULLY applied batch anti-joins to zero new
+    docs and returns False without touching either table — which also
+    means the candidate partition of an already-applied batch is never
+    clobbered with an empty frame. Exactly-once without a ledger:
+    old×old pairs are never re-derived, and each pair {x, y} is emitted
+    exactly once — by the batch that lands the LATER of the two docs.
+
+    CALLER CONTRACT (same as the exact-dedup sink): ``id_col``
+    identifies a document immutably — re-sending an id with different
+    content is not an update (the doc keeps its original fingerprint;
+    content updates belong to the CDC/upsert sinks). The LSH parameters
+    are part of the index's identity and must match across all folds.
+
+    Scale shape: per batch, one minhash over the BATCH only (the landed
+    corpus is never re-signed), one id anti-join, one (band, bucket)
+    equi-join whose cost tracks the increment's bucket matches — the
+    1.1x-at-10x curve of `lsh_incremental_candidates` (SCALE.md), now
+    24x7. The full-index swap write is the plain-parquet stand-in for a
+    partition-targeted append (the stream_upsert_sink note applies)."""
+    from unified_firmographic_data_pipeline_spark.operators.neardup import (
+        lsh_candidates_from_buckets,
+        minhash_band_buckets,
+    )
+    from unified_firmographic_data_pipeline_spark.sources.catalog import (
+        atomic_swap_write,
+        fs_exists,
+    )
+
+    spark = batch_df.sparkSession
+    buckets = minhash_band_buckets(
+        batch_df.dropDuplicates([id_col]),
+        id_col,
+        text_col,
+        num_hashes,
+        bands,
+        shingle_n,
+    )
+    existing = None
+    if fs_exists(spark, index_path):
+        existing = spark.read.parquet(index_path)
+        new_b = buckets.join(
+            existing.select(id_col).distinct(), id_col, "left_anti"
+        )
+    else:
+        new_b = buckets
+    # one eager materialization: the minhash pipeline would otherwise
+    # re-execute for the emptiness probe, the pair join (twice, via the
+    # union) and the index write
+    new_b = new_b.localCheckpoint(eager=True)
+    if new_b.isEmpty():
+        return False
+    all_b = existing.unionByName(new_b) if existing is not None else new_b
+    cands = lsh_candidates_from_buckets(new_b, all_b, id_col).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
+    atomic_swap_write(cands, f"{candidates_path}/batch={batch_id}")
+    atomic_swap_write(all_b, index_path)
+    return True
+
+
+def stream_lsh_neardup_sink(
+    stream: DataFrame,
+    index_path: str,
+    candidates_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> StreamingQuery:
+    """Near-dedup-on-arrival: wire :func:`lsh_neardup_fold` into a
+    ``foreachBatch`` sink — the MinHash-LSH twin of
+    :func:`stream_exact_dedup_sink`. After any prefix of batches, the
+    union of the landed ``candidates_path/batch=*`` partitions equals
+    the from-scratch batch ``minhash_lsh_candidates`` of everything
+    ingested so far (pinned in tests, including a checkpoint-replay
+    re-fold)."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        lsh_neardup_fold(
+            batch_df,
+            batch_id,
+            index_path,
+            candidates_path,
+            id_col,
+            text_col,
+            num_hashes,
+            bands,
+            shingle_n,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_key_drift_monitor(
     stream: DataFrame,
     reference_path: str,
