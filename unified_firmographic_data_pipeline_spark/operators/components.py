@@ -7,15 +7,26 @@ document per component). The public scale algorithm family is min-label
 propagation / alternating star contraction ("Connected Components in
 MapReduce and Beyond", Kiveris et al., SOCC'14).
 
-Implementation: iterative min-label propagation entirely in DataFrame ops —
-each round is one equi-join on the node id plus one aggregation (both
-shuffles on the uniform node key), labels converge to the minimum node id
-reachable in the component. Rounds are bounded by the graph diameter; dedup
-graphs are union-of-near-cliques, so 2-4 rounds in practice (star
-contraction's O(log n) bound matters for pathological chains; the loop
-shares the same per-round shape so swapping the step is local). Each round
-``localCheckpoint``s the label frame: iterative plans otherwise grow
-exponentially in Catalyst and re-execute from the source every round.
+Implementation: iterative min-label propagation entirely in DataFrame ops.
+Each round joins labels onto the (pre-partitioned, checkpointed) edge list
+to form neighbor messages, unions each node's OWN label row in as one more
+message, and takes ``min`` per node in a single map-side-combinable
+aggregation — one shuffle per round on the uniform node key. (Round 10
+optimization: the original shape aggregated neighbor minima and then joined
+them back onto the label table, paying a second exchange + join per round;
+the union-aggregate form computes ``least(own, min(neighbors))`` and the
+convergence flag ``min < own`` in the same aggregate, with the own-label
+row doubling as the change detector. Labels converge to the minimum node
+id reachable in the component either way — bit-identical output, one
+exchange and one join fewer per round.) Rounds are bounded by the graph
+diameter; dedup graphs are union-of-near-cliques, so 2-4 rounds in
+practice (star contraction's O(log n) bound matters for pathological
+chains; the loop shares the same per-round shape so swapping the step is
+local). Each round ``localCheckpoint``s the label frame: iterative plans
+otherwise grow exponentially in Catalyst and re-execute from the source
+every round. The edge list is hash-repartitioned on the join key ``d``
+BEFORE its one-time checkpoint, so every round's message join reuses that
+partitioning instead of re-exchanging the (much larger) edge side.
 
 The result (min reachable id) is partition- and iteration-order-independent,
 so it is deterministic and SQL-expressible — the DuckDB oracle computes the
@@ -47,27 +58,45 @@ def connected_components(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionByName(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
+        # partition once on the per-round join key: every round's message
+        # join then reuses this layout instead of re-exchanging the edges
+        .repartition("d")
     )
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("component"))
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        # smallest label among each node's neighbors
-        neigh_min = (
+        # one message per directed edge (the neighbor's current label) plus
+        # each node's OWN label row; a single min-aggregate per node yields
+        # least(own, min(neighbors)) AND the old label (the own row is the
+        # only one with __own=true) for the convergence flag — one shuffle
+        # per round, no join-back
+        msgs = (
             sym.join(labels, sym["d"] == labels["node"])
-            .groupBy(F.col("s").alias("node"))
-            .agg(F.min("component").alias("neigh_component"))
+            .select(
+                F.col("s").alias("node"),
+                F.col("component").alias("__lbl"),
+                F.lit(False).alias("__own"),
+            )
+        )
+        own = labels.select(
+            "node", F.col("component").alias("__lbl"), F.lit(True).alias("__own")
         )
         new_labels = (
-            labels.join(neigh_min, "node", "left")
+            msgs.unionByName(own)
+            .groupBy("node")
+            .agg(
+                F.min("__lbl").alias("component"),
+                F.min(F.when(F.col("__own"), F.col("__lbl"))).alias("__old"),
+            )
+            # edges may reference ids outside `nodes`; groups with no own
+            # row are not label rows (matches the old left-join semantics)
+            .filter(F.col("__old").isNotNull())
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("neigh_component", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("neigh_component", F.col("component")) < F.col("component"))
-                .alias("__changed"),
+                "component",
+                (F.col("component") < F.col("__old")).alias("__changed"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)

@@ -80,6 +80,39 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+def _scan_guard(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Under-parallel-scan guard (optimization guide §2.5 "input skew: one
+    huge unsplittable file... repartition immediately after the read").
+
+    A parquet file is only splittable at ROW-GROUP granularity; a
+    single-row-group file (the harness fixtures — and any gzip-style
+    monolith in production) yields a one-task scan, serializing every
+    narrow stage downstream (tokenize/md5/dot-product pipelines run on one
+    core no matter the cluster size). When the scan offers fewer partitions
+    than the session's parallelism, round-robin the rows once right after
+    the read. At real scale a table lands as many files/row-groups, the
+    branch is false, and NO payload shuffle is added — this is a guard
+    against pathological layout, not a local tune. (Measured at sf0.1:
+    near_dup_candidates_md5's signature materialization was one 4.5 s task;
+    the guard spreads it across the 32 cores.)
+
+    Applied to the PAYLOAD tables only (documents, embeddings): their
+    downstream pipelines do heavy per-row narrow work (tokenize + 16 md5
+    permutations, 64-dim dot folds) that a one-task scan serializes —
+    interleaved A/B at sf0.1: near_dup_candidates_md5 4.97→1.21 s,
+    knn_label_accuracy 3.67→1.33 s, lsh_incremental_candidates
+    3.87→1.30 s. The relational facts (lineitem/orders/events/...) are
+    excluded: their first downstream op is a keyed partial aggregate that
+    already collapses rows map-side in the scan task, so a round-robin
+    exchange ahead of it only adds bytes and re-fragments the partial
+    reduction (same A/B: truss +1.7 s, entity_resolution_incremental
+    +1.8 s when guarded)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has stored ts as TIMESTAMP(NANOS) (surfacing as a
@@ -96,7 +129,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        df = _scan_guard(spark, df)
+    return df
 
 
 def _dsum(c) -> F.Column:
@@ -8008,16 +8044,14 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint truncates lineage between rounds. Node/edge counts per
     round are the oracle-checked fixpoint trace."""
     li = _t(spark, sf_dir, "lineitem")
-    bsk = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = bsk.alias("a"), bsk.alias("b")
+    # round-10: basket fan-out instead of the textbook lineitem self-join —
+    # identical (src<dst, shared-order-count) pairs from ONE orderkey
+    # shuffle + map-side pair explosion (the market_basket_pairs /
+    # _copurchase_edges plan; the oracle keeps the self-join formulation)
     edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
-        .agg(F.count("*").alias("n_co"))
+        _copurchase_edges_counted(li)
         .filter(F.col("n_co") >= 2)
-        .select("a", "b")
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .localCheckpoint(eager=False)
     )
     rows = []
