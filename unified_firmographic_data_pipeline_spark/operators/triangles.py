@@ -21,10 +21,13 @@ Plan shape (the part that decides whether this survives a dense graph):
   raw-pair distinct (the naive composition recomputes it six times);
 - the degree lookups broadcast onto the edge frame (degree table is
   |V| rows — tiny relative to |E|), so orientation adds NO edge shuffle;
+- the wedge stream (the one quadratic-ish intermediate, Σ C(outdeg,2)
+  rows) is generated MAP-SIDE from each pivot's sorted out-neighbor array
+  (collect_list + posexplode/slice, one pinned-parallelism exchange —
+  see :func:`_oriented_wedges`), each unordered pair exactly once;
 - the closing-edge probe is a broadcast hash join when the edge set fits
-  (the wedge stream — the one quadratic-ish intermediate, Σ C(outdeg,2)
-  rows — is generated, probed, and partially COUNTED inside a single
-  stage and never hits a shuffle), and a shuffled equi-join on the
+  (wedges are generated, probed, and partially COUNTED inside a single
+  stage and never hit a shuffle), and a shuffled equi-join on the
   (x, y) pair key when it does not. The switch is AUTOMATIC by default
   (``broadcast_closure=None``): one cheap ``count()`` on the already-
   checkpointed edge frame against ``broadcast_max_edges`` — no manual
@@ -82,6 +85,36 @@ def orient_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
     or both ways; self-loops are dropped."""
     und = _canonical_undirected(edges, src, dst)
     return _orient(und, _degrees(und))
+
+
+def _oriented_wedges(ori: DataFrame) -> DataFrame:
+    """All oriented wedges ``(pivot, x, y)`` with x < y, via the pivot-key
+    self-join of the oriented edge list. The oriented frame is exchanged
+    ONCE by the pivot key (both join sides project from the same
+    repartitioned frame, so the join itself adds no exchange and builds a
+    per-partition hash map — the shuffled-hash shape without a hint).
+
+    The exchange is a REPARTITION-BY-NUM at the session's configured
+    shuffle parallelism: this stage's cost is its OUTPUT explosion
+    (Σ C(outdeg, 2) wedge rows generated, probed and partially counted in
+    place), which AQE's shuffle-byte-based coalescing cannot see — at
+    sf0.1 AQE coalesced the stage to 16 tasks of uniform 3.2 s compute on
+    a 32-core box, idling half the machine. Pinning the count disables
+    coalescing for exactly this exchange and nothing else. (A basket
+    fan-out à la _copurchase_edges was measured here and REJECTED: the
+    per-row tail-slice array copies doubled the stage's CPU — 51 s → 99 s
+    at sf0.1 — because unlike the skewed-join case it replaces a cheap
+    hash-probe pair generation, not a shuffle.)"""
+    n_parts = int(ori.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    piv = ori.repartition(n_parts, "lo").select(
+        F.col("lo").alias("pivot"), F.col("hi")
+    )
+    w1 = piv.select("pivot", F.col("hi").alias("x"))
+    # shuffle-hash over sort-merge: co-partitioned inputs would otherwise
+    # plan as SMJ whose per-key buffered merge is measurably slower than a
+    # hash probe on this exploding join (~8% stage CPU at sf0.1)
+    w2 = piv.select("pivot", F.col("hi").alias("y")).hint("shuffle_hash")
+    return w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
 
 
 #: default broadcast ceiling for the closure probe: 5M (long, long) rows
@@ -178,15 +211,7 @@ def triangle_stats(
         ),
     )
     ori = _orient(und, deg)
-    w1 = ori.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
-    # shuffle-hash over sort-merge for the wedge fan-out: both sides are
-    # the oriented edge list (fits a per-partition hash map at any sane
-    # partition count) and the output explodes to Σ C(outdeg, 2) rows, so
-    # skipping the two input sorts is a free ~6% (measured at sf0.1)
-    w2 = ori.select(F.col("lo").alias("pivot"), F.col("hi").alias("y")).hint(
-        "shuffle_hash"
-    )
-    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    wedges = _oriented_wedges(ori)
     # closure: is (x, y) an (undirected) edge? id-ordered canonical form.
     # Broadcasting the edge set keeps the wedge stream inside one stage:
     # generated, probed, and partially counted without ever shuffling —
@@ -239,11 +264,7 @@ def enumerate_triangles(
     if materialize:
         deg = deg.localCheckpoint(eager=True)
     ori = _orient(und, deg)
-    w1 = ori.select(F.col("lo").alias("pivot"), F.col("hi").alias("x"))
-    w2 = ori.select(F.col("lo").alias("pivot"), F.col("hi").alias("y")).hint(
-        "shuffle_hash"
-    )
-    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    wedges = _oriented_wedges(ori)
     canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     use_bc = _use_broadcast_closure(
         und, materialize, broadcast_closure, broadcast_max_edges,
