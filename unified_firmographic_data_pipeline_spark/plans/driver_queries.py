@@ -113,7 +113,17 @@ def _scan_guard(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """Load a table. ``spread=False`` opts a payload-table consumer out of
+    the scan-parallelism guard: pipelines whose first real operation is a
+    low-cardinality token/source aggregation do the whole reduction
+    map-side in the single scan task, and spreading the rows first only
+    multiplies the partial-aggregate key space (32 partial maps over the
+    full vocabulary instead of one) — measured +0.3-0.6 s each on the
+    token-distribution family (js_divergence_sources, psi_drift_sources,
+    bm25_query_scores, ...) when left guarded."""
     if name == "events":
         # events.parquet has stored ts as TIMESTAMP(NANOS) (surfacing as a
         # long, or natively as TIMESTAMP_NTZ depending on writer/reader
@@ -130,7 +140,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
+    if spread and name in ("documents", "embeddings"):
         df = _scan_guard(spark, df)
     return df
 
@@ -2585,7 +2595,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score, doc_fingerprint."""
     from unified_firmographic_data_pipeline_spark.functions.text import detect_lang, quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     scored = d.select(
         "doc_id",
         "source",
@@ -5755,7 +5765,7 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-match docs survive the left join with score 0."""
     from unified_firmographic_data_pipeline_spark.operators.curation import bm25_scores
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     return bm25_scores(d, ["spark", "join", "window"])
 
 
@@ -7459,7 +7469,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_pairs; divisions of exact integers are correctly rounded."""
     from unified_firmographic_data_pipeline_spark.operators.neardup import jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf_dir, "documents", spread=False).filter(F.col("doc_id") < 100)
     p = jaccard_pairs(d, shingle_n=1, threshold=0.0)
     ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
@@ -7510,7 +7520,7 @@ def chunk_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise; ln is neutralized by 6-dec rounding (the entropy precedent)."""
     from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     ct = (
         d.select("doc_id", tokens("text").alias("__toks"))
         .select(
@@ -8164,7 +8174,7 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus totals ride a 1-row cross join; per-token log-ratios are
     micro-rounded then summed as BIGINT (bit-exact, order-independent).
     Top-k is TakeOrdered with a doc_id tiebreak."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     ttoks = toks.join(
         d.filter(F.col("lang") == "en").select("doc_id"), "doc_id", "semi"
@@ -10096,7 +10106,7 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy/PMI precedent) and nano-rounds the product so per-pair sums
     are order-independent BIGINTs. Zero-count sides contribute 0 (the
     JS convention via its KL halves)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     toks = d.select("source", F.explode(tokens("text")).alias("tok"))
     cnt = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
@@ -10237,7 +10247,7 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join touches only tokens the two sources SHARE
     (never a dense vocab x vocab product); dot products and norms are
     exact BIGINTs; one division + sqrt pair per source pair."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     toks = d.select("source", F.explode(tokens("text")).alias("tok"))
     cnt = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
     norms = cnt.groupBy("source").agg(
@@ -11371,7 +11381,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the batch tests."""
     from unified_firmographic_data_pipeline_spark.operators.sketches import cms_estimates
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     tk = d.select(F.explode(tokens("text")).alias("tok"), F.lit(1).alias("w"))
     est = cms_estimates(tk, "tok", "w", depth=4, width=512)
     return est.orderBy(F.col("est").desc(), "tok").limit(20)
@@ -12832,10 +12842,20 @@ def dedup_detector_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = pfx.select(F.col("doc_id").alias("x"), "p")
     pb = pfx.select(F.col("doc_id").alias("y"), "p")
     truth = pa.join(pb, "p").filter(F.col("x") < F.col("y")).select("x", "y")
-    n_truth = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    n_det = det.agg(F.count("*").cast("long").alias("n_detected"))
-    tp = det.join(truth, ["x", "y"]).agg(F.count("*").cast("long").alias("tp"))
-    cts = n_truth.crossJoin(F.broadcast(n_det)).crossJoin(F.broadcast(tp))
+    # round-10: one pass over both pair sets — a full-outer join on the
+    # pair key yields n_detected / n_truth / tp as three counts of ONE
+    # aggregate, where the old shape (two scalar counts + a tp join,
+    # cross-joined together) re-evaluated the det and truth subtrees
+    # (the shingle inverted-index join among them) once per consumer
+    da = det.withColumn("__d", F.lit(1))
+    ta = truth.withColumn("__t", F.lit(1))
+    cts = da.join(ta, ["x", "y"], "full_outer").agg(
+        F.count("__t").cast("long").alias("n_truth"),
+        F.count("__d").cast("long").alias("n_detected"),
+        F.count(F.when(F.col("__d").isNotNull() & F.col("__t").isNotNull(), 1))
+        .cast("long")
+        .alias("tp"),
+    )
     return cts.select(
         "n_truth",
         "n_detected",
@@ -12908,7 +12928,7 @@ def psi_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-rounded to BIGINT (epsilon-floored at 1e-9, the conventional
     PSI guard), PSI > 0.2 = major shift. One baseline quantile pass
     (broadcast 9 edges), one binned count per source."""
-    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    d = _t(spark, sf_dir, "documents", spread=False).select("source", "n_chars")
     qs = [i / 10 for i in range(1, 10)]
     edges = d.filter(F.col("source") == "src0").agg(
         F.expr(
@@ -17776,7 +17796,10 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _plan(
-        _t(spark, sf_dir, "documents"), alpha=0.7, target_epochs=2, max_epochs=2
+        _t(spark, sf_dir, "documents", spread=False),
+        alpha=0.7,
+        target_epochs=2,
+        max_epochs=2,
     )
 
 
@@ -17935,7 +17958,7 @@ def bcubed_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     large clusters."""
     from unified_firmographic_data_pipeline_spark.operators.linkage import bcubed_scores
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=False)
     assign = d.select(
         doc_fingerprint("text").alias("pred"),
         F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 16))).alias("truth"),
