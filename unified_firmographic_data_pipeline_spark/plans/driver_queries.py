@@ -7844,7 +7844,12 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("x"),
         F.sum(F.round(F.col("o_totalprice") * 1e6).cast("long")).cast("long").alias("y"),
     )
-    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    # spread the probe side: the tiny aggregated series coalesces to one
+    # partition, which would stream the O(days^2) broadcast-NLJ pair
+    # fan-out (and its count aggregate) through a single task
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
     pairs = a.join(b, F.col("da") < F.col("db"))
     prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
@@ -9641,7 +9646,14 @@ def theilsen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("t", F.row_number().over(Window.orderBy("d")).cast("long"))
     )
-    a = daily.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    # the global row_number window leaves `daily` in ONE partition, so the
+    # broadcast-NLJ pair stream (O(days^2) slopes) would generate and get
+    # median-scanned single-threaded; round-robin the tiny probe side so
+    # the quadratic fan-out runs at session parallelism (round-10: the
+    # 2.9M-slope stages were 4 x ~1-1.5 s one-task stages at sf0.1)
+    a = daily.select(F.col("t").alias("ta"), F.col("y").alias("ya")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = daily.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
     # materialize the pair stream once: the bracketed median makes 3 cheap
     # passes over it (a single giant percentile buffer over millions of
@@ -9703,7 +9715,11 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.count("*").cast("long").alias("y")
     )
-    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    # spread the probe side (see kendall_tau_daily): one-partition series
+    # would run the O(days^2) pair count single-task
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
     p = a.join(b, F.col("da") < F.col("db")).agg(
         F.count_if(F.col("yb") > F.col("ya")).cast("long").alias("np"),
