@@ -486,6 +486,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # round-10 verdict #2: the IVF-SQ index cache persists across bench
+    # runs (keyed on testdata mtime), so every run after the first timed
+    # retrieval only. Start COLD: each bench invocation now pays the build
+    # in ivfsq_index_search's warm pass (the timed number keeps measuring
+    # the declared tier — search against the materialized index — but no
+    # state survives from a previous invocation), and the build+search
+    # cold shape is timed separately below as ivfsq_index_search_cold.
+    import shutil
+
+    here_ = os.path.dirname(os.path.abspath(__file__))
+    shutil.rmtree(os.path.join(here_, ".ann_index_cache"), ignore_errors=True)
+
     floors = _historical_floors()
     timings: dict[str, float] = {}
     adjudication: dict[str, dict] = {}
@@ -529,6 +541,24 @@ def main() -> None:
             adjudication[name] = adj
         light[name] = round(best, 3)
         print(f"  [light] {name}: {light[name]:.3f}s", file=sys.stderr)
+
+    # the cold shape of the materialized-index tier: one end-to-end
+    # build+search timing with the cache cleared first (extra entry per the
+    # bench contract — the warm entry above is unchanged and comparable to
+    # every earlier round)
+    try:
+        shutil.rmtree(os.path.join(here_, ".ann_index_cache"), ignore_errors=True)
+        fn = QUERIES["ivfsq_index_search"]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        light["ivfsq_index_search_cold"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"  [light] ivfsq_index_search_cold: "
+            f"{light['ivfsq_index_search_cold']:.3f}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # must not kill the bench
+        print(f"  LIGHT FAIL ivfsq_index_search_cold: {e!r}", file=sys.stderr)
 
     record = {
         "metric": "headline_queries_total_wall_sec",

@@ -58,6 +58,12 @@ def assign_clusters(
     (squared L2 to it, in 1e-6 units). One narrow projection: the k
     distance expressions live in the same whole-stage-codegen span as the
     scan."""
+    # the coalesce below exists ONLY for the nullability fold; assert the
+    # degenerate empty-centroid call away so its -1 fallback is provably
+    # dead (it would otherwise mask a caller bug with an inconsistent
+    # cluster_id=-1 / dist_micro=NULL sentinel)
+    if not centroids:
+        raise ValueError("assign_clusters requires at least one centroid")
     candidates = F.array(
         *[
             F.struct(

@@ -48,8 +48,12 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Label every node with the smallest node id in its connected
-    component. ``nodes`` may contain isolated nodes (they label themselves);
-    ``edges`` is treated as undirected (symmetrized internally).
+    component. ``nodes`` may contain isolated nodes (they label themselves)
+    and MUST be distinct (one row per node id) — the union-aggregate round
+    groups by node, so a duplicated input id would collapse to one output
+    row where the round-9 join-back shape echoed the duplicate; every
+    caller passes a key/distinct projection. ``edges`` is treated as
+    undirected (symmetrized internally).
 
     Returns ``(node, component)``. Raises if ``max_iter`` rounds don't
     converge (diameter > max_iter — raise the bound for chain-shaped

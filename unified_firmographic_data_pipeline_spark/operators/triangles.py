@@ -21,18 +21,24 @@ Plan shape (the part that decides whether this survives a dense graph):
   raw-pair distinct (the naive composition recomputes it six times);
 - the degree lookups broadcast onto the edge frame (degree table is
   |V| rows — tiny relative to |E|), so orientation adds NO edge shuffle;
-- the wedge stream (the one quadratic-ish intermediate, Σ C(outdeg,2)
-  rows) is generated MAP-SIDE from each pivot's sorted out-neighbor array
-  (collect_list + posexplode/slice, one pinned-parallelism exchange —
-  see :func:`_oriented_wedges`), each unordered pair exactly once;
-- the closing-edge probe is a broadcast hash join when the edge set fits
-  (wedges are generated, probed, and partially COUNTED inside a single
-  stage and never hit a shuffle), and a shuffled equi-join on the
-  (x, y) pair key when it does not. The switch is AUTOMATIC by default
-  (``broadcast_closure=None``): one cheap ``count()`` on the already-
-  checkpointed edge frame against ``broadcast_max_edges`` — no manual
-  flag between the in-memory and the >memory regime (both paths are
-  bit-equal; SCALE.md measures both). Pass True/False to force a side.
+- two bit-equal triangle-closure regimes behind one AUTOMATIC switch
+  (``broadcast_closure=None``: one cheap memoized ``count()`` on the
+  already-checkpointed edge frame against ``broadcast_max_edges``; pass
+  True/False to force a side):
+
+  * **in-memory regime** (edge set under the ceiling): EDGE-ITERATOR
+    adjacency intersection (:func:`_closed_wedges_adjacency`) — per-pivot
+    out-neighbor arrays broadcast onto the oriented edge stream and every
+    common out-neighbor closes exactly one triangle via
+    ``array_intersect``. NO wedge row is ever materialized: the
+    Σ C(outdeg, 2) generate-and-hash-probe work of the wedge join becomes
+    linear array scans in one stage (interleaved A/B at sf0.1:
+    triangle_stats 5.86 → 3.26 s);
+  * **>memory regime**: the wedge stream (Σ C(outdeg,2) rows, generated
+    by the pivot-key self-join :func:`_oriented_wedges` at pinned
+    parallelism) probed by a shuffled equi-join on the (x, y) pair key —
+    neighbor arrays through a shuffle would re-inflate exactly what the
+    broadcast avoids, so past the ceiling the flat pair stream wins.
 
 Counts are exact integers — bit-identical on any engine — so the DuckDB
 oracle verifies via the simpler id-ordered 3-way join (triangle COUNT is
@@ -105,7 +111,12 @@ def _oriented_wedges(ori: DataFrame) -> DataFrame:
     per-row tail-slice array copies doubled the stage's CPU — 51 s → 99 s
     at sf0.1 — because unlike the skewed-join case it replaces a cheap
     hash-probe pair generation, not a shuffle.)"""
-    n_parts = int(ori.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # managed runtimes may set this conf to the non-numeric 'auto'
+    # (AQE auto partitioning) — fall back to the cluster parallelism
+    try:
+        n_parts = int(ori.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        n_parts = ori.sparkSession.sparkContext.defaultParallelism
     piv = ori.repartition(n_parts, "lo").select(
         F.col("lo").alias("pivot"), F.col("hi")
     )
@@ -115,6 +126,41 @@ def _oriented_wedges(ori: DataFrame) -> DataFrame:
     # hash probe on this exploding join (~8% stage CPU at sf0.1)
     w2 = piv.select("pivot", F.col("hi").alias("y")).hint("shuffle_hash")
     return w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+
+
+def _closed_wedges_adjacency(ori: DataFrame) -> DataFrame:
+    """Closed wedges ``(pivot, x, y)`` (x < y) by EDGE-ITERATOR adjacency
+    intersection (Shun & Tangwongsan, ICDE'15 form of the degree-oriented
+    count): for each oriented edge (u→v), every common out-neighbor
+    w ∈ N+(u) ∩ N+(v) closes exactly one triangle, counted exactly once —
+    at the (pivot=u, middle=v) edge, since the pivot is the unique
+    out-degree-2 vertex of the oriented triangle and the middle the unique
+    in-1/out-1 one. Bit-equal to the wedge-join + closure-probe path (same
+    triangle set, re-keyed to the id-ordered (x, y)).
+
+    Used in the in-memory regime (edge set under the broadcast ceiling):
+    the per-pivot out-neighbor arrays broadcast onto the oriented edge
+    stream, so triangles are counted in ONE stage with NO wedge
+    materialization — the Σ C(outdeg, 2) wedge rows (generate + hash-probe
+    each) become linear array scans inside array_intersect. The wedge-join
+    path (:func:`_oriented_wedges`) remains the >memory regime: shipping
+    neighbor arrays through a shuffle would re-inflate what the broadcast
+    avoids."""
+    adj = ori.groupBy("lo").agg(F.collect_list("hi").alias("ns"))
+    a_u = F.broadcast(adj.select(F.col("lo").alias("u"), F.col("ns").alias("nu")))
+    a_v = F.broadcast(adj.select(F.col("lo").alias("v"), F.col("ns").alias("nv")))
+    e = ori.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    # inner joins: an edge whose endpoint has no out-neighbors closes nothing
+    closed = (
+        e.join(a_u, "u")
+        .join(a_v, "v")
+        .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+    )
+    return closed.select(
+        F.col("u").alias("pivot"),
+        F.least("v", "w").alias("x"),
+        F.greatest("v", "w").alias("y"),
+    )
 
 
 #: default broadcast ceiling for the closure probe: 5M (long, long) rows
@@ -211,18 +257,18 @@ def triangle_stats(
         ),
     )
     ori = _orient(und, deg)
-    wedges = _oriented_wedges(ori)
-    # closure: is (x, y) an (undirected) edge? id-ordered canonical form.
-    # Broadcasting the edge set keeps the wedge stream inside one stage:
-    # generated, probed, and partially counted without ever shuffling —
-    # chosen automatically while the edge count fits the ceiling.
-    canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     use_bc = _use_broadcast_closure(
         und, materialize, broadcast_closure, broadcast_max_edges,
         memo_key=(edges, src, dst),
     )
-    probe = F.broadcast(canon) if use_bc else canon
-    tri = wedges.join(probe, ["x", "y"]).agg(F.count("*").alias("n_triangles"))
+    if use_bc:
+        # in-memory regime: adjacency-intersection, one stage, no wedge rows
+        closed = _closed_wedges_adjacency(ori)
+    else:
+        # >memory regime: wedge join + shuffled closure probe on (x, y)
+        canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        closed = _oriented_wedges(ori).join(canon, ["x", "y"])
+    tri = closed.agg(F.count("*").alias("n_triangles"))
     out = base.crossJoin(F.broadcast(tri))  # 1-row x 1-row
     return out.select(
         "n_nodes",
@@ -264,13 +310,15 @@ def enumerate_triangles(
     if materialize:
         deg = deg.localCheckpoint(eager=True)
     ori = _orient(und, deg)
-    wedges = _oriented_wedges(ori)
-    canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     use_bc = _use_broadcast_closure(
         und, materialize, broadcast_closure, broadcast_max_edges,
         memo_key=(edges, src, dst),
     )
-    tri = wedges.join(F.broadcast(canon) if use_bc else canon, ["x", "y"])
+    if use_bc:
+        tri = _closed_wedges_adjacency(ori)
+    else:
+        canon = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        tri = _oriented_wedges(ori).join(canon, ["x", "y"])
     srt = F.array_sort(F.array("pivot", "x", "y"))
     return tri.select(
         srt.getItem(0).alias("v1"),

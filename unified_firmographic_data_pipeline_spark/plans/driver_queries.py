@@ -80,7 +80,16 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
-def _scan_guard(spark: SparkSession, df: DataFrame) -> DataFrame:
+#: memo of the per-(table path, target) under-parallel-scan probe.
+#: ``df.rdd.getNumPartitions()`` forces full physical planning through the
+#: Python RDD-conversion path, adding driver latency to EVERY guarded load;
+#: the answer is a pure function of the file layout and the session
+#: parallelism, so probe once per table and reuse (plan-property memo, not
+#: a result cache — every query still computes from the parquet input).
+_SCAN_UNDERPAR: dict[tuple[str, int], bool] = {}
+
+
+def _scan_guard(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     """Under-parallel-scan guard (optimization guide §2.5 "input skew: one
     huge unsplittable file... repartition immediately after the read").
 
@@ -94,36 +103,39 @@ def _scan_guard(spark: SparkSession, df: DataFrame) -> DataFrame:
     branch is false, and NO payload shuffle is added — this is a guard
     against pathological layout, not a local tune. (Measured at sf0.1:
     near_dup_candidates_md5's signature materialization was one 4.5 s task;
-    the guard spreads it across the 32 cores.)
-
-    Applied to the PAYLOAD tables only (documents, embeddings): their
-    downstream pipelines do heavy per-row narrow work (tokenize + 16 md5
-    permutations, 64-dim dot folds) that a one-task scan serializes —
-    interleaved A/B at sf0.1: near_dup_candidates_md5 4.97→1.21 s,
-    knn_label_accuracy 3.67→1.33 s, lsh_incremental_candidates
-    3.87→1.30 s. The relational facts (lineitem/orders/events/...) are
-    excluded: their first downstream op is a keyed partial aggregate that
-    already collapses rows map-side in the scan task, so a round-robin
-    exchange ahead of it only adds bytes and re-fragments the partial
-    reduction (same A/B: truss +1.7 s, entity_resolution_incremental
-    +1.8 s when guarded)."""
+    the guard spreads it across the 32 cores.)"""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    memo_key = (key, target)
+    underpar = _SCAN_UNDERPAR.get(memo_key)
+    if underpar is None:
+        underpar = df.rdd.getNumPartitions() < target
+        _SCAN_UNDERPAR[memo_key] = underpar
+    if underpar:
         return df.repartition(target)
     return df
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
-    """Load a table. ``spread=False`` opts a payload-table consumer out of
-    the scan-parallelism guard: pipelines whose first real operation is a
-    low-cardinality token/source aggregation do the whole reduction
-    map-side in the single scan task, and spreading the rows first only
-    multiplies the partial-aggregate key space (32 partial maps over the
-    full vocabulary instead of one) — measured +0.3-0.6 s each on the
-    token-distribution family (js_divergence_sources, psi_drift_sources,
-    bm25_query_scores, ...) when left guarded."""
+    """Load a table. ``spread=True`` opts a payload-table consumer
+    (documents/embeddings) INTO the scan-parallelism guard.
+
+    Opt-in, not default (round-10 verdict #1): the guard only pays off when
+    the pipeline does heavy PER-ROW narrow work right after the scan
+    (tokenize + 16 md5 MinHash permutations, shingling, 64-dim vector
+    folds) — interleaved A/B at sf0.1: near_dup_candidates_md5
+    4.97→1.21 s, knn_label_accuracy 3.67→1.33 s, lsh_incremental_candidates
+    3.87→1.30 s. Consumers whose first real operation is a cheap or
+    low-cardinality aggregation collapse rows map-side in the single scan
+    task already, and a round-robin exchange ahead of them only adds a
+    stage, a local sort (sortBeforeRepartition) and 32 partial-agg maps
+    over the full key space — the round-10 both-runs-regressed tail
+    (rake_keyword_scores 1.34→1.99 s, nfc_normalization_drift 0.29→0.85 s,
+    map_functions_token_stats 0.28→0.64 s, ...). The relational facts
+    (lineitem/orders/events/...) are never guarded for the same reason
+    (A/B: truss +1.7 s, entity_resolution_incremental +1.8 s when
+    guarded)."""
     if name == "events":
         # events.parquet has stored ts as TIMESTAMP(NANOS) (surfacing as a
         # long, or natively as TIMESTAMP_NTZ depending on writer/reader
@@ -141,7 +153,7 @@ def _t(
         return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread and name in ("documents", "embeddings"):
-        df = _scan_guard(spark, df)
+        df = _scan_guard(spark, df, f"{sf_dir}/{name}.parquet")
     return df
 
 
@@ -933,7 +945,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_count,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -969,7 +981,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs labeled lang — confusion-matrix counts."""
     from unified_firmographic_data_pipeline_spark.functions.text import detect_lang
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return (
         d.select("lang", detect_lang("text").alias("detected"))
         .groupBy("lang", "detected")
@@ -1000,7 +1012,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence + punctuation density)."""
     from unified_firmographic_data_pipeline_spark.functions.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
 
 
@@ -1014,7 +1026,7 @@ def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (md5-permutation variant, oracle-checkable): the
     per-row signature stage of MinHash-LSH dedup. The production path uses
     xxhash64 (see near_dup_candidates_lsh) — same algorithm, cheaper hash."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     toks = F.array_distinct(tokens("text"))
 
     def mh(j: int):
@@ -1069,13 +1081,13 @@ def neardup_jaccard_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_candidates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (banded xxhash64 signatures). The scale
     path for near-dedup: one uniform-key shuffle, no n² blowup."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_candidates(d)
 
 
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming radius 3 (pigeonhole blocks)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = _t(spark, sf_dir, "documents", spread=True).filter(F.col("doc_id") < 500)
     return simhash_near_pairs(d)
 
 
@@ -1097,7 +1109,7 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: exact brute-force cosine top-5 for 10 query
     vectors (broadcast queries × corpus scan, per-partition top-k)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -1537,7 +1549,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_dup_pairs as _pairs,
     )
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = _t(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < 300)
     return _pairs(e, threshold=0.9)
 
 
@@ -1583,7 +1595,7 @@ def embedding_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_dup_pairs_lsh,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     return embedding_dup_pairs_lsh(e, threshold=0.9)
 
 
@@ -2346,7 +2358,7 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (bigram) frequency top-k over the documents table: adjacent
     token pairs via a zip of the token array with its own tail — all
     JVM-side array expressions, then explode -> count -> TakeOrdered."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     t = tokens("text")
     pairs = F.zip_with(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
@@ -2375,7 +2387,7 @@ def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one is rows-only (BLAS reassociates the dot-product sums)."""
     from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk_numpy
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     q_set = e.filter(F.col("vec_id") < 10)
     return cosine_topk_numpy(e, q_set, k=5)
 
@@ -2416,7 +2428,7 @@ def near_dup_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_candidates_md5,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_candidates_md5(d, num_hashes=16, bands=4, shingle_n=3)
 
 
@@ -2460,7 +2472,7 @@ def simhash_near_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_pairs_md5 as _pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return _pairs(d, max_hamming=3, bits=60)
 
 
@@ -2595,7 +2607,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score, doc_fingerprint."""
     from unified_firmographic_data_pipeline_spark.functions.text import detect_lang, quality_score
 
-    d = _t(spark, sf_dir, "documents", spread=False)
+    d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         "source",
@@ -2647,7 +2659,7 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-split source would otherwise run it in one task (2x measured
     at sf0.1; the bootstrap_ci precedent)."""
     d = (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", spread=True)
         .filter(F.col("doc_id") < 300)
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -2765,7 +2777,7 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-document dedup pass."""
     from unified_firmographic_data_pipeline_spark.operators.curation import repetition_metrics
 
-    return repetition_metrics(_t(spark, sf_dir, "documents"), flag_threshold=0.2)
+    return repetition_metrics(_t(spark, sf_dir, "documents", spread=True), flag_threshold=0.2)
 
 
 @q(
@@ -2801,7 +2813,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine; the counts pin recall."""
     from unified_firmographic_data_pipeline_spark.functions.text import redact_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     injected = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -2847,7 +2859,7 @@ def contamination_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     use 8-13-gram overlap; trigrams keep the toy corpus non-degenerate.)"""
     from unified_firmographic_data_pipeline_spark.operators.curation import contamination_overlap
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return contamination_overlap(
         d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=3, top=25
     )
@@ -2965,7 +2977,7 @@ def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     chunks = (
         d.select("doc_id", tokens("text").alias("__toks"))
         .select(
@@ -3141,7 +3153,7 @@ def kmeans_assign_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_centroids_by_id,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     centroids = init_centroids_by_id(e, 8)
     return cluster_sizes(assign_clusters(e, centroids))
 
@@ -3395,7 +3407,7 @@ _BIGRAMS_SQL = r"""
 def _bigrams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w1, w2) bigram stream — token-array zip with its own tail,
     all JVM array expressions (no Python), exploded once."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     t = tokens("text")
     pairs = F.zip_with(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
@@ -4511,7 +4523,7 @@ def doc_logistic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a projection fused into the scan."""
     from unified_firmographic_data_pipeline_spark.functions.scoring import logistic_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     from unified_firmographic_data_pipeline_spark.functions.text import (
         punct_ratio as _pr,
         stopword_ratio as _sr,
@@ -5484,7 +5496,7 @@ def flesch_readability_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression: sentence/word/syllable counts are regexp counts, the score
     a fixed double formula over exact integers. Bucketed decades keep the
     output bounded."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     sentences = F.greatest(
         F.size(F.split("text", r"[.!?]+")) - 1, F.lit(1)
     )
@@ -5765,7 +5777,7 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-match docs survive the left join with score 0."""
     from unified_firmographic_data_pipeline_spark.operators.curation import bm25_scores
 
-    d = _t(spark, sf_dir, "documents", spread=False)
+    d = _t(spark, sf_dir, "documents")
     return bm25_scores(d, ["spark", "join", "window"])
 
 
@@ -6103,7 +6115,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_ivf,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     return cosine_topk_ivf(
         e, e.filter(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=2
     )
@@ -6346,7 +6358,7 @@ def neardup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     chunks = (
         d.select("doc_id", tokens("text").alias("__toks"))
         .select(
@@ -6455,7 +6467,7 @@ def source_quota_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd scalar fused into the scan."""
     from unified_firmographic_data_pipeline_spark.functions.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     w = Window.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
@@ -6968,7 +6980,7 @@ def dup_overlap_sources_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs."""
     from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     fp = (
         d.select("source", tokens("text").alias("__toks"))
         .select(
@@ -7469,7 +7481,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard_pairs; divisions of exact integers are correctly rounded."""
     from unified_firmographic_data_pipeline_spark.operators.neardup import jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents", spread=False).filter(F.col("doc_id") < 100)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     p = jaccard_pairs(d, shingle_n=1, threshold=0.0)
     ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
@@ -7520,7 +7532,7 @@ def chunk_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise; ln is neutralized by 6-dec rounding (the entropy precedent)."""
     from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
-    d = _t(spark, sf_dir, "documents", spread=False)
+    d = _t(spark, sf_dir, "documents")
     ct = (
         d.select("doc_id", tokens("text").alias("__toks"))
         .select(
@@ -8179,7 +8191,7 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus totals ride a 1-row cross join; per-token log-ratios are
     micro-rounded then summed as BIGINT (bit-exact, order-independent).
     Top-k is TakeOrdered with a doc_id tiebreak."""
-    d = _t(spark, sf_dir, "documents", spread=False)
+    d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     ttoks = toks.join(
         d.filter(F.col("lang") == "en").select("doc_id"), "doc_id", "semi"
@@ -8509,7 +8521,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then TakeOrdered."""
     from unified_firmographic_data_pipeline_spark.functions.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     scored = d.select(
         "doc_id", F.round(quality_score("text"), 6).alias("quality"), "n_chars"
     )
@@ -8904,7 +8916,7 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio as _sr,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     stop_r = F.coalesce(_sr("text", LANG_STOPWORDS["en"]), F.lit(0.0))
     punct_r = F.coalesce(_pr("text"), F.lit(1.0))
     len_norm = F.least(F.length("text"), F.lit(2000)).cast("double") / F.lit(2000.0)
@@ -9906,7 +9918,7 @@ def quantile_normalize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     id (deterministic projection of the full mapping)."""
     from unified_firmographic_data_pipeline_spark.functions.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     scored = d.select(
         "doc_id", "source", F.round(quality_score("text"), 6).alias("q")
     )
@@ -10122,7 +10134,7 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy/PMI precedent) and nano-rounds the product so per-pair sums
     are order-independent BIGINTs. Zero-count sides contribute 0 (the
     JS convention via its KL halves)."""
-    d = _t(spark, sf_dir, "documents", spread=False)
+    d = _t(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(tokens("text")).alias("tok"))
     cnt = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
@@ -10263,7 +10275,7 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join touches only tokens the two sources SHARE
     (never a dense vocab x vocab product); dot products and norms are
     exact BIGINTs; one division + sqrt pair per source pair."""
-    d = _t(spark, sf_dir, "documents", spread=False)
+    d = _t(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(tokens("text")).alias("tok"))
     cnt = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
     norms = cnt.groupBy("source").agg(
@@ -10512,7 +10524,7 @@ def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio as _sr,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     stop_r = F.coalesce(_sr("text", LANG_STOPWORDS["en"]), F.lit(0.0))
     punct_r = F.coalesce(_pr("text"), F.lit(1.0))
     len_norm = F.least(F.length("text"), F.lit(2000)).cast("double") / F.lit(2000.0)
@@ -11160,7 +11172,7 @@ def repeated_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeated_ngram_spans,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return repeated_ngram_spans(d, n=8, min_docs=2)
 
 
@@ -11329,7 +11341,7 @@ def trigram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys shuffle (raw text never moves); since (source, g) is distinct,
     sources-per-trigram is a plain COUNT — no distinct-aggregation
     Expand."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     tri = (
         d.select("source", tokens("text").alias("t"))
         .select(
@@ -11397,7 +11409,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the batch tests."""
     from unified_firmographic_data_pipeline_spark.operators.sketches import cms_estimates
 
-    d = _t(spark, sf_dir, "documents", spread=False)
+    d = _t(spark, sf_dir, "documents")
     tk = d.select(F.explode(tokens("text")).alias("tok"), F.lit(1).alias("w"))
     est = cms_estimates(tk, "tok", "w", depth=4, width=512)
     return est.orderBy(F.col("est").desc(), "tok").limit(20)
@@ -12093,7 +12105,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the accuracy are exact integer ratios."""
     from unified_firmographic_data_pipeline_spark.operators.similarity import cosine_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     q = e.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").limit(128)
     nn = cosine_topk(e, q, k=3)
     labels = e.select(F.col("vec_id"), F.col("label"))
@@ -12585,7 +12597,7 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agreements, marginal products); three fixed divisions at the end."""
     from unified_firmographic_data_pipeline_spark.functions.text import detect_lang
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     conf = (
         d.select("lang", detect_lang("text").alias("detected"))
         .groupBy("lang", "detected")
@@ -12818,7 +12830,7 @@ def dedup_detector_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     as pair-level precision / recall / F1 — the calibration every dedup
     pipeline needs before it deletes data at 100 TB. All three counts
     are exact pair-set cardinalities; F1 folds to 2·tp/(det+truth)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", tokens("text").alias("t"))
     u = toks.select(
         "doc_id",
@@ -12834,14 +12846,33 @@ def dedup_detector_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     ).distinct()
     sz = u.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    ua = u.select(F.col("doc_id").alias("x"), "w")
-    ub = u.select(F.col("doc_id").alias("y"), "w")
-    inter = (
-        ua.join(ub, "w")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count("*").cast("long").alias("i"))
+    # round-11 (VERDICT item 2): the shingle inverted index generates its
+    # candidate pairs MAP-SIDE from each shingle's sorted doc-id group
+    # (the measured market_basket/_copurchase fan-out shape) instead of
+    # the ua⋈ub self-join. Two structural wins at once: shingles held by
+    # ONE doc — the overwhelming majority of trigram shingles — are
+    # dropped by the size(ds) >= 2 gate BEFORE any pair work (guide §3
+    # pre-filter), and the join's second shuffle of the full shingle
+    # stream disappears (the group-by reuses the same single exchange).
+    # Sorted groups emit each unordered pair exactly once (x < y), so the
+    # pair counts are bit-identical to the join + filter formulation.
+    pair_pairs = (
+        u.groupBy("w")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("pr")
+        )
     )
+    inter = pair_pairs.groupBy(
+        F.col("pr.x").alias("x"), F.col("pr.y").alias("y")
+    ).agg(F.count("*").cast("long").alias("i"))
     det = (
         inter.join(sz.withColumnRenamed("doc_id", "x").withColumnRenamed("n", "na"), "x")
         .join(sz.withColumnRenamed("doc_id", "y").withColumnRenamed("n", "nb"), "y")
@@ -12855,9 +12886,23 @@ def dedup_detector_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pfx = toks.select(
         "doc_id", F.md5(F.array_join(F.slice("t", 1, 16), " ")).alias("p")
     )
-    pa = pfx.select(F.col("doc_id").alias("x"), "p")
-    pb = pfx.select(F.col("doc_id").alias("y"), "p")
-    truth = pa.join(pb, "p").filter(F.col("x") < F.col("y")).select("x", "y")
+    # same fan-out for the prefix-duplicate truth set (replaces pa⋈pb):
+    # each prefix group's sorted ids emit every unordered pair once
+    truth = (
+        pfx.groupBy("p")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
+    )
     # round-10: one pass over both pair sets — a full-outer join on the
     # pair key yields n_detected / n_truth / tp as three counts of ONE
     # aggregate, where the old shape (two scalar counts + a tp join,
@@ -12944,7 +12989,7 @@ def psi_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-rounded to BIGINT (epsilon-floored at 1e-9, the conventional
     PSI guard), PSI > 0.2 = major shift. One baseline quantile pass
     (broadcast 9 edges), one binned count per source."""
-    d = _t(spark, sf_dir, "documents", spread=False).select("source", "n_chars")
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
     qs = [i / 10 for i in range(1, 10)]
     edges = d.filter(F.col("source") == "src0").agg(
         F.expr(
@@ -13094,7 +13139,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     t = d.select(
         "lang",
         bpe_ish_token_count("text").cast("long").alias("n_bpe"),
@@ -13152,11 +13197,25 @@ def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     `near_dup_candidates_md5`'s banding choice (Leskovec/Rajaraman/Ullman
     ch.3, public). Pure closed-form expressions on a 48-row constant
     grid; no table scan at all (the planner runs before the data
-    does)."""
-    b = spark.createDataFrame([(4,), (8,), (16,), (32,)], "b int")
-    r = spark.createDataFrame([(2,), (4,), (8,)], "r int")
-    s = spark.createDataFrame([(0.5,), (0.7,), (0.8,), (0.9,)], "s double")
-    grid = b.crossJoin(F.broadcast(r)).crossJoin(F.broadcast(s))
+    does).
+
+    Round-11: the grid is ONE 48-row local relation. The previous shape
+    (three createDataFrame calls + two broadcast cross joins) spent
+    ~2.8 s at sf0.1 — all driver-side local-relation/broadcast plumbing
+    for 48 constant rows — and ANTI-scaled (8-core/32-core ratio 0.40:
+    more threads, more broadcast/stage overhead, zero data). Expanding
+    the constant cross product at query-construction time removes both
+    joins and two broadcast exchanges; the S-curve expressions are
+    computed by Spark exactly as before (bit-identical output)."""
+    grid = spark.createDataFrame(
+        [
+            (b, r, s)
+            for b in (4, 8, 16, 32)
+            for r in (2, 4, 8)
+            for s in (0.5, 0.7, 0.8, 0.9)
+        ],
+        "b int, r int, s double",
+    )
     rd = F.col("r").cast("double")
     bd = F.col("b").cast("double")
     return grid.select(
@@ -13453,7 +13512,7 @@ def token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_documents,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return chunk_documents(d, width=24, stride=12)
 
 
@@ -13560,7 +13619,7 @@ def lsh_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_band_buckets_md5,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     new_b = minhash_band_buckets_md5(d.filter(F.col("doc_id") % 10 == 0))
     old_b = minhash_band_buckets_md5(d.filter(F.col("doc_id") % 10 != 0))
     return lsh_candidates_from_buckets(new_b, old_b.unionByName(new_b))
@@ -13621,7 +13680,7 @@ def embedding_keepbest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_dedup_keep_best,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     out = embedding_dedup_keep_best(
         e, "label", id_col="vec_id", threshold=0.3, num_planes=8, dim=64, seed=42
     )
@@ -13802,7 +13861,7 @@ def contrastive_triplets_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrastive_triplets,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     return contrastive_triplets(e, e.filter(F.col("vec_id") < 8), k_neg=3)
 
 
@@ -13840,7 +13899,7 @@ def curriculum_interleave_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         curriculum_interleave,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     scored = d.select(
         "doc_id", "source", F.round(quality_score("text"), 6).alias("q")
     )
@@ -13918,7 +13977,7 @@ def kmv_vocab_distinct_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _t(spark, sf_dir, "documents", spread=True).filter(F.col("text").isNotNull())
     tk = d.select(
         F.col("source").alias("grp"),
         F.explode(shingles("text", 2)).alias("tok"),
@@ -13992,7 +14051,7 @@ def kmv_vocab_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _t(spark, sf_dir, "documents", spread=True).filter(F.col("text").isNotNull())
     tk = d.select(
         F.col("source").alias("grp"),
         F.explode(shingles("text", 2)).alias("tok"),
@@ -14056,7 +14115,7 @@ def fuzzy_decontam_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate_fuzzy,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     testset = d.filter(F.col("doc_id") % 50 == 0)
     return decontaminate_fuzzy(
         d, testset, threshold=0.8, use_md5=True
@@ -14258,7 +14317,7 @@ def ann_recall_at_k_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_at_k,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     q10 = e.filter(F.col("vec_id") < 10)
     approx = cosine_topk_ivf(e, q10, k=5, n_lists=8, n_probe=2)
     exact = cosine_topk(e, q10, k=5)
@@ -14899,7 +14958,7 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         mutual_nearest_pairs,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     return mutual_nearest_pairs(e, k=3)
 
 
@@ -15680,7 +15739,7 @@ def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unified_firmographic_data_pipeline_spark.operators.lm import skipgram_pairs
 
     return skipgram_pairs(
-        _t(spark, sf_dir, "documents"), window=2, min_count=2
+        _t(spark, sf_dir, "documents", spread=True), window=2, min_count=2
     )
 
 
@@ -17014,7 +17073,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     # the oracle filters malformed vectors (NULL / short / NULL components)
     # from BOTH the corpus and query sides; apply pq_train's own validity
     # predicate here so the engines stay aligned on any fixture (round-7
@@ -17088,7 +17147,7 @@ def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_train,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     bounds = sq_train(e)
     enc = sq_encode(e, bounds)
     joined = e.select("vec_id", "label", "embedding").join(enc, "vec_id")
@@ -17193,7 +17252,7 @@ def matryoshka_recall_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_similarity,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     qv = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
     )
@@ -17646,7 +17705,7 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_novelty_decay as _novelty,
     )
 
-    return _novelty(_t(spark, sf_dir, "documents"), n=3, n_buckets=10)
+    return _novelty(_t(spark, sf_dir, "documents", spread=True), n=3, n_buckets=10)
 
 
 @q(
@@ -17812,7 +17871,7 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _plan(
-        _t(spark, sf_dir, "documents", spread=False),
+        _t(spark, sf_dir, "documents"),
         alpha=0.7,
         target_epochs=2,
         max_epochs=2,
@@ -17974,7 +18033,7 @@ def bcubed_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     large clusters."""
     from unified_firmographic_data_pipeline_spark.operators.linkage import bcubed_scores
 
-    d = _t(spark, sf_dir, "documents", spread=False)
+    d = _t(spark, sf_dir, "documents")
     assign = d.select(
         doc_fingerprint("text").alias("pred"),
         F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 16))).alias("truth"),
@@ -18043,7 +18102,7 @@ def retriever_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_fuse,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     qs = e.filter(F.col("vec_id") < 3)
     cos = cosine_topk(e, qs, k=20).select("query_id", "neighbor_id", "rank")
     qv = qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
@@ -18142,7 +18201,7 @@ def quality_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         isotonic_calibrate_bins,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     lex = F.array(F.lit("slow"), F.lit("dup"), F.lit("big"))
     clean = (
         F.size(F.filter(tokens("text"), lambda t: F.array_contains(lex, F.lower(t))))
@@ -18303,7 +18362,7 @@ def hard_negative_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     qs = e.filter(F.col("vec_id") < 5)
     cand = cosine_topk(e, qs, k=20)
     ql = qs.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
