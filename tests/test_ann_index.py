@@ -13,6 +13,11 @@ from unified_firmographic_data_pipeline_spark.operators.ann_index import (
 )
 from unified_firmographic_data_pipeline_spark.operators.pq import l2_normalized
 
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 SF = "/root/testdata/sf0.001"
 
 

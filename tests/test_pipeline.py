@@ -22,6 +22,11 @@ from unified_firmographic_data_pipeline_spark.plans.firmographics import GRAPH
 from unified_firmographic_data_pipeline_spark.sources.catalog import Catalog
 
 
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 def dbt_key(*parts) -> str:
     """Reference dbt_utils.generate_surrogate_key golden (FIXTURES.md §6)."""
     s = "-".join("_dbt_utils_surrogate_key_null_" if p is None else str(p) for p in parts)

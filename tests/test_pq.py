@@ -14,6 +14,11 @@ from unified_firmographic_data_pipeline_spark.operators.pq import (
     pq_train,
 )
 
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
 

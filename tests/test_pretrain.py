@@ -12,6 +12,13 @@ from unified_firmographic_data_pipeline_spark.plans.pretrain import (
     training_sequences,
 )
 
+import pytest
+
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 GOOD = (
     "the quick brown fox jumps over the lazy dog and then it sat down "
     "by the river to rest for a while in the afternoon sun"

@@ -26,6 +26,13 @@ ranking_strategy = st.lists(  # rankers
 )
 
 
+import pytest
+
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 def _brute_rrf(rankers, k=60):
     scores: dict[tuple[int, int], list[int]] = {}
     for ranker in rankers:

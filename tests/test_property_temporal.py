@@ -17,6 +17,13 @@ from unified_firmographic_data_pipeline_spark.operators.temporal import (
     range_join_binned,
 )
 
+import pytest
+
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 BASE = datetime(2024, 1, 1)
 
 events = st.lists(

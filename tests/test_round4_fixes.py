@@ -19,6 +19,11 @@ import pytest
 import __spark_entry__ as entry_mod
 from tests.test_oracle_parity import TABLES, assert_bit_exact, duck_con
 
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 

@@ -15,6 +15,13 @@ from unified_firmographic_data_pipeline_spark.operators.mixing import (
     temperature_mix_plan,
 )
 
+import pytest
+
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 DOCS = [
     (0, "a b c d e", "s0"),
     (1, "a b c d e", "s0"),          # exact dup of doc 0 -> zero novelty

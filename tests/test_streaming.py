@@ -20,6 +20,13 @@ from unified_firmographic_data_pipeline_spark.streaming.ingest import (
     windowed_counts_batch,
 )
 
+import pytest
+
+# heavy property sweep / e2e tier (see pytest.ini): excluded from the
+# default driver-window run, executed by the full tier at close-out
+pytestmark = pytest.mark.slow
+
+
 SCHEMA = StructType(
     [
         StructField("event_id", LongType()),

@@ -60,12 +60,15 @@ SHOWCASE = {
     "triangle_stats_copurchase": (
         "Degree-oriented triangle counting: the canonical edge set and "
         "degree table materialize ONCE (localCheckpoint scans below), "
-        "degree lookups broadcast onto edges, and the closing-edge probe "
-        "is a BroadcastHashJoin — the ~10^8-row wedge stream is generated, "
-        "probed, and partially counted inside one stage, never shuffled. "
-        "The broadcast is chosen by the round-5 AUTO-switch (edge count "
-        "vs a 5M ceiling); past it the probe becomes a shuffled equi-join "
-        "with no caller flag."
+        "degree lookups broadcast onto edges, and triangles close by "
+        "EDGE-ITERATOR adjacency intersection — per-pivot out-neighbor "
+        "arrays broadcast onto the oriented edges and array_intersect "
+        "counts common out-neighbors in ONE stage, so the ~10^8-row wedge "
+        "stream is never materialized at all (round 11: 1.8x over the "
+        "wedge join + broadcast probe). The regime is the round-5 "
+        "AUTO-switch (edge count vs a 5M ceiling); past it the plan falls "
+        "back to the pinned-parallelism wedge self-join probed by a "
+        "shuffled equi-join, with no caller flag."
     ),
     "ann_cosine_topk_ivf": (
         "IVF ANN: coarse centroids are literals (list assignment fuses "
@@ -88,7 +91,8 @@ SHOWCASE = {
     ),
     "truss_edge_support_hist": (
         "k-truss support: triangles enumerate once through the degree-"
-        "oriented wedge stream, then each triangle credits its 3 edges "
+        "oriented adjacency intersection (wedge self-join past the "
+        "broadcast ceiling), then each triangle credits its 3 edges "
         "MAP-SIDE (explode, no re-join against the triangle set); the "
         "histogram reduces on the bounded support key."
     ),

@@ -312,7 +312,13 @@ def jaro_winkler(a: Column | str, b: Column | str) -> Column:
             dtype="float64",
         )
 
-    return pandas_udf(_jw, "double")(_col(a), _col(b))
+    # non-deterministic ON PURPOSE (optimization guide §4.4): a filter on
+    # the UDF's output column otherwise gets pushed below the projection
+    # WITH the UDF substituted in, leaving two ArrowEvalPython nodes that
+    # each score every pair (seen in jaro_winkler_blocked_pairs' plan).
+    # The marker stops the optimizer from duplicating the expensive
+    # expression; the function itself is pure, values are unchanged.
+    return pandas_udf(_jw, "double").asNondeterministic()(_col(a), _col(b))
 
 
 def nfc_normalize_pandas(c: Column | str) -> Column:

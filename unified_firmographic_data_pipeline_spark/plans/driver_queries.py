@@ -2943,6 +2943,50 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+def _chunk_fp_pairs(d: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs ``(src, dst)`` with src < dst: documents
+    sharing a 10-token chunk fingerprint.
+
+    Round-11 shape: pairs generate MAP-SIDE from each fingerprint's sorted
+    doc-id group (groupBy + collect_set + slice fan-out — the measured
+    market_basket plan) instead of the chunks⋈chunks self-join. Three
+    structural wins: the tokenize+chunk+md5 subtree is evaluated ONCE (the
+    self-join's two aliases each replayed it), the chunk stream crosses the
+    network once instead of twice, and singleton fingerprints — the vast
+    majority — are dropped by the size gate before any pair work (guide
+    §2.4/§3). Emitting each unordered pair once (the old join emitted both
+    directions) is equivalent for every consumer: connected_components
+    symmetrizes its edge input internally."""
+    from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
+
+    chunks = (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                token_chunks("__toks", 10, pre_tokenized=True)
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.x").alias("src"), F.col("pr.y").alias("dst"))
+        .distinct()
+    )
+
+
 @q(
     "neardup_cluster_components",
     rf"""
@@ -2975,28 +3019,10 @@ def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unified_firmographic_data_pipeline_spark.operators.components import (
         connected_components,
     )
-    from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
     d = _t(spark, sf_dir, "documents", spread=True)
-    chunks = (
-        d.select("doc_id", tokens("text").alias("__toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                token_chunks("__toks", 10, pre_tokenized=True)
-            ).alias("chunk"),
-        )
-        .select("doc_id", F.md5("chunk").alias("chunk_fp"))
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
-               & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
-    )
     return connected_components(
-        d.select(F.col("doc_id").alias("node")), pairs
+        d.select(F.col("doc_id").alias("node")), _chunk_fp_pairs(d)
     ).select(F.col("node").alias("doc_id"), "component")
 
 
@@ -6356,27 +6382,11 @@ def neardup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         component_representatives,
         connected_components,
     )
-    from unified_firmographic_data_pipeline_spark.operators.curation import token_chunks
 
     d = _t(spark, sf_dir, "documents", spread=True)
-    chunks = (
-        d.select("doc_id", tokens("text").alias("__toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                token_chunks("__toks", 10, pre_tokenized=True)
-            ).alias("chunk"),
-        )
-        .select("doc_id", F.md5("chunk").alias("chunk_fp"))
+    comp = connected_components(
+        d.select(F.col("doc_id").alias("node")), _chunk_fp_pairs(d)
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
-               & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
-    )
-    comp = connected_components(d.select(F.col("doc_id").alias("node")), pairs)
     scored = d.select(
         F.col("doc_id").alias("node"), F.round(quality_score("text"), 6).alias("quality")
     )
@@ -18268,29 +18278,10 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates + a 1-row straddle broadcast."""
     from unified_firmographic_data_pipeline_spark.operators.curation import (
         leakage_safe_split,
-        token_chunks,
     )
 
     d = _t(spark, sf_dir, "documents")
-    chunks = (
-        d.select("doc_id", tokens("text").alias("__toks"))
-        .select(
-            "doc_id",
-            F.explode(token_chunks("__toks", 10, pre_tokenized=True)).alias("chunk"),
-        )
-        .select("doc_id", F.md5("chunk").alias("chunk_fp"))
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
-    )
-    assigned = leakage_safe_split(d, pairs, train_frac=0.8)
+    assigned = leakage_safe_split(d, _chunk_fp_pairs(d), train_frac=0.8)
     strad = (
         assigned.groupBy("component")
         .agg(F.countDistinct("split").alias("ns"))
